@@ -1,0 +1,94 @@
+"""Partitioned bloom filter over the URL-seen set.
+
+The reference's seen set is an O(1) in-memory array scan
+(map_reduce.rb:40-42). At 10^10 URLs the exact set lives in the ``seen``
+table and membership is an anti-join (a shuffle); this bloom filter is the
+prefilter that lets definite-misses skip that shuffle. Bloom errs only
+toward false *positives*, and positives still go through the exact
+anti-join — so the filter changes cost, never results (F-3 exactness).
+
+Build path (all public API, Arrow-batched):
+  seen.select(xxhash64(key)) → mapInPandas: each partition sets its bits
+  into a local numpy bitmap and emits it → driver ORs the (few, small)
+  bitmaps → broadcast. At cluster scale the OR is a treeAggregate-shaped
+  reduction; with ~128 MiB bitmaps and 1000 executors that is one
+  broadcast round-trip per crawl round, amortized over millions of
+  candidate URLs.
+
+k hash probes are derived from the single 64-bit xxhash via double
+hashing (h1 + i*h2), the standard Kirsch–Mitzenmacher construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _probe_positions(h: np.ndarray, n_bits: int, k: int) -> Iterator[np.ndarray]:
+    h = h.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd => full-period
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+
+
+class Bloom:
+    def __init__(self, bits: np.ndarray, n_bits: int, k: int):
+        self.bits = bits  # uint8 bitmap, n_bits/8 bytes
+        self.n_bits = n_bits
+        self.k = k
+
+    def might_contain(self, h: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h), dtype=bool)
+        for pos in _probe_positions(h, self.n_bits, self.k):
+            bit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+            out &= bit.astype(bool)
+        return out
+
+
+def build_bloom(hashes: DataFrame, n_bits: int = 1 << 22, k: int = 5) -> Bloom:
+    """``hashes``: single LongType column 'h' (xxhash64 of the seen key)."""
+    n_bytes = n_bits // 8
+
+    def partition_bitmap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            for pos in _probe_positions(h, n_bits, k):
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = hashes.mapInPandas(partition_bitmap, "bitmap binary").collect()
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        bits |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return Bloom(bits, n_bits, k)
+
+
+def might_contain_col(spark: SparkSession, bloom: Bloom, hash_col: Column) -> Column:
+    """Vectorized membership test as a pandas UDF over the hash column."""
+    b = spark.sparkContext.broadcast((bloom.bits, bloom.n_bits, bloom.k))
+
+    @F.pandas_udf("boolean")
+    def _test(h: pd.Series) -> pd.Series:
+        bits, n_bits, k = b.value
+        filt = Bloom(np.frombuffer(bits, dtype=np.uint8), n_bits, k)
+        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(filt.might_contain(hv))
+
+    return _test(hash_col)
+
+
+def seen_hash_col(uri: Column, depth: Column) -> Column:
+    """Canonical 64-bit hash of the (uri, depth) seen key (F-3)."""
+    return F.xxhash64(uri, depth)

@@ -1,0 +1,107 @@
+"""Pure-Python reference crawl oracle — golden truth for the engine.
+
+Reimplements MapReduce::Queue FIFO + seen-set semantics
+(lib/scrappy/agent/map_reduce.rb:17-46: dedup key = whole (uri, depth)
+item) and Agent#map link emission (lib/scrappy/agent/agent.rb:64-91) at the
+canonical workers=1 ordering (bin/scrappy:41). ~100 lines, no Spark.
+
+Two modes:
+  * ``per_host_budget=None`` — literal FIFO pop loop (the reference).
+  * ``per_host_budget=B`` — the generalized politeness semantics the engine
+    implements at scale: level-synchronized rounds, each round pops at most
+    B items per host (lowest seq first), processed in seq order. With
+    B=None the two modes produce identical output (tested) — the §3.4
+    equivalence argument made executable.
+
+Fetch layering (SURVEY.md §7.4): the seen set keys on (uri, depth) so a URL
+met again at another depth re-enters the queue, but the response cache
+(agent.rb:42-48, within-run TTL never expires) means it is fetched only
+once — golden_fetches counts real fetches.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from . import semantics
+from .urlnorm import canonicalize, host_of
+
+
+@dataclass
+class CrawlResult:
+    order: list[tuple[int, str, int]] = field(default_factory=list)  # (seq, uri, depth)
+    seen: set[tuple[str, int]] = field(default_factory=set)
+    triples: set[semantics.Triple] = field(default_factory=set)
+    fetches: dict[str, int] = field(default_factory=dict)
+    rounds: int = 0
+
+
+def oracle_crawl(
+    docs: dict[str, list[dict]],
+    seeds: list[str],
+    depth: int = -1,
+    per_host_budget: int | None = None,
+    max_rounds: int | None = None,
+    extract=semantics.link_triples,
+) -> CrawlResult:
+    res = CrawlResult()
+    cache: dict[str, list[semantics.Triple]] = {}
+
+    queue: deque[tuple[str, int, int]] = deque()  # (uri, depth, seq)
+    next_seq = 0
+    for s in seeds:
+        uri = canonicalize(s)
+        item = (uri, depth)
+        if item not in res.seen:
+            res.seen.add(item)
+            queue.append((uri, depth, next_seq))
+            next_seq += 1
+
+    def process(uri: str, d: int, seq: int) -> list[tuple[str, int]]:
+        nonlocal next_seq
+        res.order.append((seq, uri, d))
+        if uri in cache:
+            triples = cache[uri]
+        else:
+            res.fetches[uri] = res.fetches.get(uri, 0) + 1
+            spans = docs.get(uri)
+            triples = extract(uri, spans) if spans is not None else []
+            cache[uri] = triples
+        res.triples.update(semantics.clean(triples))
+        return semantics.emit_links(uri, d, triples)
+
+    def push_unless_done(items: list[tuple[str, int]]) -> None:
+        nonlocal next_seq
+        for uri, d in items:
+            if (uri, d) not in res.seen:  # history ∪ pending (map_reduce.rb:40-42)
+                res.seen.add((uri, d))
+                queue.append((uri, d, next_seq))
+                next_seq += 1
+
+    if per_host_budget is None:
+        while queue:
+            uri, d, seq = queue.popleft()
+            push_unless_done(process(uri, d, seq))
+            res.rounds += 1
+            if max_rounds is not None and res.rounds >= max_rounds and queue:
+                break
+    else:
+        while queue:
+            res.rounds += 1
+            taken_per_host: dict[str, int] = {}
+            popped: list[tuple[str, int, int]] = []
+            kept: deque[tuple[str, int, int]] = deque()
+            for uri, d, seq in queue:  # queue is already in seq order
+                h = host_of(uri)
+                if taken_per_host.get(h, 0) < per_host_budget:
+                    taken_per_host[h] = taken_per_host.get(h, 0) + 1
+                    popped.append((uri, d, seq))
+                else:
+                    kept.append((uri, d, seq))
+            queue = kept
+            for uri, d, seq in popped:  # seq order == pop order
+                push_unless_done(process(uri, d, seq))
+            if max_rounds is not None and res.rounds >= max_rounds:
+                break
+    return res
