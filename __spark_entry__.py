@@ -1,38 +1,301 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship path: the real crawl engine over a
+spans-web derived from the sf0.001 documents table.
+
+`queries()` / `oracle_sql()`: one entry per implemented operator from
+SURVEY.md §2 plus the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal). Every aggregate/computed column is aliased
+identically on both sides; fp-sensitive values are rounded on both sides.
+Ops without an oracle entry (crawl, LSH-ANN, ngram langid, media decode)
+get the driver's rows-only check and are additionally golden-tested in
+tests/.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from scrappy_spark.operators import dedup, multimodal, relational, similarity, textstats
+from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
+
+# ----------------------------------------------------------------- entry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl the spans-web derived from sf0.001 documents —
+    frontier BFS + politeness + bloom + checkpointing end-to-end."""
+    from scrappy_spark.frontier import Crawler, CrawlConfig
+    from scrappy_spark.sources.flatweb import spans_web, url_expr  # noqa: F401
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    web = spans_web(flat)
+    seeds = [r["doc_id"] for r in web.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    store = tempfile.mkdtemp(prefix="scrappy_entry_")
+    crawler = Crawler(
+        spark, web, store, CrawlConfig(depth=2, per_host_budget=None, max_rounds=3)
+    )
+    crawler.run(seeds)
+    return crawler.order_df().orderBy("round", "seq")
+
+
+# --------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl-operator SQL analogues (SURVEY.md §2)
+        "f3_seen_antijoin": relational.f3_seen_antijoin,
+        "f4_firstwins_dedup": relational.f4_firstwins_dedup,
+        "f13_union_distinct": relational.f13_union_distinct,
+        "f14_clean_notin": relational.f14_clean_notin,
+        "s9_recency_window": relational.s9_recency_window,
+        "a2_except": relational.a2_except,
+        "a3_prf_metrics": relational.a3_prf_metrics,
+        "a4_grouped_metrics": relational.a4_grouped_metrics,
+        "x2_minmax_normalize": relational.x2_minmax_normalize,
+        "x8_section_window": relational.x8_section_window,
+        "x9_slice_split": relational.x9_slice_split,
+        "x11_uripattern_like": relational.x11_uripattern_like,
+        "x13_range_filter": relational.x13_range_filter,
+        "s7_uri_mangle": relational.s7_uri_mangle,
+        # training-data pipeline: dedup
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_sig": dedup.minhash_signatures,
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(s, d, 0.35),
+        # similarity search
+        "sim_cosine_topk": similarity.cosine_topk,
+        "sim_ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approx)
+        # text analysis
+        "text_token_count": textstats.token_count,
+        "text_quality": textstats.quality_score,
+        "text_fingerprint": textstats.fingerprint,
+        "text_marker_langid": textstats.marker_langid,
+        "text_ngram_langid": textstats.ngram_langid,  # rows-only (hash profile)
+        # multimodal plumbing (decode stub → rows-only)
+        "mm_media_features": multimodal.media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_TOKS = DUCK_TOKENS.format(col="text")
+_SHINGLE_CTE = f"""
+WITH tokd AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({duck_shingles("toks", 3)}) AS sh
+    FROM tokd WHERE len(toks) >= 3
+  )
+)
+"""
+
+_MINHASH_AGGS = ",\n    ".join(
+    f"min({DUCK_HASH60.format(s=repr(str(i) + ':') + ' || sh')}) AS h{i}"
+    for i in range(dedup.MINHASH_K)
+)
+_SIGS_CTE = _SHINGLE_CTE + f", sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id)"
+
+_BANDS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat(h{2 * b}, '_', h{2 * b + 1}) AS bucket FROM sigs"
+    for b in range(dedup.LSH_BANDS)
+)
+
+_SIMHASH_W = ",\n    ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS w{b}" for b in range(32)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+
+_QUALITY_STOP = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
+
+_LANGID_COUNTS = ",\n    ".join(
+    "len(list_filter(toks, t -> t IN ({v}))) AS s_{k}".format(
+        v=",".join(f"'{m}'" for m in markers), k=lang
+    )
+    for lang, markers in textstats.LANG_MARKERS.items()
+)
+
+_COSINE_E = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f3_seen_antijoin": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "f4_firstwins_dedup": """
+            SELECT l_orderkey, l_partkey, l_linenumber FROM (
+              SELECT l_orderkey, l_partkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+              FROM lineitem) WHERE rn = 1
+        """,
+        "f13_union_distinct": """
+            SELECT o_custkey AS k FROM orders
+            UNION
+            SELECT c_custkey AS k FROM customer
+        """,
+        "f14_clean_notin": """
+            SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'R')
+        """,
+        "s9_recency_window": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        """,
+        "a2_except": """
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+        """,
+        "a3_prf_metrics": """
+            WITH g AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+                 e AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000),
+                 c AS (SELECT CAST(count(*) AS DOUBLE) AS rt FROM g JOIN e USING (o_orderkey)),
+                 pr AS (SELECT rt / (SELECT count(*) FROM e) AS precision,
+                               rt / (SELECT count(*) FROM g) AS recall FROM c)
+            SELECT precision, recall,
+                   2 * precision * recall / (precision + recall) AS fscore
+            FROM pr
+        """,
+        "a4_grouped_metrics": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_disc
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "x2_minmax_normalize": """
+            SELECT l_orderkey, l_linenumber,
+                   round((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+                         / ((SELECT max(l_extendedprice) FROM lineitem)
+                            - (SELECT min(l_extendedprice) FROM lineitem)), 6) AS norm
+            FROM lineitem
+        """,
+        "x8_section_window": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 6) AS rolling2
+            FROM events
+        """,
+        "x9_slice_split": """
+            SELECT p_partkey, split_part(p_name, ' ', 2) AS slice_word FROM part
+        """,
+        "x11_uripattern_like": """
+            SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'PROMO%'
+        """,
+        "x13_range_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity >= 10 AND l_quantity <= 40
+              AND l_discount >= 0.02 AND l_discount <= 0.08
+              AND l_extendedprice < 40000
+        """,
+        "s7_uri_mangle": """
+            SELECT doc_id,
+                   replace(replace(replace(replace(source, '/', '-'),
+                           '.', '_'), '?', '+'), '&', '+') AS uri_key
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_sig": _SIGS_CTE + " SELECT * FROM sigs",
+        "dedup_minhash_lsh_pairs": _SIGS_CTE
+        + f""", bands AS ({_BANDS})
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+            ), h AS (
+              SELECT doc_id, {DUCK_HASH60.format(s='t')} AS h FROM tok
+            ), w AS (
+              SELECT doc_id, {_SIMHASH_W} FROM h GROUP BY doc_id
+            )
+            SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM w
+        """,
+        "dedup_ngram_jaccard": _SHINGLE_CTE
+        + """, sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             common AS (
+               SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
+               FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+               GROUP BY l.doc_id, r.doc_id)
+            SELECT a, b,
+                   round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.2
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH e AS ({_COSINE_E})
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_dot_product(l.v, r.v)
+                         / (sqrt(list_dot_product(l.v, l.v))
+                            * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+            FROM e l JOIN e r ON l.vec_id < r.vec_id
+            WHERE round(list_dot_product(l.v, r.v)
+                        / (sqrt(list_dot_product(l.v, l.v))
+                           * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.35
+        """,
+        "sim_cosine_topk": f"""
+            WITH e AS ({_COSINE_E}),
+            q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id < 5),
+            s AS (
+              SELECT q, vec_id,
+                     round(list_dot_product(qv, v)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(v, v))), 6) AS cosine
+              FROM e JOIN q ON vec_id <> q)
+            SELECT q, vec_id, cosine, rk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q ORDER BY cosine DESC, vec_id) AS INT) AS rk
+              FROM s) WHERE rk <= 5
+        """,
+        "text_token_count": f"""
+            SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+        """,
+        "text_quality": f"""
+            WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+                   round(len(list_filter(toks, t -> t IN ({_QUALITY_STOP})))
+                         / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+                   round(length(text) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
+            FROM d
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "text_marker_langid": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, {_LANGID_COUNTS} FROM d)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS pred_lang
+            FROM s
+        """,
+    }

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline, native expressions only
+    (zip_with dot product inside whole-stage codegen).
+  * LSH-bucketed ANN — random-hyperplane signs with md5-derived
+    deterministic "random" planes; candidates only within matching sign
+    buckets (multi-probe over B tables). At 100 TB the bucket groupBy is
+    the only shuffle and each bucket is small; recall is tested against
+    the brute-force baseline (tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+
+
+def _cosine(lv: str, rv: str):
+    dot = F.aggregate(
+        F.zip_with(lv, rv, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (n(lv) * n(rv))
+
+
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5
+) -> DataFrame:
+    """Exact top-k neighbours for the first ``n_queries`` vec_ids.
+    Rank on (rounded score desc, vec_id) so order is fp-stable."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q"))
+        .select(
+            "q",
+            "vec_id",
+            F.round(_cosine("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q", "vec_id", "cosine", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (fixed seed → same buckets
+    on every run and every cluster size)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_sign_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, table, bucket): sign-bit bucket per hash table, computed in
+    one vectorized pandas UDF (matrix multiply per Arrow batch)."""
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("v").first()["v"])
+    planes = [
+        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        out = []
+        bits_all = [
+            ((mat @ p.T) > 0).astype(np.int64) for p in bc.value
+        ]  # each (batch, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        codes = [b @ weights for b in bits_all]  # (batch,) per table
+        for i in range(len(mat)):
+            out.append([int(c[i]) for c in codes])
+        return pd.Series(out)
+
+    return emb.select(
+        "vec_id", F.posexplode(buckets(F.col("v"))).alias("table", "bucket")
+    )
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any (table, bucket)
+    with the query; exact cosine re-rank on candidates only."""
+    emb = _emb(spark, sf_dir)
+    b = lsh_sign_buckets(spark, sf_dir, n_planes, n_tables).persist()
+    qb = b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), "table", "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id")
+        .distinct()
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(queries), "q")
+        .select("q", "vec_id", F.round(_cosine("qv", "v"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q", "vec_id", "cosine", "rk")
+    )

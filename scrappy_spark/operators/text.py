@@ -1,0 +1,44 @@
+"""Shared text primitives for the training-data operators.
+
+Everything is built on md5-derived 60-bit hashes so the DuckDB oracles can
+reproduce results bit-for-bit: Spark `conv(substr(md5(s),1,15),16,10)`
+== DuckDB `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (both engines: regex \\s+ on trimmed text)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def hash60_col(s: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB (see module doc)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def shingles_expr(tokens_sql: str, n: int = 3) -> str:
+    """Spark SQL string for shingles over a tokens-array expression."""
+    parts = ", ".join(f"__t[i+{j}]" for j in range(n))
+    return (
+        f"transform(sequence(0, size({tokens_sql}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    ).replace("__t", tokens_sql)
+
+
+# DuckDB-side equivalents (format with a column/expr name)
+DUCK_TOKENS = "string_split_regex(trim({col}), '\\s+')"
+DUCK_HASH60 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def duck_shingles(tokens_sql: str, n: int = 3) -> str:
+    """DuckDB shingles over a (1-based) tokens list expression."""
+    parts = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, len({tokens_sql}) - {n - 2}), "
+        f"i -> {parts})"
+    ).replace("__t", tokens_sql)
