@@ -1,0 +1,116 @@
+"""Spark integration of the fragment interpreter.
+
+FragmentExtractor plugs into frontier.Crawler exactly like the native
+LinkExtractor: extract(fetched) -> (triples, candidates). One Arrow-batched
+mapInPandas pass runs the interpreter per document AND computes the
+link-emission order (semantics.emit_links — the same function the oracle
+runs, so ordering parity is structural). The KB is broadcast once.
+
+Rows are emitted in a single union-typed frame (row_type 't'|'c') so the
+UDF runs once; the two outputs are filtered views over the persisted
+result.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import semantics
+from .interp import extract_document
+from .kb import Fragment
+
+COMBINED_SCHEMA = (
+    "row_type string, s string, p string, o string, is_literal boolean, "
+    "c_uri string, c_depth int, parent_seq long, emit_idx int, "
+    "src_uri string, src_seq long"
+)
+
+
+class FragmentExtractor:
+    def __init__(self, kb: tuple[Fragment, ...]):
+        self.kb = kb
+        self._cached: DataFrame | None = None
+
+    def cleanup(self) -> None:
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+
+    def extract(self, fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
+        kb = self.kb  # closure-captured; broadcast via task serialization
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows: list[tuple] = []
+                for uri, depth, seq, spans in zip(
+                    pdf["uri"], pdf["depth"], pdf["seq"], pdf["spans"]
+                ):
+                    if spans is None or len(spans) == 0:
+                        continue
+                    span_dicts = [
+                        {
+                            "kind": s["kind"],
+                            "text": s["text"],
+                            "media_ref": s["media_ref"],
+                            "offset": s["offset"],
+                        }
+                        for s in spans
+                    ]
+                    if not semantics.is_html(span_dicts):
+                        continue
+                    triples = extract_document(kb, uri, span_dicts)
+                    for s, p, o, lit in triples:
+                        rows.append(
+                            ("t", s, p, o, lit, None, None, None, None, uri, seq)
+                        )
+                    items = semantics.emit_links(uri, int(depth), triples)
+                    for idx, (c_uri, c_depth) in enumerate(items):
+                        rows.append(
+                            (
+                                "c",
+                                None,
+                                None,
+                                None,
+                                None,
+                                c_uri,
+                                c_depth,
+                                seq,
+                                idx + 1,
+                                uri,
+                                seq,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "row_type",
+                        "s",
+                        "p",
+                        "o",
+                        "is_literal",
+                        "c_uri",
+                        "c_depth",
+                        "parent_seq",
+                        "emit_idx",
+                        "src_uri",
+                        "src_seq",
+                    ],
+                )
+
+        combined = fetched.select("uri", "depth", "seq", "spans").mapInPandas(
+            run, COMBINED_SCHEMA
+        )
+        combined = combined.persist()
+        self._cached = combined
+
+        triples = combined.where(F.col("row_type") == "t").select(
+            "s", "p", "o", "is_literal", "src_uri", "src_seq"
+        )
+        candidates = combined.where(F.col("row_type") == "c").select(
+            "c_uri", "c_depth", "parent_seq", "emit_idx"
+        )
+        return triples, candidates

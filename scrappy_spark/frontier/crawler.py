@@ -63,6 +63,7 @@ class CrawlConfig:
     repartition_by_host: bool = False
     host_salt_k: int = 1  # >1 splits hot hosts across k politeness sub-queues
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
+    robots: tuple[tuple[str, str], ...] = ()  # (host, disallow_path_prefix)
 
 
 def _make_resolve_udf():
@@ -231,14 +232,36 @@ class Crawler:
             "wall_sec": time.monotonic() - t0,
         }
 
+    def _robots_filter(self, df: DataFrame, uri_col: str) -> DataFrame:
+        """Robots disallow gate: drop rows whose (host, path) matches any
+        broadcast rule — path = authority-relative part, '/' if empty.
+        A disallowed URI is never enqueued (same rule in oracle.py)."""
+        if not self.cfg.robots:
+            return df
+        rules = F.broadcast(
+            self.spark.createDataFrame(
+                list(self.cfg.robots), "r_host string, r_prefix string"
+            )
+        )
+        path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
+        path = F.when(path == "", "/").otherwise(path)
+        host = host_col(F.col(uri_col))
+        return df.join(
+            rules,
+            (host == F.col("r_host")) & path.startswith(F.col("r_prefix")),
+            "left_anti",
+        )
+
     def _bootstrap(self, seeds: list[str]) -> int:
         """Round 0: canonicalize seeds, first-wins dedup, seq by seed order
         (matches oracle seeding)."""
+        from ..oracle import robots_disallowed
+
         rows, seen = [], set()
         for s in seeds:
             uri = canonicalize(s)
             key = (uri, self.cfg.depth)
-            if key in seen:
+            if key in seen or robots_disallowed(uri, list(self.cfg.robots)):
                 continue
             seen.add(key)
             rows.append((uri, self.cfg.depth, len(rows), host_of(uri)))
@@ -283,6 +306,9 @@ class Crawler:
         ).select("uri", "depth", "seq", "spans")
 
         triples, candidates = self.extractor.extract(fetched)
+
+        # -- robots disallow gate (never enqueued; see _robots_filter)
+        candidates = self._robots_filter(candidates, "c_uri")
 
         # -- intra-round first-wins dedup (F-4): min (parent_seq, emit_idx)
         dw = Window.partitionBy("c_uri", "c_depth").orderBy("parent_seq", "emit_idx")

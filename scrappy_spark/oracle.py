@@ -37,6 +37,20 @@ class CrawlResult:
     rounds: int = 0
 
 
+def robots_disallowed(uri: str, robots: list[tuple[str, str]] | None) -> bool:
+    """Robots rule = (host, path_prefix) disallow; path = everything after
+    the authority ('/' if empty). A disallowed URI is never enqueued."""
+    if not robots:
+        return False
+    import re
+
+    m = re.match(r"^[^:]+://([^/]*)(.*)$", uri)
+    if not m:
+        return False
+    host, path = m.group(1), m.group(2) or "/"
+    return any(h == host and path.startswith(p) for h, p in robots)
+
+
 def oracle_crawl(
     docs: dict[str, list[dict]],
     seeds: list[str],
@@ -44,6 +58,7 @@ def oracle_crawl(
     per_host_budget: int | None = None,
     max_rounds: int | None = None,
     extract=semantics.link_triples,
+    robots: list[tuple[str, str]] | None = None,
 ) -> CrawlResult:
     res = CrawlResult()
     cache: dict[str, list[semantics.Triple]] = {}
@@ -53,7 +68,7 @@ def oracle_crawl(
     for s in seeds:
         uri = canonicalize(s)
         item = (uri, depth)
-        if item not in res.seen:
+        if item not in res.seen and not robots_disallowed(uri, robots):
             res.seen.add(item)
             queue.append((uri, depth, next_seq))
             next_seq += 1
@@ -74,6 +89,8 @@ def oracle_crawl(
     def push_unless_done(items: list[tuple[str, int]]) -> None:
         nonlocal next_seq
         for uri, d in items:
+            if robots_disallowed(uri, robots):
+                continue
             if (uri, d) not in res.seen:  # history ∪ pending (map_reduce.rb:40-42)
                 res.seen.add((uri, d))
                 queue.append((uri, d, next_seq))

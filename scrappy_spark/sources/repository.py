@@ -1,0 +1,96 @@
+"""RDF repository with timestamped contexts + recency reads (S-8/S-9).
+
+Reproduces the reference's Sesame-store semantics: extraction results are
+stored under context "<uri>:<epoch>" (repository.rb:25-32); an empty
+extraction stores the sentinel triple [uri, sc:extraction, sc:Empty]
+(agent.rb:187) so "fetched but empty" survives restarts; reads take the
+union of contexts for a URI within a recency window, dropping sentinels
+(agent.rb:199-212, repository.rb:6-12).
+
+Spark-first: one append-only parquet/Iceberg table partitioned by
+extraction day — the recency predicate partition-prunes, the context pair
+becomes (uri, extracted_at) columns. The clock is injectable so tests and
+resumed runs are deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SENTINEL_P = "sc:extraction"
+SENTINEL_O = "sc:Empty"
+SCHEMA = (
+    "uri string, extracted_at long, s string, p string, o string, "
+    "is_literal boolean"
+)
+
+
+class Repository:
+    def __init__(self, spark: SparkSession, path: str, window_seconds: int = 900):
+        self.spark = spark
+        self.path = path
+        self.window_seconds = window_seconds  # README.rdoc:124-126: 15 min
+
+    def store(self, uri: str, triples: DataFrame | None, extracted_at: int) -> None:
+        """Write-through (agent.rb:184-196): triples under a fresh context;
+        empty extraction -> sentinel row."""
+        if triples is None or triples.isEmpty():
+            df = self.spark.createDataFrame(
+                [(uri, extracted_at, uri, SENTINEL_P, SENTINEL_O, False)], SCHEMA
+            )
+        else:
+            df = triples.select(
+                F.lit(uri).alias("uri"),
+                F.lit(extracted_at).cast("long").alias("extracted_at"),
+                "s",
+                "p",
+                "o",
+                "is_literal",
+            )
+        df = df.withColumn("day", (F.col("extracted_at") / 86400).cast("long"))
+        df.write.mode("append").partitionBy("day").parquet(self.path)
+
+    def _table(self) -> DataFrame | None:
+        if not os.path.isdir(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def read_recent(self, uri: str, now: int) -> DataFrame | None:
+        """S-9 recency read: contexts for uri within the window, sentinel
+        rows dropped (agent.rb:199-212). Returns None on miss — the
+        caller then fetches (read-through, agent.rb:49-54)."""
+        t = self._table()
+        if t is None:
+            return None
+        recent = t.where(
+            (F.col("uri") == uri)
+            & (F.col("extracted_at") >= now - self.window_seconds)
+            & (F.col("day") >= (now - self.window_seconds) // 86400)
+        )
+        if recent.isEmpty():
+            return None
+        return recent.where(
+            ~((F.col("p") == SENTINEL_P) & (F.col("o") == SENTINEL_O))
+        ).select("s", "p", "o", "is_literal")
+
+    def stale_uris(self, watched: list[str], now: int) -> list[str]:
+        """Observe-mode gate (F-15): which watched URIs lack a recent
+        context and need a re-crawl."""
+        t = self._table()
+        if t is None:
+            return list(watched)
+        fresh = {
+            r["uri"]
+            for r in t.where(
+                F.col("uri").isin(list(watched))
+                & (F.col("extracted_at") >= now - self.window_seconds)
+                & (F.col("day") >= (now - self.window_seconds) // 86400)
+            )
+            .select("uri")
+            .distinct()
+            .collect()
+        }
+        return [u for u in watched if u not in fresh]

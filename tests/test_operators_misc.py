@@ -1,0 +1,133 @@
+"""Metrics (A-3/A-4), sinks (S-6/S-7), repository recency (S-8/S-9),
+observe mode (F-15), robots gate."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from scrappy_spark.corpus import CorpusConfig, generate_df, generate_local, seeds_for
+from scrappy_spark.frontier import Crawler, CrawlConfig
+from scrappy_spark.operators.metrics import missing_and_wrong, prf, prf_by_predicate
+from scrappy_spark.oracle import oracle_crawl, robots_disallowed
+from scrappy_spark.sources.repository import Repository
+from scrappy_spark.sources.sinks import ntriples_lines, write_per_uri_dump
+from scrappy_spark.streaming.observe import Observer
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "s string, p string, o string, is_literal boolean")
+
+
+def test_prf_kernel(spark):
+    # optimizer.rb:326-343 semantics: right/P/R/F
+    golden = _triples(spark, [("a", "p1", "x", False), ("b", "p1", "y", False), ("c", "p2", "z", False)])
+    extracted = _triples(spark, [("a", "p1", "x", False), ("b", "p1", "WRONG", False)])
+    row = prf(golden, extracted).first()
+    assert row["right"] == 1
+    assert row["precision"] == 0.5
+    assert abs(row["recall"] - 1 / 3) < 1e-12
+    miss, wrong = missing_and_wrong(golden, extracted)
+    assert miss.count() == 2 and wrong.count() == 1
+
+    by_p = {r["p"]: r for r in prf_by_predicate(golden, extracted).collect()}
+    assert by_p["p1"]["right"] == 1 and by_p["p1"]["n_golden"] == 2
+    assert by_p["p2"]["n_extracted"] == 0 and by_p["p2"]["precision"] == 1.0
+
+
+def test_prf_empty_golden_is_perfect_recall(spark):
+    golden = _triples(spark, [])
+    extracted = _triples(spark, [("a", "p", "x", False)])
+    row = prf(golden, extracted).first()
+    assert row["recall"] == 1.0 and row["precision"] == 0.0
+
+
+def test_ntriples_lines(spark):
+    t = _triples(
+        spark,
+        [
+            ("http://a", "http://p", "http://b", False),
+            ("http://a", "http://p", 'say "hi"', True),
+            ("_:b1", "http://p", "lit", True),
+        ],
+    )
+    lines = sorted(r["value"] for r in ntriples_lines(t).collect())
+    assert '<http://a> <http://p> "say \\"hi\\"" .' in lines
+    assert "<http://a> <http://p> <http://b> ." in lines
+    assert '_:b1 <http://p> "lit" .' in lines
+
+
+def test_per_uri_dump(spark, tmp_path):
+    t = spark.createDataFrame(
+        [
+            ("s1", "p", "o", False, "http://h.com/a?x=1", 0),
+            ("s2", "p", "o", False, "http://h.com/b", 1),
+        ],
+        "s string, p string, o string, is_literal boolean, src_uri string, src_seq long",
+    )
+    out = str(tmp_path / "dump")
+    write_per_uri_dump(t, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("uri_key=")}
+    # dumper.rb:7 mangle: scheme stripped, '/'->'-', '.'->'_', '?'->'+'
+    # ('=' inside the value is %-escaped by Spark's partition pathing)
+    assert "uri_key=h_com-a+x%3D1" in dirs
+    assert "uri_key=h_com-b" in dirs
+
+
+def test_repository_recency_and_sentinel(spark, tmp_path):
+    repo = Repository(spark, str(tmp_path / "repo"), window_seconds=900)
+    t = _triples(spark, [("s", "p", "o", False)])
+    repo.store("http://u1/", t, extracted_at=1000)
+    repo.store("http://u2/", None, extracted_at=1000)  # empty -> sentinel
+
+    got = repo.read_recent("http://u1/", now=1500)
+    assert got is not None and got.count() == 1
+    # sentinel context counts as "recent" but yields no triples (agent.rb:207)
+    got2 = repo.read_recent("http://u2/", now=1500)
+    assert got2 is not None and got2.count() == 0
+    # outside window -> miss (read-through would fetch)
+    assert repo.read_recent("http://u1/", now=1000 + 901) is None
+    assert repo.stale_uris(["http://u1/", "http://u3/"], now=1500) == ["http://u3/"]
+
+
+def test_observer_tick_refetches_only_stale(spark, tmp_path):
+    cfg = CorpusConfig(n_docs=60)
+    df = generate_df(spark, cfg, partitions=2).persist()
+    df.count()
+    watched = seeds_for(cfg, 2)
+    repo = Repository(spark, str(tmp_path / "repo"), window_seconds=900)
+    obs = Observer(spark, df, repo, watched, CrawlConfig(depth=0))
+
+    m1 = obs.tick(now=1000)
+    assert m1["stale"] == 2 and m1["fetched"] >= 2
+    m2 = obs.tick(now=1200)  # inside window: nothing stale
+    assert m2["stale"] == 0
+    m3 = obs.tick(now=2500)  # window expired: re-crawl
+    assert m3["stale"] == 2
+    got = repo.read_recent(watched[0], now=2600)
+    assert got is not None
+
+
+def test_robots_exact_match_vs_oracle(spark, tmp_path):
+    cfg = CorpusConfig(n_docs=120)
+    docs = generate_local(cfg)
+    df = generate_df(spark, cfg, partitions=2)
+    seeds = seeds_for(cfg, 2)
+    # disallow one hot host entirely and one path prefix elsewhere
+    robots = [("h000.example.com", "/"), ("h001.example.com", "/p4")]
+    golden = oracle_crawl(docs, seeds, depth=2, robots=robots)
+    crawler = Crawler(
+        spark,
+        df,
+        str(tmp_path / "store"),
+        CrawlConfig(depth=2, robots=tuple(robots)),
+    )
+    crawler.run(seeds)
+    order = [
+        (r["seq"], r["uri"], r["depth"])
+        for r in crawler.order_df().orderBy("round", "seq").collect()
+    ]
+    seen = {(r["uri"], r["depth"]) for r in crawler.seen_df().collect()}
+    assert order == golden.order
+    assert seen == golden.seen
+    assert not any(u.startswith("http://h000.example.com/") for u, _ in seen)
+    assert all(not robots_disallowed(u, robots) for u, _ in seen)
