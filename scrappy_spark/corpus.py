@@ -66,6 +66,10 @@ class CorpusConfig:
     dup_frac: float = 0.05
     relative_frac: float = 0.25
     max_links: int = 6
+    # document weight knobs (defaults preserve the original RNG sequence)
+    sections_max: int = 3
+    texts_per_section_max: int = 3
+    words_max: int = 8
 
 
 def _zipf_weights(cfg: CorpusConfig) -> list[float]:
@@ -133,12 +137,14 @@ def doc_record(i: int, cfg: CorpusConfig) -> dict:
         return {"doc_id": url, "spans": spans}
 
     # body: interleaved headings / text / links / media
-    n_sections = 1 + rng.randrange(3)
+    n_sections = 1 + rng.randrange(cfg.sections_max)
     link_targets: list[str] = []
     for s in range(n_sections):
         add("heading", _HEADINGS[(i + s) % len(_HEADINGS)])
-        for _ in range(1 + rng.randrange(3)):
-            words = " ".join(rng.choice(_WORDS) for _ in range(3 + rng.randrange(8)))
+        for _ in range(1 + rng.randrange(cfg.texts_per_section_max)):
+            words = " ".join(
+                rng.choice(_WORDS) for _ in range(3 + rng.randrange(cfg.words_max))
+            )
             if rng.random() < 0.3:
                 words += f" price: {rng.randrange(5, 500)}.{rng.randrange(100):02d}"
             add("text", words)

@@ -30,6 +30,40 @@ COMBINED_SCHEMA = (
 )
 
 
+def extract_triples(docs: DataFrame, kb: tuple[Fragment, ...]) -> DataFrame:
+    """Run a KB over a documents table (doc_id, spans) WITHOUT crawling —
+    the reference's 'test this extractor on these samples' path
+    (admin.rb:167-239). Single mapInPandas pass, single output, no cache:
+    the memory-lean shape for bulk re-extraction over a 100 TB table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for uri, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None or len(spans) == 0:
+                    continue
+                span_dicts = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in spans
+                ]
+                if not semantics.is_html(span_dicts):
+                    continue
+                for s, p, o, lit in extract_document(kb, uri, span_dicts):
+                    rows.append((s, p, o, lit, uri))
+            yield pd.DataFrame(
+                rows, columns=["s", "p", "o", "is_literal", "src_uri"]
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(
+        run, "s string, p string, o string, is_literal boolean, src_uri string"
+    )
+
+
 class FragmentExtractor:
     def __init__(self, kb: tuple[Fragment, ...]):
         self.kb = kb

@@ -34,7 +34,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "seen", "order", "triples")
+TABLES = ("seen", "order", "triples")
 
 
 class CrawlStore:
@@ -82,15 +82,22 @@ class CrawlStore:
     def _dir(self, table: str, rnd: int) -> str:
         return os.path.join(self.root, table, f"round={rnd}")
 
-    def write_delta(self, table: str, rnd: int, df: DataFrame) -> dict[str, Any]:
+    def write_delta(
+        self, table: str, rnd: int, df: DataFrame, max_files: int = 8
+    ) -> dict[str, Any]:
         """Write one round's delta; returns lineage (per-partition counts).
+
+        Deltas are coalesced to at most ``max_files`` files — per-round
+        deltas are small relative to the cluster, and one file per task
+        partition would drown the store in tiny files (at cluster scale
+        this is the Iceberg write.target-file-size knob).
 
         Per-partition lineage (the north rule's 'per-partition lineage +
         metrics') is read back from the written parquet footers — one file
-        per task partition — so it costs zero extra Spark jobs.
+        per write partition — so it costs zero extra Spark jobs.
         """
         path = self._dir(table, rnd)
-        df.write.mode("overwrite").parquet(path)
+        df.coalesce(max_files).write.mode("overwrite").parquet(path)
         import pyarrow.parquet as pq
 
         part_counts: dict[str, int] = {}

@@ -5,9 +5,10 @@ agent.rb:37-93) with one Spark job per round:
 
   rank/pop (politeness-budgeted, window-ranked) → salted repartition by
   host → fetch (join vs the documents table — the table plays the web) →
-  vectorized link/triple extraction → intra-round first-wins dedup (F-4) →
-  bloom-prefiltered anti-join vs seen (F-3) → deterministic seq assignment
-  → checkpoint commit (frontier / seen / order / triples + manifest).
+  vectorized link/triple extraction → robots gate → intra-round first-wins
+  dedup (F-4) → bloom-prefiltered anti-join vs seen (F-3) → deterministic
+  seq assignment → checkpoint commit (enqueued / order / triples deltas +
+  manifest).
 
 Ordering contract (SURVEY.md §3.4): with unlimited budget this reproduces
 the reference's workers=1 FIFO order *exactly* — children are ordered by
@@ -15,20 +16,25 @@ the reference's workers=1 FIFO order *exactly* — children are ordered by
 that order, which is precisely sequential push order. Tested against the
 pure-Python oracle (oracle.py) on the synthetic corpus.
 
-Scale notes (10^10-URL frontier):
+State & scale design (10^10-URL frontier):
+  * per round, only APPEND-ONLY DELTAS are written: `seen` (items first
+    enqueued this round — this doubles as the frontier add-log), `order`
+    (pops), `triples`. Nothing is ever rewritten; the live frontier is an
+    in-memory DataFrame advanced incrementally and localCheckpoint'ed to
+    break lineage. On resume the frontier is reconstructed as
+    enqueued_all ⟕(anti seq) popped_all — a pure function of committed
+    deltas, so kill-resume stays bit-identical (tested).
   * pop selection is a per-host window (shuffle on host), never a global
     sort; the global row_number for seq assignment runs only over the
-    round's *new* items (bounded by popped × avg outdegree), and can be
-    replaced by the two-level rank of SURVEY §4.2(4) when that bound is
-    too big.
-  * the seen-set anti-join is prefiltered by a broadcast bloom filter —
-    definite-misses skip the shuffle entirely (bloom.py).
+    round's *new* items (bounded by popped × avg outdegree).
+  * the seen-set anti-join is prefiltered by a broadcast bloom filter that
+    is built ONCE when the seen set crosses bloom_min_seen and then grown
+    incrementally from each round's delta — definite-misses never touch
+    the seen table; only bloom-positives anti-join it (at cluster scale
+    the seen table is bucketed by hash so that join is bucket-pruned).
   * hot hosts are salt-split (host_salt_k): repartition key is
     hash(host, pmod(xxhash64(uri), k)) so one host's queue fans out to k
     tasks, each owning budget/k (politeness preserved, skew removed).
-  * every round's state is an append-only checkpoint (checkpoint.py) —
-    kill-resume is bit-identical because each round is a pure function of
-    the previous round's committed state.
 """
 
 from __future__ import annotations
@@ -59,7 +65,7 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_bits: int = 1 << 22
     bloom_k: int = 5
-    bloom_min_seen: int = 50_000  # below this the anti-join is cheaper than a build
+    bloom_min_seen: int = 20_000  # below this the plain anti-join is cheaper
     repartition_by_host: bool = False
     host_salt_k: int = 1  # >1 splits hot hosts across k politeness sub-queues
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
@@ -73,7 +79,14 @@ def _make_resolve_udf():
 
     @F.pandas_udf("string")
     def _resolve_udf(base: pd.Series, href: pd.Series) -> pd.Series:
-        return pd.Series([resolve(b, h) for b, h in zip(base, href)])
+        return pd.Series(
+            [
+                canonicalize(h)
+                if h.startswith(("http://", "https://"))
+                else resolve(b, h)
+                for b, h in zip(base, href)
+            ]
+        )
 
     return _resolve_udf
 
@@ -100,12 +113,7 @@ class LinkExtractor:
             F.exists("spans", lambda s: s["kind"] != F.lit("media"))
         )
         links = (
-            html.select(
-                "uri",
-                "depth",
-                "seq",
-                F.explode("spans").alias("sp"),
-            )
+            html.select("uri", "depth", "seq", F.explode("spans").alias("sp"))
             .where(F.col("sp.kind") == "link")
             .select(
                 "uri",
@@ -115,17 +123,25 @@ class LinkExtractor:
                 F.col("sp.offset").alias("offset"),
             )
         )
+        # Split absolute/relative BEFORE resolving: when()/otherwise()
+        # evaluates BOTH branches over the whole batch, which would push
+        # every row through the Python UDF. Absolute hrefs (the vast
+        # majority on the web) stay fully native/codegen'd; only relative
+        # hrefs pay the Arrow round-trip for urljoin.
         is_abs = F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
         resolve_udf = _make_resolve_udf()
-        resolved = links.withColumn(
-            "target",
-            F.when(is_abs, canonicalize_col(F.col("href"))).otherwise(
-                resolve_udf(F.col("uri"), F.col("href"))
-            ),
-        ).withColumn("is_page_link", F.col("href").contains("?page="))
+        abs_links = links.where(is_abs).withColumn(
+            "target", canonicalize_col(F.col("href"))
+        )
+        rel_links = links.where(~is_abs).withColumn(
+            "target", resolve_udf(F.col("uri"), F.col("href"))
+        )
+        resolved = abs_links.unionByName(rel_links).withColumn(
+            "is_page_link", F.col("href").contains("?page=")
+        )
 
         resolved = resolved.persist()
-        self._cached = resolved  # released by cleanup() after the round's writes
+        self._cached = resolved  # released by cleanup() after round writes
 
         ref_triples = resolved.select(
             F.col("uri").alias("s"),
@@ -157,9 +173,7 @@ class LinkExtractor:
             )
             .select(
                 F.col("target").alias("c_uri"),
-                F.when(
-                    F.col("is_page"), F.greatest(F.lit(-1), F.col("depth"))
-                )
+                F.when(F.col("is_page"), F.greatest(F.lit(-1), F.col("depth")))
                 .otherwise(F.greatest(F.lit(-1), F.col("depth") - 1))
                 .alias("c_depth"),
                 F.col("seq").alias("parent_seq"),
@@ -192,6 +206,10 @@ class Crawler:
         self.store = CrawlStore(store_dir)
         self.cfg = config or CrawlConfig()
         self.extractor = extractor or LinkExtractor()
+        self._frontier: DataFrame | None = None
+        self._frontier_rows = 0
+        self._seen_rows = 0
+        self._bloom: bloom_mod.Bloom | None = None
 
     # ---------------------------------------------------------------- run
     def run(self, seeds: list[str] | None = None) -> dict:
@@ -204,23 +222,15 @@ class Crawler:
             next_seq = self._bootstrap(seeds)
             last = 0
         else:
-            next_seq = self.store.manifest(last)["next_seq"]
+            next_seq = self._restore(last)
 
         rounds_done = 0
         popped_total = 0
-        while True:
+        while self._frontier_rows > 0:
             if self.cfg.max_rounds is not None and rounds_done >= self.cfg.max_rounds:
                 break
-            m = self.store.manifest(last)
-            if m["lineage"]["frontier"]["rows"] == 0:
-                break
-            self._seen_rows = sum(
-                self.store.manifest(k)["lineage"]["seen"]["rows"]
-                for k in range(last + 1)
-            )
-            frontier = self.store.read_round(self.spark, "frontier", last)
             rnd = last + 1
-            next_seq, n_popped = self._round(rnd, frontier, next_seq)
+            next_seq, n_popped = self._round(rnd, next_seq)
             popped_total += n_popped
             last = rnd
             rounds_done += 1
@@ -231,6 +241,36 @@ class Crawler:
             "next_seq": next_seq,
             "wall_sec": time.monotonic() - t0,
         }
+
+    # ----------------------------------------------------------- plumbing
+    def _set_frontier(self, df: DataFrame, rows: int) -> None:
+        old = self._frontier
+        # localCheckpoint: break lineage so round k's plan is O(1) deep;
+        # content is reproducible from committed deltas regardless.
+        # Lazy: materializes with the next round's first action (one fewer
+        # job per round); eager would add a standalone materialization job.
+        self._frontier = df.localCheckpoint(eager=False)
+        self._frontier_rows = rows
+        if old is not None:
+            old.unpersist()
+
+    def _restore(self, last: int) -> int:
+        """Rebuild in-memory state from committed deltas (kill-resume)."""
+        m = self.store.manifest(last)
+        enq = self.store.read_all(self.spark, "seen", upto=last)
+        popped = self.store.read_all(self.spark, "order", upto=last)
+        frontier = enq.select("uri", "depth", "seq", "host")
+        if popped is not None:
+            frontier = frontier.join(popped.select("seq"), "seq", "left_anti")
+        self._set_frontier(
+            frontier.select("uri", "depth", "seq", "host"), m["frontier_rows"]
+        )
+        self._seen_rows = m["seen_rows"]
+        if self.cfg.use_bloom and self._seen_rows >= self.cfg.bloom_min_seen:
+            self._bloom = bloom_mod.build_bloom(
+                enq.select("h"), self.cfg.bloom_bits, self.cfg.bloom_k
+            )
+        return m["next_seq"]
 
     def _robots_filter(self, df: DataFrame, uri_col: str) -> DataFrame:
         """Robots disallow gate: drop rows whose (host, path) matches any
@@ -252,6 +292,11 @@ class Crawler:
             "left_anti",
         )
 
+    def _with_hash(self, items: DataFrame) -> DataFrame:
+        return items.withColumn(
+            "h", bloom_mod.seen_hash_col(F.col("uri"), F.col("depth"))
+        )
+
     def _bootstrap(self, seeds: list[str]) -> int:
         """Round 0: canonicalize seeds, first-wins dedup, seq by seed order
         (matches oracle seeding)."""
@@ -266,21 +311,46 @@ class Crawler:
             seen.add(key)
             rows.append((uri, self.cfg.depth, len(rows), host_of(uri)))
         frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        meta = {"round": 0, "next_seq": len(rows), "config": self._config_meta()}
-        meta["lineage"] = {
-            "frontier": self.store.write_delta("frontier", 0, frontier),
-            "seen": self.store.write_delta("seen", 0, self._as_seen(frontier)),
+        lineage = self.store.write_delta("seen", 0, self._with_hash(frontier))
+        meta = {
+            "round": 0,
+            "next_seq": len(rows),
+            "frontier_rows": len(rows),
+            "seen_rows": len(rows),
+            "config": self._config_meta(),
+            "lineage": {"seen": lineage},
         }
         self.store.commit(0, meta)
+        self._set_frontier(
+            self.store.read_round(self.spark, "seen", 0).select(
+                "uri", "depth", "seq", "host"
+            ),
+            len(rows),
+        )
+        self._seen_rows = len(rows)
         return len(rows)
 
-    def _as_seen(self, items: DataFrame) -> DataFrame:
-        return items.select(
-            "uri", "depth", bloom_mod.seen_hash_col(F.col("uri"), F.col("depth")).alias("h")
-        )
-
-    def _round(self, rnd: int, frontier: DataFrame, next_seq: int) -> tuple[int, int]:
+    def _update_bloom(self, delta: DataFrame, upto_round: int) -> None:
+        """Grow the accumulated bloom: full build once past the threshold,
+        then OR in each round's delta bits (one tiny job per round).
+        upto_round is passed explicitly — this runs before the round's
+        manifest commit, so last_round() would miss the newest delta."""
         cfg = self.cfg
+        if not cfg.use_bloom:
+            return
+        if self._bloom is None:
+            if self._seen_rows >= cfg.bloom_min_seen:
+                seen = self.store.read_all(self.spark, "seen", upto=upto_round)
+                self._bloom = bloom_mod.build_bloom(
+                    seen.select("h"), cfg.bloom_bits, cfg.bloom_k
+                )
+        else:
+            d = bloom_mod.build_bloom(delta.select("h"), cfg.bloom_bits, cfg.bloom_k)
+            self._bloom.bits |= d.bits
+
+    def _round(self, rnd: int, next_seq: int) -> tuple[int, int]:
+        cfg = self.cfg
+        frontier = self._frontier
         # -- pop selection: per-host budget, lowest seq first (F-2, F-11)
         if cfg.per_host_budget is not None:
             w = Window.partitionBy("host").orderBy("seq")
@@ -299,10 +369,17 @@ class Crawler:
 
         popped = popped.persist()
 
-        # -- fetch: the documents table plays the web (S-1); broadcast the
-        # popped slice so the big table never shuffles
+        # -- fetch: the documents table plays the web (S-1). Broadcast the
+        # popped slice while it is small (big table never shuffles); for
+        # huge rounds the driver-side collect a broadcast implies would
+        # serialize, so let AQE pick the strategy (on a real cluster the
+        # documents table is bucketed by doc_id and this is a co-located
+        # join with no shuffle at all).
+        pop_side = (
+            F.broadcast(popped) if self._frontier_rows <= 100_000 else popped
+        )
         fetched = self.documents.join(
-            F.broadcast(popped), self.documents.doc_id == popped.uri, "right"
+            pop_side, self.documents.doc_id == pop_side.uri, "right"
         ).select("uri", "depth", "seq", "spans")
 
         triples, candidates = self.extractor.extract(fetched)
@@ -316,69 +393,143 @@ class Crawler:
             candidates.withColumn("rk", F.row_number().over(dw))
             .where("rk = 1")
             .drop("rk")
+            .withColumn("h", bloom_mod.seen_hash_col(F.col("c_uri"), F.col("c_depth")))
         )
 
-        # -- seen-set dedup (F-3): bloom prefilter + exact anti-join
+        # -- seen-set dedup (F-3): bloom prefilter + exact anti-join.
+        # bloom only short-circuits definite misses; positives still
+        # anti-join the committed seen deltas, so results are exact.
         seen = self.store.read_all(self.spark, "seen", upto=rnd - 1)
-        cand = cand.withColumn(
-            "h", bloom_mod.seen_hash_col(F.col("c_uri"), F.col("c_depth"))
-        )
-        if cfg.use_bloom and getattr(self, "_seen_rows", 0) >= cfg.bloom_min_seen:
-            filt = bloom_mod.build_bloom(
-                seen.select(F.col("h")), cfg.bloom_bits, cfg.bloom_k
-            )
+        if self._bloom is not None:
             cand = cand.withColumn(
                 "maybe_seen",
-                bloom_mod.might_contain_col(self.spark, filt, F.col("h")),
+                bloom_mod.might_contain_col(self.spark, self._bloom, F.col("h")),
             )
             definite_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             suspects = cand.where(F.col("maybe_seen")).drop("maybe_seen")
             checked = suspects.join(
-                seen,
-                (suspects.c_uri == seen.uri) & (suspects.c_depth == seen.depth),
+                seen.select("uri", "depth").withColumnRenamed("uri", "c_uri")
+                .withColumnRenamed("depth", "c_depth"),
+                ["c_uri", "c_depth"],
                 "left_anti",
             )
             new_items = definite_new.unionAll(checked)
         else:
             new_items = cand.join(
-                seen,
-                (cand.c_uri == seen.uri) & (cand.c_depth == seen.depth),
+                seen.select("uri", "depth").withColumnRenamed("uri", "c_uri")
+                .withColumnRenamed("depth", "c_depth"),
+                ["c_uri", "c_depth"],
                 "left_anti",
             )
 
         # -- deterministic seq assignment: push order = (parent_seq, emit_idx)
-        seq_w = Window.orderBy("parent_seq", "emit_idx")
-        enqueued = new_items.select(
-            F.col("c_uri").alias("uri"),
-            F.col("c_depth").alias("depth"),
-            (F.row_number().over(seq_w) + F.lit(next_seq - 1)).alias("seq"),
-            host_col(F.col("c_uri")).alias("host"),
-        ).persist()
+        enqueued = self._assign_seq(new_items, next_seq).persist()
 
-        new_frontier = kept.unionAll(enqueued)
-        order_delta = popped.select(
-            "seq", "uri", "depth", F.lit(rnd).alias("round")
-        )
+        order_delta = popped.select("seq", "uri", "depth", F.lit(rnd).alias("round"))
+
+        # the three delta writes are independent Spark actions — submit
+        # them concurrently; shared cached intermediates (popped, resolved,
+        # enqueued) are computed once thanks to block-level cache locking
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_order = pool.submit(self.store.write_delta, "order", rnd, order_delta)
+            f_triples = pool.submit(self.store.write_delta, "triples", rnd, triples)
+            f_seen = pool.submit(self.store.write_delta, "seen", rnd, enqueued)
+            lineage = {
+                "order": f_order.result(),
+                "triples": f_triples.result(),
+                "seen": f_seen.result(),
+            }
+        n_new = lineage["seen"]["rows"]
+        n_popped = lineage["order"]["rows"]
+        self._seen_rows += n_new
+        self._update_bloom(enqueued, upto_round=rnd)
 
         meta = {
             "round": rnd,
             "config": self._config_meta(),
-            "lineage": {
-                "order": self.store.write_delta("order", rnd, order_delta),
-                "triples": self.store.write_delta("triples", rnd, triples),
-                "seen": self.store.write_delta("seen", rnd, self._as_seen(enqueued)),
-                "frontier": self.store.write_delta("frontier", rnd, new_frontier),
-            },
+            "lineage": lineage,
+            "next_seq": next_seq + n_new,
+            "frontier_rows": self._frontier_rows - n_popped + n_new,
+            "seen_rows": self._seen_rows,
         }
-        n_new = meta["lineage"]["seen"]["rows"]
-        n_popped = meta["lineage"]["order"]["rows"]
-        meta["next_seq"] = next_seq + n_new
         self.store.commit(rnd, meta)
+
+        self._set_frontier(
+            kept.unionAll(enqueued.drop("h")),
+            meta["frontier_rows"],
+        )
         popped.unpersist()
         enqueued.unpersist()
         if hasattr(self.extractor, "cleanup"):
             self.extractor.cleanup()
-        return next_seq + n_new, n_popped
+        return meta["next_seq"], n_popped
+
+    def _assign_seq(self, new_items: DataFrame, next_seq: int) -> DataFrame:
+        """Global rank by (parent_seq, emit_idx) WITHOUT a single-partition
+        sort (SURVEY §4.2 custom #4): range-repartition on the sort key,
+        count per range, prefix-sum the offsets on the driver (tiny), then
+        rank locally within each range. The output seq mapping depends only
+        on the total order of the unique key, not on partition boundaries —
+        so it is deterministic even though range sampling isn't.
+
+        For small rounds the extra counting job costs more than it saves,
+        so below _SEQ_RANGE_THRESHOLD pops we fall back to the single
+        window (still exact, just a small sort)."""
+        projected = new_items.select(
+            F.col("c_uri").alias("uri"),
+            F.col("c_depth").alias("depth"),
+            F.col("parent_seq"),
+            F.col("emit_idx"),
+            host_col(F.col("c_uri")).alias("host"),
+            "h",
+        )
+        # upper bound on this round's pops = current frontier size
+        if self._frontier_rows < self._SEQ_RANGE_THRESHOLD:
+            w = Window.orderBy("parent_seq", "emit_idx")
+            return projected.select(
+                "uri",
+                "depth",
+                (F.row_number().over(w) + F.lit(next_seq - 1)).alias("seq"),
+                "host",
+                "h",
+            )
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        parts = projected.repartitionByRange(
+            n_parts, "parent_seq", "emit_idx"
+        ).persist()
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in parts.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offsets = {}
+        acc = next_seq
+        for pid in sorted(counts):  # range partitions are ordered by key
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
+            )
+        )
+        lw = Window.partitionBy("pid").orderBy("parent_seq", "emit_idx")
+        out = (
+            parts.withColumn("pid", F.spark_partition_id())
+            .join(off_df, "pid")
+            .select(
+                "uri",
+                "depth",
+                (F.row_number().over(lw) + F.col("off") - 1).alias("seq"),
+                "host",
+                "h",
+            )
+        )
+        return out
+
+    _SEQ_RANGE_THRESHOLD = 5_000
 
     def _config_meta(self) -> dict:
         return {
@@ -386,6 +537,7 @@ class Crawler:
             "per_host_budget": self.cfg.per_host_budget,
             "politeness_delay_ms": self.cfg.politeness_delay_ms,
             "host_salt_k": self.cfg.host_salt_k,
+            "robots": list(self.cfg.robots),
         }
 
     # ------------------------------------------------------------ readers
@@ -395,6 +547,14 @@ class Crawler:
 
     def seen_df(self) -> DataFrame:
         return self.store.read_all(self.spark, "seen")
+
+    def frontier_df(self) -> DataFrame:
+        """Current pending frontier, reconstructed from committed deltas."""
+        enq = self.seen_df().select("uri", "depth", "seq", "host")
+        popped = self.store.read_all(self.spark, "order")
+        if popped is None:
+            return enq
+        return enq.join(popped.select("seq"), "seq", "left_anti")
 
     def triples_df(self) -> DataFrame:
         df = self.store.read_all(self.spark, "triples")

@@ -71,8 +71,8 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 def lsh_sign_buckets(
     spark: SparkSession,
     sf_dir: str,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """(vec_id, table, bucket): sign-bit bucket per hash table, computed in
@@ -107,8 +107,8 @@ def ann_lsh_topk(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any (table, bucket)
     with the query; exact cosine re-rank on candidates only."""

@@ -1,0 +1,57 @@
+"""Structured-Streaming consumption of the engine's append-only state.
+
+The crawl store's tables are append-only parquet deltas (checkpoint.py) —
+exactly the shape Spark's file stream source consumes. This gives live
+crawl monitoring (rounds/s, URLs/s, per-host rates) without touching the
+crawl loop: the store IS the stream.
+
+The reference has no streaming at all (its observe loop is a sleep,
+agent.rb:140-151; SURVEY.md §2.E); this layer is the Spark-native
+capability the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def order_stream(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Streaming view of the crawl-order table (one row per pop)."""
+    return (
+        spark.readStream.schema("seq long, uri string, depth int, round int")
+        .option("basePath", f"{store_dir}/order")
+        .parquet(f"{store_dir}/order/round=*")
+    )
+
+
+def pops_per_round(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Live rounds dashboard: pops + distinct-host spread per round."""
+    return (
+        order_stream(spark, store_dir)
+        .withColumn("host", F.regexp_extract("uri", r"^[^:]+://([^/?#:]*)", 1))
+        .groupBy("round")
+        .agg(
+            F.count(F.lit(1)).alias("pops"),
+            F.approx_count_distinct("host").alias("hosts"),
+        )
+    )
+
+
+def windowed_fetch_rate(
+    fetch_events: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Watermarked fetch-rate over an event-time stream
+    (fetched_at timestamp, uri string): late events beyond the watermark
+    are dropped, state is bounded — the standard streaming-agg shape for
+    live politeness auditing on a real crawler."""
+    return (
+        fetch_events.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window))
+        .agg(F.count(F.lit(1)).alias("fetches"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "fetches",
+        )
+    )

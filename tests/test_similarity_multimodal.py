@@ -1,0 +1,73 @@
+"""ANN recall vs brute force, multimodal plumbing, text formats."""
+
+import pytest
+
+from scrappy_spark.extractor import formats
+from scrappy_spark.operators import multimodal, similarity, textstats
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r["q"], r["vec_id"])
+        for r in similarity.cosine_topk(spark, sf_dir, k=5).collect()
+    }
+    approx = {
+        (r["q"], r["vec_id"])
+        for r in similarity.ann_lsh_topk(spark, sf_dir, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
+
+
+def test_media_features_schema_and_determinism(spark, sf_dir):
+    a = multimodal.media_features(spark, sf_dir).orderBy("doc_id").collect()
+    b = multimodal.media_features(spark, sf_dir).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
+    kinds = {r["kind"] for r in a}
+    assert kinds <= {"image", "audio", "video"}
+    for r in a:
+        if r["kind"] == "audio":
+            assert r["width"] == 0
+        else:
+            assert r["width"] >= 16
+
+
+def test_decode_stub_rejects_unknown_kind():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_stub(b"x", "hologram")
+
+
+def test_feature_vectors_normalized(spark, sf_dir):
+    import math
+
+    df = multimodal.extract_features(multimodal.synth_media(spark, sf_dir))
+    row = df.select("feature").first()
+    norm = math.sqrt(sum(x * x for x in row["feature"]))
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_ngram_langid_runs_and_is_deterministic(spark, sf_dir):
+    a = textstats.ngram_langid(spark, sf_dir).orderBy("doc_id").collect()
+    b = textstats.ngram_langid(spark, sf_dir).orderBy("doc_id").collect()
+    assert a == b
+    assert all(r["pred_lang"] in ("en", "de", "fr", "es", "und") for r in a)
+
+
+SPANS = [
+    {"kind": "heading", "text": "Intro", "media_ref": "", "offset": 0},
+    {"kind": "text", "text": "hello", "media_ref": "", "offset": 1},
+    {"kind": "link", "text": "go", "media_ref": "http://x/", "offset": 2},
+    {"kind": "media", "text": "", "media_ref": "http://img/1.png", "offset": 3},
+]
+
+
+def test_formats():
+    # formats.rb:6-40 analogs over span sequences
+    assert formats.render_plain(SPANS) == "Intro hello go"
+    wiki = formats.render_wiki(SPANS)
+    assert "= Intro =" in wiki and "[http://x/ go]" in wiki and "File:" in wiki
+    html = formats.render_html(SPANS)
+    assert html.startswith("<h1>Intro</h1>") and '<a href="http://x/">' in html
+    assert formats.wikify("hello  world") == "HelloWorld"
+    assert formats.underscore("Hello World") == "hello_world"
+    assert formats.clean("a  b\n c") == "a b c"
