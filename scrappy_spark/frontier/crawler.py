@@ -70,6 +70,7 @@ class CrawlConfig:
     host_salt_k: int = 1  # >1 splits hot hosts across k politeness sub-queues
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
     robots: tuple[tuple[str, str], ...] = ()  # (host, disallow_path_prefix)
+    redirects: tuple[tuple[str, str], ...] = ()  # (requested_uri, final_uri), F-16
 
 
 def _make_resolve_udf():
@@ -375,8 +376,29 @@ class Crawler:
         # serialize, so let AQE pick the strategy (on a real cluster the
         # documents table is bucketed by doc_id and this is a co-located
         # join with no shuffle at all).
+        # redirect accounting (F-16, agent.rb:61): the fetch lands on the
+        # final URI; extraction and link emission run under it (the order
+        # log keeps the REQUESTED uri). Extraction is pure, so re-deriving
+        # a redirected target equals the reference's double-keyed cache.
+        if cfg.redirects:
+            redir = F.broadcast(
+                self.spark.createDataFrame(
+                    list(cfg.redirects), "r_from string, r_to string"
+                )
+            )
+            to_fetch = (
+                popped.join(redir, popped.uri == F.col("r_from"), "left")
+                .select(
+                    F.coalesce(F.col("r_to"), F.col("uri")).alias("uri"),
+                    "depth",
+                    "seq",
+                )
+            )
+        else:
+            to_fetch = popped
+
         pop_side = (
-            F.broadcast(popped) if self._frontier_rows <= 100_000 else popped
+            F.broadcast(to_fetch) if self._frontier_rows <= 100_000 else to_fetch
         )
         fetched = self.documents.join(
             pop_side, self.documents.doc_id == pop_side.uri, "right"

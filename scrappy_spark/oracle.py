@@ -59,9 +59,11 @@ def oracle_crawl(
     max_rounds: int | None = None,
     extract=semantics.link_triples,
     robots: list[tuple[str, str]] | None = None,
+    redirects: dict[str, str] | None = None,
 ) -> CrawlResult:
     res = CrawlResult()
     cache: dict[str, list[semantics.Triple]] = {}
+    redirects = redirects or {}
 
     queue: deque[tuple[str, int, int]] = deque()  # (uri, depth, seq)
     next_seq = 0
@@ -74,17 +76,24 @@ def oracle_crawl(
             next_seq += 1
 
     def process(uri: str, d: int, seq: int) -> list[tuple[str, int]]:
+        """One pop: fetch (following a redirect, F-16 agent.rb:61 — the
+        result is cached under BOTH the requested and the final URI) →
+        extract under the FINAL URI → emit links."""
         nonlocal next_seq
         res.order.append((seq, uri, d))
+        final = redirects.get(uri, uri)
         if uri in cache:
-            triples = cache[uri]
+            final, triples = cache[uri]
+        elif final in cache:
+            triples = cache[final][1]
+            cache[uri] = (final, triples)
         else:
-            res.fetches[uri] = res.fetches.get(uri, 0) + 1
-            spans = docs.get(uri)
-            triples = extract(uri, spans) if spans is not None else []
-            cache[uri] = triples
+            res.fetches[final] = res.fetches.get(final, 0) + 1
+            spans = docs.get(final)
+            triples = extract(final, spans) if spans is not None else []
+            cache[uri] = cache[final] = (final, triples)
         res.triples.update(semantics.clean(triples))
-        return semantics.emit_links(uri, d, triples)
+        return semantics.emit_links(final, d, triples)
 
     def push_unless_done(items: list[tuple[str, int]]) -> None:
         nonlocal next_seq

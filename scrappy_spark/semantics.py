@@ -62,7 +62,12 @@ def emit_links(url: str, depth: int, triples: list[Triple]) -> list[tuple[str, i
     pages: list[str] = []
     nofollow: set[str] = set()
     for s, p, o, lit in triples:
-        if p == RDF_TYPE and o == SC_PAGE and s not in pages:
+        if (
+            p == RDF_TYPE
+            and o == SC_PAGE
+            and s.startswith(("http://", "https://"))
+            and s not in pages
+        ):
             pages.append(s)
         if p == RDF_TYPE and o == SC_NEWURI:
             nofollow.add(s)
