@@ -218,10 +218,23 @@ def _scale_crawl_bench(spark, cpus: int) -> dict:
 def _scale_worker(cpus: int, n_docs: int) -> None:
     # extraction first: it is the clean CPU-scaling signal and must not
     # inherit the crawl bench's JVM heap churn
+    load0 = os.getloadavg()[0]
     spark = _session(cpus)
     docs_s = _extract_bench(spark, 400_000)
     crawl = _scale_crawl_bench(spark, cpus)
-    print(json.dumps({**crawl, "extract_docs_per_sec": docs_s}))
+    print(
+        json.dumps(
+            {
+                **crawl,
+                "extract_docs_per_sec": docs_s,
+                # host-wide 1-min load before/after: the sandbox host is
+                # shared, so samples taken under foreign load understate
+                # the 32-thread configuration (see BASELINE.md)
+                "loadavg_before": round(load0, 1),
+                "loadavg_after": round(os.getloadavg()[0], 1),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -71,6 +71,11 @@ class CrawlConfig:
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
     robots: tuple[tuple[str, str], ...] = ()  # (host, disallow_path_prefix)
     redirects: tuple[tuple[str, str], ...] = ()  # (requested_uri, final_uri), F-16
+    # priority queue (north rule: window-ranked SQL over frontier
+    # snapshots). A SQL expression evaluated over the frontier columns
+    # (uri, depth, seq, host); pops rank by (priority ASC, seq ASC).
+    # None = pure FIFO (reference-equivalence mode, priority == seq).
+    priority_expr: str | None = None
 
 
 def _make_resolve_udf():
@@ -352,13 +357,22 @@ class Crawler:
     def _round(self, rnd: int, next_seq: int) -> tuple[int, int]:
         cfg = self.cfg
         frontier = self._frontier
-        # -- pop selection: per-host budget, lowest seq first (F-2, F-11)
+        # -- pop selection (F-2, F-11): window-ranked priority queue.
+        # Rank key = (priority_expr, seq); per-host partitioning caps each
+        # host at the politeness budget. FIFO = no priority, no budget.
+        order_cols = (
+            [F.expr(cfg.priority_expr).asc(), F.col("seq").asc()]
+            if cfg.priority_expr
+            else [F.col("seq").asc()]
+        )
         if cfg.per_host_budget is not None:
-            w = Window.partitionBy("host").orderBy("seq")
+            w = Window.partitionBy("host").orderBy(*order_cols)
             ranked = frontier.withColumn("rk", F.row_number().over(w))
             popped = ranked.where(F.col("rk") <= cfg.per_host_budget).drop("rk")
             kept = ranked.where(F.col("rk") > cfg.per_host_budget).drop("rk")
         else:
+            # budgetless: the whole snapshot pops this round, so priority
+            # has no selection effect (it matters only under a budget)
             popped = frontier
             kept = frontier.limit(0)
 
