@@ -75,16 +75,17 @@ def build_bloom(hashes: DataFrame, n_bits: int = 1 << 22, k: int = 5) -> Bloom:
     return Bloom(bits, n_bits, k)
 
 
-def might_contain_col(spark: SparkSession, bloom: Bloom, hash_col: Column) -> Column:
-    """Vectorized membership test as a pandas UDF over the hash column."""
-    b = spark.sparkContext.broadcast((bloom.bits, bloom.n_bits, bloom.k))
+def might_contain_col(spark: SparkSession, filt, hash_col: Column) -> Column:
+    """Vectorized membership test as a pandas UDF over the hash column.
+    Works for any broadcastable filter exposing
+    ``might_contain(np.ndarray[uint64]) -> np.ndarray[bool]`` —
+    Bloom here and frontier.cuckoo.CuckooFilter."""
+    b = spark.sparkContext.broadcast(filt)
 
     @F.pandas_udf("boolean")
     def _test(h: pd.Series) -> pd.Series:
-        bits, n_bits, k = b.value
-        filt = Bloom(np.frombuffer(bits, dtype=np.uint8), n_bits, k)
         hv = h.to_numpy(dtype=np.int64).view(np.uint64)
-        return pd.Series(filt.might_contain(hv))
+        return pd.Series(b.value.might_contain(hv))
 
     return _test(hash_col)
 

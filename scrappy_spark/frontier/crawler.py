@@ -63,9 +63,12 @@ class CrawlConfig:
     per_host_budget: int | None = None  # None = pop whole frontier (reference mode)
     max_rounds: int | None = None
     use_bloom: bool = True
+    seen_filter: str = "bloom"  # 'bloom' | 'cuckoo' (deletable — observe-mode
+    # recency expiry can REMOVE entries; a bloom can only grow, cuckoo.py)
     bloom_bits: int = 1 << 22
     bloom_k: int = 5
     bloom_min_seen: int = 20_000  # below this the plain anti-join is cheaper
+    cuckoo_buckets: int = 1 << 16  # 4 slots each
     repartition_by_host: bool = False
     host_salt_k: int = 1  # >1 splits hot hosts across k politeness sub-queues
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
@@ -273,9 +276,9 @@ class Crawler:
         )
         self._seen_rows = m["seen_rows"]
         if self.cfg.use_bloom and self._seen_rows >= self.cfg.bloom_min_seen:
-            self._bloom = bloom_mod.build_bloom(
-                enq.select("h"), self.cfg.bloom_bits, self.cfg.bloom_k
-            )
+            # _bloom is None here, so this takes the full-build branch for
+            # whichever filter kind is configured
+            self._update_bloom(enq, upto_round=last)
         return m["next_seq"]
 
     def _robots_filter(self, df: DataFrame, uri_col: str) -> DataFrame:
@@ -337,12 +340,32 @@ class Crawler:
         return len(rows)
 
     def _update_bloom(self, delta: DataFrame, upto_round: int) -> None:
-        """Grow the accumulated bloom: full build once past the threshold,
-        then OR in each round's delta bits (one tiny job per round).
+        """Grow the accumulated seen filter: full build once past the
+        threshold, then per-round delta updates (one tiny job / collect).
         upto_round is passed explicitly — this runs before the round's
         manifest commit, so last_round() would miss the newest delta."""
         cfg = self.cfg
         if not cfg.use_bloom:
+            return
+        if cfg.seen_filter == "cuckoo":
+            import numpy as np
+
+            from .cuckoo import CuckooFilter
+
+            if self._bloom is None:
+                if self._seen_rows >= cfg.bloom_min_seen:
+                    seen = self.store.read_all(self.spark, "seen", upto=upto_round)
+                    src = seen
+                else:
+                    return
+            else:
+                src = delta
+            hashes = np.array(
+                [r["h"] for r in src.select("h").collect()], dtype=np.int64
+            ).view(np.uint64)
+            filt = self._bloom or CuckooFilter(cfg.cuckoo_buckets)
+            filt.insert_many(hashes)
+            self._bloom = filt
             return
         if self._bloom is None:
             if self._seen_rows >= cfg.bloom_min_seen:

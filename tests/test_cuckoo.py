@@ -1,0 +1,74 @@
+"""Cuckoo seen-filter: no false negatives, deletion, saturation safety,
+and exact crawl parity when used as the prefilter."""
+
+import numpy as np
+import pytest
+
+from scrappy_spark.corpus import CorpusConfig, generate_df, generate_local, seeds_for
+from scrappy_spark.frontier import Crawler, CrawlConfig
+from scrappy_spark.frontier.cuckoo import CuckooFilter
+from scrappy_spark.oracle import oracle_crawl
+
+
+def _hashes(n, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 2**63, size=n, dtype=np.int64).view(np.uint64)
+
+
+def test_no_false_negatives_and_fpp():
+    f = CuckooFilter(n_buckets=1 << 12)  # capacity ~16k
+    ins = _hashes(8000)
+    assert f.insert_many(ins) == 8000 and not f.saturated
+    assert f.might_contain(ins).all()  # zero false negatives
+    other = _hashes(8000, seed=99)
+    fpp = f.might_contain(other).mean()
+    assert fpp < 0.05, fpp
+
+
+def test_delete_restores_negatives():
+    f = CuckooFilter(n_buckets=1 << 10)
+    h = _hashes(1000)
+    f.insert_many(h)
+    assert f.might_contain(h[:100]).all()
+    removed = f.delete_many(h[:100])
+    assert removed == 100
+    # deleted items may still collide with survivors' fingerprints, but
+    # the bulk must now test negative
+    assert f.might_contain(h[:100]).mean() < 0.2
+    # survivors untouched — still zero false negatives
+    assert f.might_contain(h[100:]).all()
+
+
+def test_saturation_degrades_safely():
+    f = CuckooFilter(n_buckets=1 << 4)  # tiny: 64 slots
+    h = _hashes(500)
+    f.insert_many(h)
+    if f.saturated:
+        # saturated filter returns all-True: prefilter disabled, anti-join
+        # still exact — never a false negative
+        assert f.might_contain(_hashes(100, seed=3)).all()
+    assert f.might_contain(h[: f.count]).all()
+
+
+def test_cuckoo_crawl_exact_match(spark, tmp_path):
+    cfg = CorpusConfig(n_docs=200)
+    docs = generate_local(cfg)
+    df = generate_df(spark, cfg, partitions=2)
+    seeds = seeds_for(cfg, 2)
+    golden = oracle_crawl(docs, seeds, depth=2)
+    crawler = Crawler(
+        spark,
+        df,
+        str(tmp_path / "store"),
+        CrawlConfig(depth=2, seen_filter="cuckoo", bloom_min_seen=0),
+    )
+    crawler.run(seeds)
+    order = [
+        (r["seq"], r["uri"], r["depth"])
+        for r in crawler.order_df().orderBy("round", "seq").collect()
+    ]
+    seen = {(r["uri"], r["depth"]) for r in crawler.seen_df().collect()}
+    assert order == golden.order
+    assert seen == golden.seen
+    # the cuckoo was actually engaged
+    assert crawler._bloom is not None and crawler._bloom.count > 0
