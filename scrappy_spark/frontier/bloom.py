@@ -37,6 +37,9 @@ def _probe_positions(h: np.ndarray, n_bits: int, k: int) -> Iterator[np.ndarray]
         yield ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
 
 
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 class Bloom:
     def __init__(self, bits: np.ndarray, n_bits: int, k: int):
         self.bits = bits  # uint8 bitmap, n_bits/8 bytes
@@ -49,6 +52,32 @@ class Bloom:
             bit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
             out &= bit.astype(bool)
         return out
+
+    def fill_ratio(self) -> float:
+        """Fraction of set bits — the saturation gauge."""
+        return float(_POPCOUNT[self.bits].sum()) / self.n_bits
+
+    def est_fpp(self) -> float:
+        """Measured false-positive probability: fill^k (exact for the
+        realized bitmap, no independence assumption on n needed)."""
+        return self.fill_ratio() ** self.k
+
+
+def auto_bits(n: int, k: int) -> int:
+    """Power-of-two bit count sized so FPP ≈ 2^-k at ``n`` entries
+    (m = n·k/ln2, the textbook optimum for a fixed k)."""
+    import math
+
+    target = max(n, 1) * k / math.log(2)
+    return 1 << max(14, math.ceil(math.log2(target)))
+
+
+def design_capacity(n_bits: int, k: int) -> int:
+    """Entry count a bitmap of ``n_bits`` supports at FPP ≈ 2^-k —
+    past this the filter should be rebuilt larger (a bloom cannot grow)."""
+    import math
+
+    return int(n_bits * math.log(2) / k)
 
 
 def build_bloom(hashes: DataFrame, n_bits: int = 1 << 22, k: int = 5) -> Bloom:
@@ -75,19 +104,32 @@ def build_bloom(hashes: DataFrame, n_bits: int = 1 << 22, k: int = 5) -> Bloom:
     return Bloom(bits, n_bits, k)
 
 
-def might_contain_col(spark: SparkSession, filt, hash_col: Column) -> Column:
-    """Vectorized membership test as a pandas UDF over the hash column.
-    Works for any broadcastable filter exposing
+def broadcast_filter(spark: SparkSession, filt):
+    """Broadcast a seen filter once per generation; the caller owns the
+    handle and must ``destroy()`` it when the filter is superseded (a
+    fresh broadcast per round with no destroy accumulates on executors)."""
+    return spark.sparkContext.broadcast(filt)
+
+
+def might_contain_bc(bc, hash_col: Column) -> Column:
+    """Vectorized membership test over an EXISTING filter broadcast.
+    Works for any filter exposing
     ``might_contain(np.ndarray[uint64]) -> np.ndarray[bool]`` —
-    Bloom here and frontier.cuckoo.CuckooFilter."""
-    b = spark.sparkContext.broadcast(filt)
+    Bloom here, frontier.cuckoo.CuckooFilter / ShardedCuckoo."""
 
     @F.pandas_udf("boolean")
     def _test(h: pd.Series) -> pd.Series:
         hv = h.to_numpy(dtype=np.int64).view(np.uint64)
-        return pd.Series(b.value.might_contain(hv))
+        return pd.Series(bc.value.might_contain(hv))
 
     return _test(hash_col)
+
+
+def might_contain_col(spark: SparkSession, filt, hash_col: Column) -> Column:
+    """One-shot convenience wrapper (tests): broadcast + test. Long-lived
+    callers (the crawler round loop) use broadcast_filter/might_contain_bc
+    so the broadcast lifecycle is explicit."""
+    return might_contain_bc(broadcast_filter(spark, filt), hash_col)
 
 
 def seen_hash_col(uri: Column, depth: Column) -> Column:

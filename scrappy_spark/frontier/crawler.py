@@ -27,11 +27,19 @@ State & scale design (10^10-URL frontier):
   * pop selection is a per-host window (shuffle on host), never a global
     sort; the global row_number for seq assignment runs only over the
     round's *new* items (bounded by popped × avg outdegree).
-  * the seen-set anti-join is prefiltered by a broadcast bloom filter that
-    is built ONCE when the seen set crosses bloom_min_seen and then grown
-    incrementally from each round's delta — definite-misses never touch
-    the seen table; only bloom-positives anti-join it (at cluster scale
-    the seen table is bucketed by hash so that join is bucket-pruned).
+  * the seen-set anti-join is prefiltered by a broadcast bloom filter
+    (auto-sized from the seen count and REBUILT larger when the seen set
+    outgrows its design capacity — a fixed-size bloom silently degenerates
+    to FPP≈1) or a sharded cuckoo filter (deletable; built distributively,
+    never collecting raw hashes). Definite-misses never touch the seen
+    table; only filter-positives take the exact membership check.
+  * the seen store itself is bucketed + compacted (checkpoint.py): deltas
+    fold into a base snapshot partitioned by pmod(h, B) every
+    compact_every rounds, and the dedup join is CHAINED — candidates
+    anti-join the (small, broadcast) tail deltas first, then the compacted
+    base, which is held persisted and hash-partitioned on the join key so
+    it is neither re-read from storage nor re-shuffled each round. The
+    per-round seen cost is O(tail), flat in the number of rounds.
   * hot hosts are salt-split (host_salt_k): repartition key is
     hash(host, pmod(xxhash64(uri), k)) so one host's queue fans out to k
     tasks, each owning budget/k (politeness preserved, skew removed).
@@ -65,10 +73,19 @@ class CrawlConfig:
     use_bloom: bool = True
     seen_filter: str = "bloom"  # 'bloom' | 'cuckoo' (deletable — observe-mode
     # recency expiry can REMOVE entries; a bloom can only grow, cuckoo.py)
-    bloom_bits: int = 1 << 22
+    bloom_bits: int | None = None  # None = auto-size from seen_rows at build
+    # (m = n·growth·k/ln2, FPP ≈ 2^-k) and rebuild when seen_rows crosses
+    # the design capacity; an explicit value pins the size (no rebuilds)
     bloom_k: int = 5
     bloom_min_seen: int = 20_000  # below this the plain anti-join is cheaper
-    cuckoo_buckets: int = 1 << 16  # 4 slots each
+    bloom_growth: float = 4.0  # headroom factor for auto-sized (re)builds
+    cuckoo_buckets: int = 1 << 16  # total, across shards; 4 slots each
+    cuckoo_shards: int = 16  # distributed-build shards (power of two)
+    compact_every: int = 8  # fold seen deltas into the bucketed base every K
+    # rounds (checkpoint.compact_seen); tail deltas between compactions are
+    # the only per-round seen read
+    seen_buckets: int = 64  # hash buckets of the compacted base (pmod(h, B))
+    tail_broadcast_rows: int = 400_000  # tail anti-join broadcasts below this
     repartition_by_host: bool = False
     host_salt_k: int = 1  # >1 splits hot hosts across k politeness sub-queues
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
@@ -212,13 +229,20 @@ class Crawler:
     ):
         self.spark = spark
         self.documents = documents
-        self.store = CrawlStore(store_dir)
         self.cfg = config or CrawlConfig()
+        self.store = CrawlStore(store_dir, seen_buckets=self.cfg.seen_buckets)
         self.extractor = extractor or LinkExtractor()
         self._frontier: DataFrame | None = None
         self._frontier_rows = 0
         self._seen_rows = 0
-        self._bloom: bloom_mod.Bloom | None = None
+        self._base_rows = 0  # rows already folded into the compacted base
+        self._bloom = None  # Bloom | ShardedCuckoo
+        self._bloom_capacity = 0  # rebuild trigger for auto-sized blooms
+        self._filter_bc = None  # broadcast handle (refreshed per generation)
+        self._retired_bcs: list = []  # superseded broadcasts, destroyed
+        # once the round that still references them has checkpointed
+        self._seen_base_cache: DataFrame | None = None  # join-side base
+        self._seen_base_upto = -2  # base round the cache was built from
 
     # ---------------------------------------------------------------- run
     def run(self, seeds: list[str] | None = None) -> dict:
@@ -244,6 +268,18 @@ class Crawler:
             last = rnd
             rounds_done += 1
 
+        # release executor-side state: a finished crawl must not leak
+        # broadcasts / cached blocks into the session (one session runs
+        # many crawls in tests and observe mode). The driver-side filter
+        # object (_bloom) stays for introspection; a re-run re-broadcasts.
+        if self._filter_bc is not None:
+            self._filter_bc.destroy()
+            self._filter_bc = None
+        if self._seen_base_cache is not None:
+            self._seen_base_cache.unpersist()
+            self._seen_base_cache = None
+            self._seen_base_upto = -2
+
         return {
             "rounds": last,
             "popped": popped_total,
@@ -256,9 +292,12 @@ class Crawler:
         old = self._frontier
         # localCheckpoint: break lineage so round k's plan is O(1) deep;
         # content is reproducible from committed deltas regardless.
-        # Lazy: materializes with the next round's first action (one fewer
-        # job per round); eager would add a standalone materialization job.
-        self._frontier = df.localCheckpoint(eager=False)
+        # EAGER: the inputs (popped/enqueued caches, the extractor cache)
+        # are unpersisted right after this call — a lazy checkpoint would
+        # re-execute the whole round pipeline at the next round's first
+        # action, and on a cluster could re-derive range-partitioned seqs
+        # from re-sampled boundaries after the offset map went stale.
+        self._frontier = df.localCheckpoint(eager=True)
         self._frontier_rows = rows
         if old is not None:
             old.unpersist()
@@ -266,7 +305,7 @@ class Crawler:
     def _restore(self, last: int) -> int:
         """Rebuild in-memory state from committed deltas (kill-resume)."""
         m = self.store.manifest(last)
-        enq = self.store.read_all(self.spark, "seen", upto=last)
+        enq = self.store.read_seen(self.spark, upto=last)
         popped = self.store.read_all(self.spark, "order", upto=last)
         frontier = enq.select("uri", "depth", "seq", "host")
         if popped is not None:
@@ -275,6 +314,10 @@ class Crawler:
             frontier.select("uri", "depth", "seq", "host"), m["frontier_rows"]
         )
         self._seen_rows = m["seen_rows"]
+        base = self.store.seen_base()
+        self._base_rows = (
+            self.store.manifest(base["upto"])["seen_rows"] if base else 0
+        )
         if self.cfg.use_bloom and self._seen_rows >= self.cfg.bloom_min_seen:
             # _bloom is None here, so this takes the full-build branch for
             # whichever filter kind is configured
@@ -282,9 +325,12 @@ class Crawler:
         return m["next_seq"]
 
     def _robots_filter(self, df: DataFrame, uri_col: str) -> DataFrame:
-        """Robots disallow gate: drop rows whose (host, path) matches any
-        broadcast rule — path = authority-relative part, '/' if empty.
-        A disallowed URI is never enqueued (same rule in oracle.py)."""
+        """Robots disallow gate: drop rows whose (authority, path) matches
+        any broadcast rule — authority = full host[:port] (the reference
+        keys robots state on the full authority, fragment.rb; a URI on an
+        explicit non-default port is a DIFFERENT authority), path =
+        authority-relative part, '/' if empty. Same spec as
+        oracle.robots_disallowed; never enqueued when disallowed."""
         if not self.cfg.robots:
             return df
         rules = F.broadcast(
@@ -294,10 +340,10 @@ class Crawler:
         )
         path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
         path = F.when(path == "", "/").otherwise(path)
-        host = host_col(F.col(uri_col))
+        authority = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
         return df.join(
             rules,
-            (host == F.col("r_host")) & path.startswith(F.col("r_prefix")),
+            (authority == F.col("r_host")) & path.startswith(F.col("r_prefix")),
             "left_anti",
         )
 
@@ -340,42 +386,92 @@ class Crawler:
         return len(rows)
 
     def _update_bloom(self, delta: DataFrame, upto_round: int) -> None:
-        """Grow the accumulated seen filter: full build once past the
-        threshold, then per-round delta updates (one tiny job / collect).
+        """Grow the accumulated seen filter. Full builds AND delta updates
+        run as distributed jobs (mapInPandas partition-merge) — raw seen
+        hashes are never collected to the driver; only compact bitmaps /
+        fingerprint tables travel. An auto-sized bloom is rebuilt larger
+        when seen_rows crosses its design capacity (a fixed bloom's FPP
+        silently walks to 1 right when the prefilter matters most).
         upto_round is passed explicitly — this runs before the round's
         manifest commit, so last_round() would miss the newest delta."""
         cfg = self.cfg
         if not cfg.use_bloom:
             return
+        changed = False
         if cfg.seen_filter == "cuckoo":
-            import numpy as np
+            from .cuckoo import build_sharded
 
-            from .cuckoo import CuckooFilter
-
+            per_shard = max(64, cfg.cuckoo_buckets // cfg.cuckoo_shards)
             if self._bloom is None:
                 if self._seen_rows >= cfg.bloom_min_seen:
-                    seen = self.store.read_all(self.spark, "seen", upto=upto_round)
-                    src = seen
-                else:
-                    return
+                    seen = self.store.read_seen(self.spark, upto=upto_round)
+                    self._bloom = build_sharded(
+                        seen.select("h"), cfg.cuckoo_shards, per_shard
+                    )
+                    changed = True
             else:
-                src = delta
-            hashes = np.array(
-                [r["h"] for r in src.select("h").collect()], dtype=np.int64
-            ).view(np.uint64)
-            filt = self._bloom or CuckooFilter(cfg.cuckoo_buckets)
-            filt.insert_many(hashes)
-            self._bloom = filt
-            return
-        if self._bloom is None:
-            if self._seen_rows >= cfg.bloom_min_seen:
-                seen = self.store.read_all(self.spark, "seen", upto=upto_round)
-                self._bloom = bloom_mod.build_bloom(
-                    seen.select("h"), cfg.bloom_bits, cfg.bloom_k
-                )
+                d = build_sharded(delta.select("h"), cfg.cuckoo_shards, per_shard)
+                self._bloom.merge(d)
+                changed = True
         else:
-            d = bloom_mod.build_bloom(delta.select("h"), cfg.bloom_bits, cfg.bloom_k)
-            self._bloom.bits |= d.bits
+            overflow = (
+                self._bloom is not None
+                and cfg.bloom_bits is None
+                and self._seen_rows > self._bloom_capacity
+            )
+            if self._bloom is None or overflow:
+                if self._seen_rows >= cfg.bloom_min_seen:
+                    n_bits = cfg.bloom_bits or bloom_mod.auto_bits(
+                        int(self._seen_rows * cfg.bloom_growth), cfg.bloom_k
+                    )
+                    seen = self.store.read_seen(self.spark, upto=upto_round)
+                    self._bloom = bloom_mod.build_bloom(
+                        seen.select("h"), n_bits, cfg.bloom_k
+                    )
+                    self._bloom_capacity = bloom_mod.design_capacity(
+                        n_bits, cfg.bloom_k
+                    )
+                    changed = True
+            else:
+                d = bloom_mod.build_bloom(
+                    delta.select("h"), self._bloom.n_bits, self._bloom.k
+                )
+                self._bloom.bits |= d.bits
+                changed = True
+        if changed:
+            # one broadcast per filter generation; the superseded one is
+            # RETIRED here and destroyed at end-of-round — this round's
+            # plans (incl. the frontier checkpoint) still reference it, and
+            # destroying a broadcast a live plan references is an error
+            if self._filter_bc is not None:
+                self._retired_bcs.append(self._filter_bc)
+            self._filter_bc = bloom_mod.broadcast_filter(self.spark, self._bloom)
+
+    def _filter_meta(self) -> dict | None:
+        """Filter health for the round manifest (north rule: per-round
+        metrics; VERDICT r1 #3: record measured FPP)."""
+        f = self._bloom
+        if f is None:
+            return None
+        if isinstance(f, bloom_mod.Bloom):
+            return {
+                "kind": "bloom",
+                "n_bits": f.n_bits,
+                "k": f.k,
+                "capacity": self._bloom_capacity,
+                "fill": round(f.fill_ratio(), 6),
+                "est_fpp": round(f.est_fpp(), 8),
+            }
+        load = f.count / (f.n_shards * f.buckets_per_shard * 4)
+        return {
+            "kind": "cuckoo",
+            "shards": f.n_shards,
+            "buckets_per_shard": f.buckets_per_shard,
+            "count": f.count,
+            "saturated_shards": f.saturated_shards,
+            # 2 candidate buckets × 4 slots × uniform 16-bit fp match
+            "est_fpp": round(8.0 * load / 65536.0, 10),
+        }
 
     def _round(self, rnd: int, next_seq: int) -> tuple[int, int]:
         cfg = self.cfg
@@ -390,12 +486,16 @@ class Crawler:
         )
         if cfg.per_host_budget is not None:
             w = Window.partitionBy("host").orderBy(*order_cols)
-            ranked = frontier.withColumn("rk", F.row_number().over(w))
+            # cache the ranked snapshot once: popped, kept, and the order
+            # delta are all cheap filters over it
+            ranked = frontier.withColumn("rk", F.row_number().over(w)).persist()
             popped = ranked.where(F.col("rk") <= cfg.per_host_budget).drop("rk")
             kept = ranked.where(F.col("rk") > cfg.per_host_budget).drop("rk")
         else:
             # budgetless: the whole snapshot pops this round, so priority
-            # has no selection effect (it matters only under a budget)
+            # has no selection effect (it matters only under a budget);
+            # frontier is already checkpoint-materialized — no extra cache
+            ranked = None
             popped = frontier
             kept = frontier.limit(0)
 
@@ -404,8 +504,6 @@ class Crawler:
             # split across host_salt_k salts (SURVEY §4.2 custom #3)
             salt = F.pmod(F.xxhash64("uri"), F.lit(cfg.host_salt_k))
             popped = popped.repartition(F.hash(F.col("host"), salt))
-
-        popped = popped.persist()
 
         # -- fetch: the documents table plays the web (S-1). Broadcast the
         # popped slice while it is small (big table never shuffles); for
@@ -455,31 +553,19 @@ class Crawler:
             .withColumn("h", bloom_mod.seen_hash_col(F.col("c_uri"), F.col("c_depth")))
         )
 
-        # -- seen-set dedup (F-3): bloom prefilter + exact anti-join.
-        # bloom only short-circuits definite misses; positives still
-        # anti-join the committed seen deltas, so results are exact.
-        seen = self.store.read_all(self.spark, "seen", upto=rnd - 1)
-        if self._bloom is not None:
+        # -- seen-set dedup (F-3): filter prefilter + exact membership.
+        # The filter only short-circuits definite misses; positives still
+        # take the exact check against base+tail, so results are exact.
+        if self._filter_bc is not None:
             cand = cand.withColumn(
                 "maybe_seen",
-                bloom_mod.might_contain_col(self.spark, self._bloom, F.col("h")),
+                bloom_mod.might_contain_bc(self._filter_bc, F.col("h")),
             )
             definite_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             suspects = cand.where(F.col("maybe_seen")).drop("maybe_seen")
-            checked = suspects.join(
-                seen.select("uri", "depth").withColumnRenamed("uri", "c_uri")
-                .withColumnRenamed("depth", "c_depth"),
-                ["c_uri", "c_depth"],
-                "left_anti",
-            )
-            new_items = definite_new.unionAll(checked)
+            new_items = definite_new.unionAll(self._anti_seen(suspects, rnd))
         else:
-            new_items = cand.join(
-                seen.select("uri", "depth").withColumnRenamed("uri", "c_uri")
-                .withColumnRenamed("depth", "c_depth"),
-                ["c_uri", "c_depth"],
-                "left_anti",
-            )
+            new_items = self._anti_seen(cand, rnd)
 
         # -- deterministic seq assignment: push order = (parent_seq, emit_idx)
         enqueued = self._assign_seq(new_items, next_seq).persist()
@@ -512,30 +598,101 @@ class Crawler:
             "next_seq": next_seq + n_new,
             "frontier_rows": self._frontier_rows - n_popped + n_new,
             "seen_rows": self._seen_rows,
+            "filter": self._filter_meta(),
         }
         self.store.commit(rnd, meta)
 
+        # fold seen deltas into the bucketed base once the tail is
+        # compact_every rounds deep — per-round seen reads stay O(tail)
+        base = self.store.seen_base()
+        if (
+            self._seen_rows > self._base_rows
+            and rnd - (base["upto"] if base else 0) >= self.cfg.compact_every
+        ):
+            self.store.compact_seen(self.spark, upto=rnd)
+            self._base_rows = self._seen_rows
+
+        # eager-materializes (see _set_frontier) — only then is it safe to
+        # drop the caches the round plan was built from
         self._set_frontier(
             kept.unionAll(enqueued.drop("h")),
             meta["frontier_rows"],
         )
-        popped.unpersist()
+        if ranked is not None:
+            ranked.unpersist()
         enqueued.unpersist()
+        if self._seq_parts is not None:
+            self._seq_parts.unpersist()
+            self._seq_parts = None
+        for bc in self._retired_bcs:
+            bc.destroy()
+        self._retired_bcs.clear()
         if hasattr(self.extractor, "cleanup"):
             self.extractor.cleanup()
         return meta["next_seq"], n_popped
 
+    # -- seen-membership join sides (the scale path of F-3) ---------------
+    def _seen_join_sides(
+        self, rnd: int
+    ) -> tuple[DataFrame | None, int, DataFrame | None]:
+        """(tail, tail_rows, base): the chained anti-join inputs for rounds
+        > base_upto. The base side is persisted hash-partitioned on the
+        join key and reused across rounds (rebuilt only after compaction),
+        so the committed seen set is neither re-read from storage nor
+        re-shuffled each round — the per-round cost is the tail."""
+        marker = self.store.seen_base()
+        base_upto = marker["upto"] if marker else -1
+        if marker is not None and self._seen_base_upto != base_upto:
+            if self._seen_base_cache is not None:
+                self._seen_base_cache.unpersist()
+            n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            self._seen_base_cache = (
+                self.store.read_seen(self.spark, upto=base_upto)
+                .select(
+                    F.col("uri").alias("c_uri"), F.col("depth").alias("c_depth")
+                )
+                .repartition(n, "c_uri", "c_depth")
+                .persist()
+            )
+            self._seen_base_upto = base_upto
+        tail = self.store.read_delta_range(
+            self.spark, "seen", base_upto + 1, rnd - 1
+        )
+        tail_rows = self._seen_rows - self._base_rows
+        return tail, tail_rows, self._seen_base_cache if marker else None
+
+    def _anti_seen(self, cand: DataFrame, rnd: int) -> DataFrame:
+        """Exact F-3 membership: x ∉ (base ∪ tail) as chained anti-joins —
+        the small tail broadcasts (no shuffle at all); the base side joins
+        from its persisted co-partitioned cache."""
+        out = cand
+        tail, tail_rows, base = self._seen_join_sides(rnd)
+        if tail is not None:
+            t = tail.select(
+                F.col("uri").alias("c_uri"), F.col("depth").alias("c_depth")
+            )
+            if tail_rows <= self.cfg.tail_broadcast_rows:
+                t = F.broadcast(t)
+            out = out.join(t, ["c_uri", "c_depth"], "left_anti")
+        if base is not None:
+            out = out.join(base, ["c_uri", "c_depth"], "left_anti")
+        return out
+
     def _assign_seq(self, new_items: DataFrame, next_seq: int) -> DataFrame:
-        """Global rank by (parent_seq, emit_idx) WITHOUT a single-partition
-        sort (SURVEY §4.2 custom #4): range-repartition on the sort key,
-        count per range, prefix-sum the offsets on the driver (tiny), then
-        rank locally within each range. The output seq mapping depends only
-        on the total order of the unique key, not on partition boundaries —
+        """Global rank by (parent_seq, emit_idx) WITHOUT an unpartitioned
+        window (SURVEY §4.2 custom #4) — Spark executes those as a
+        single-partition sort of ALL candidates (pops × out-degree rows)
+        and warns about it: range-repartition on the sort key, count per
+        range, prefix-sum the offsets on the driver (tiny), then rank
+        locally within each range. The output seq mapping depends only on
+        the total order of the unique key, not on partition boundaries —
         so it is deterministic even though range sampling isn't.
 
-        For small rounds the extra counting job costs more than it saves,
-        so below _SEQ_RANGE_THRESHOLD pops we fall back to the single
-        window (still exact, just a small sort)."""
+        Small rounds (pops bounded by _SEQ_RANGE_THRESHOLD, so candidates
+        are bounded too) take the same path with n_parts=1: no counting
+        job, one bounded-size sort task, and still no unpartitioned
+        window — the gate keys on the round's pop bound, which bounds the
+        candidate count, not the other way around (VERDICT r1 #6)."""
         projected = new_items.select(
             F.col("c_uri").alias("uri"),
             F.col("c_depth").alias("depth"),
@@ -545,30 +702,32 @@ class Crawler:
             "h",
         )
         # upper bound on this round's pops = current frontier size
-        if self._frontier_rows < self._SEQ_RANGE_THRESHOLD:
-            w = Window.orderBy("parent_seq", "emit_idx")
-            return projected.select(
-                "uri",
-                "depth",
-                (F.row_number().over(w) + F.lit(next_seq - 1)).alias("seq"),
-                "host",
-                "h",
-            )
-        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        parts = projected.repartitionByRange(
-            n_parts, "parent_seq", "emit_idx"
-        ).persist()
-        counts = {
-            r["pid"]: r["cnt"]
-            for r in parts.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        offsets = {}
-        acc = next_seq
-        for pid in sorted(counts):  # range partitions are ordered by key
-            offsets[pid] = acc
-            acc += counts[pid]
+        small = self._frontier_rows < self._SEQ_RANGE_THRESHOLD
+        n_parts = (
+            1
+            if small
+            else int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        parts = projected.repartitionByRange(n_parts, "parent_seq", "emit_idx")
+        if n_parts == 1:
+            offsets = {0: next_seq}
+        else:
+            parts = parts.persist()
+            self._seq_parts = parts  # released in _round after the frontier
+            # checkpoint materializes (an early unpersist would let a
+            # re-sampled range boundary re-derive different pids against a
+            # stale offset map)
+            counts = {
+                r["pid"]: r["cnt"]
+                for r in parts.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            offsets = {}
+            acc = next_seq
+            for pid in sorted(counts):  # range partitions are ordered by key
+                offsets[pid] = acc
+                acc += counts[pid]
         off_df = F.broadcast(
             self.spark.createDataFrame(
                 [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
@@ -588,7 +747,8 @@ class Crawler:
         )
         return out
 
-    _SEQ_RANGE_THRESHOLD = 5_000
+    _SEQ_RANGE_THRESHOLD = 1_024
+    _seq_parts: DataFrame | None = None
 
     def _config_meta(self) -> dict:
         return {
