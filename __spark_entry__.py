@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_grouped_metrics": relational.a4_grouped_metrics,
         "x2_minmax_normalize": relational.x2_minmax_normalize,
         "x8_section_window": relational.x8_section_window,
+        "x5_span_select": relational.x5_span_select,
         "x9_slice_split": relational.x9_slice_split,
         "x11_uripattern_like": relational.x11_uripattern_like,
         "x13_range_filter": relational.x13_range_filter,
@@ -67,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(s, d, 0.35),
         # similarity search
@@ -77,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
         "text_marker_langid": textstats.marker_langid,
-        "text_ngram_langid": textstats.ngram_langid,  # rows-only (hash profile)
+        "text_ngram_langid": textstats.ngram_langid,
         # multimodal plumbing (decode stub → rows-only)
         "mm_media_features": multimodal.media_features,
     }
@@ -113,6 +115,35 @@ _SIMHASH_W = ",\n    ".join(
 )
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+)
+_SIMHASH_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, {DUCK_HASH60.format(s='t')} AS h FROM tok
+), w AS (
+  SELECT doc_id, {_SIMHASH_W} FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM w
+)
+"""
+
+_SIMHASH_BLK_JOINS = "\n    UNION ALL ".join(
+    f"""SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+        FROM blk l JOIN blk r ON l.blk{i} = r.blk{i} AND l.doc_id < r.doc_id"""
+    for i in range(dedup.SIMHASH_BLOCKS)
+)
+
+_NGRAM_PROF_ROWS = ", ".join(
+    f"('{lang}', {b}, {w!r})"
+    for lang, ws in textstats.ngram_profile_weights().items()
+    for b, w in ws.items()
+)
+_NGRAM_SCORES = ",\n         ".join(
+    f"round(coalesce(sum(CASE WHEN lang = '{lang}' THEN cnt * w END), 0), 6)"
+    f" AS s_{lang}"
+    for lang in textstats.NGRAM_PROFILES
 )
 
 _QUALITY_STOP = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
@@ -193,6 +224,15 @@ def oracle_sql() -> dict[str, str]:
                                           ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 6) AS rolling2
             FROM events
         """,
+        "x5_span_select": """
+            SELECT p_partkey,
+                   list_filter(string_split(p_name, ' '),
+                               w -> regexp_matches(w, 'o'))[2] AS second_match,
+                   CAST(len(list_filter(string_split(p_name, ' '),
+                                        w -> w = 'tan')) AS INT) AS kw_hits
+            FROM part
+            WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)')
+        """,
         "x9_slice_split": """
             SELECT p_partkey, split_part(p_name, ' ', 2) AS slice_word FROM part
         """,
@@ -222,15 +262,16 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
-        "dedup_simhash": f"""
-            WITH tok AS (
-              SELECT doc_id, unnest({_TOKS}) AS t FROM documents
-            ), h AS (
-              SELECT doc_id, {DUCK_HASH60.format(s='t')} AS h FROM tok
-            ), w AS (
-              SELECT doc_id, {_SIMHASH_W} FROM h GROUP BY doc_id
+        "dedup_simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM fp",
+        "dedup_simhash_pairs": _SIMHASH_CTE
+        + f""", blk AS (
+              SELECT doc_id, simhash,
+                     {", ".join(f"(simhash >> {8 * i}) & 255 AS blk{i}" for i in range(dedup.SIMHASH_BLOCKS))}
+              FROM fp
+            ), p AS (
+              {_SIMHASH_BLK_JOINS}
             )
-            SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM w
+            SELECT DISTINCT a, b, hamming FROM p WHERE hamming <= 3
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTE
         + """, sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -297,5 +338,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es > 0 THEN 'es'
                         ELSE 'und' END AS pred_lang
             FROM s
+        """,
+        "text_ngram_langid": f"""
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+            tri AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(t) - 1),
+                                           i -> substr(t, i, 3))) AS g
+              FROM d WHERE length(t) >= 3
+            ),
+            bkt AS (
+              SELECT doc_id, b, count(*) AS cnt FROM (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                         % {textstats.NGRAM_BUCKETS} AS b
+                FROM tri
+              ) GROUP BY doc_id, b
+            ),
+            prof(lang, b, w) AS (VALUES {_NGRAM_PROF_ROWS}),
+            s AS (
+              SELECT bkt.doc_id,
+                     {_NGRAM_SCORES}
+              FROM bkt JOIN prof USING (b) GROUP BY bkt.doc_id
+            )
+            SELECT docs.doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS pred_lang
+            FROM documents docs LEFT JOIN s ON s.doc_id = docs.doc_id
         """,
     }

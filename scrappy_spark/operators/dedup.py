@@ -12,15 +12,14 @@ Scale design:
     generated per-bucket (never an all-pairs product). Bands/rows tune the
     S-curve; at 100 TB the band-bucket groupBy is the only shuffle.
   * simhash — 32-bit fingerprint via per-bit majority; near-dup = hamming
-    distance on the fingerprint (bit_count(xor)), prefiltered by 16-bit
-    halves (pigeonhole: hamming ≤ 3 ⇒ one half within 1...we use exact
-    half-match blocking for distance ≤ k with 2 blocks when k ≤ 1 per
-    half; the pair query below blocks on either half matching exactly).
+    distance on the fingerprint (bit_count(xor)), blocked on exact match
+    of one of FOUR 8-bit blocks (pigeonhole: ≤ 3 differing bits across 4
+    blocks leave one block identical ⇒ full recall at max_hamming ≤ 3).
   * n-gram Jaccard — exact verification layer: explode distinct shingles,
     self-join per shingle, count → Jaccard; pairs sharing no shingle never
     materialize.
-  * embedding cosine — brute force here (correctness baseline); the
-    LSH-bucketed scale path lives in similarity.py.
+  * embedding cosine — exact blocked broadcast scan (no nested-loop
+    join); the LSH-bucketed approximate scale path lives in similarity.py.
 """
 
 from __future__ import annotations
@@ -128,31 +127,50 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.select("doc_id", total.cast("long").alias("simhash"))
 
 
+SIMHASH_BLOCKS = 4  # 4 × 8-bit blocks of the 32-bit fingerprint
+
+
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on exact match
-    of either 16-bit half (pigeonhole over 2 blocks covers distance ≤ 1
-    per half; with max_hamming=3 one half has ≤ 1 differing bit — we
-    block on exact half match, which is guaranteed when the 3 diffs land
-    in one half; remaining pairs are a recall trade documented here)."""
-    fp = simhash_fingerprints(spark, sf_dir)
-    lo = (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).alias("lo")
-    hi = F.shiftright(F.col("simhash"), 16).alias("hi")
-    fp2 = fp.select("doc_id", "simhash", lo, hi)
+    """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``,
+    blocked on exact match of one of FOUR 8-bit blocks: by pigeonhole,
+    ≤ 3 differing bits across 4 blocks leave at least one block
+    bit-identical, so the block equi-joins have FULL recall for the
+    contract (the previous 2×16-bit blocking silently dropped any pair
+    whose diffs split 2+1 across the halves). Each block join is an
+    equi-join on (block index, block value) — never an all-pairs product;
+    at 100 TB the bucket groupBy is the only shuffle."""
+    return simhash_pairs_from(simhash_fingerprints(spark, sf_dir), max_hamming)
+
+
+def simhash_pairs_from(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The block-join kernel over a (doc_id, simhash) DataFrame —
+    separated so recall can be tested on planted fingerprints."""
+    assert max_hamming < SIMHASH_BLOCKS, "pigeonhole needs blocks > hamming"
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 8 * i)
+            .bitwiseAND(F.lit(0xFF))
+            .alias(f"blk{i}")
+            for i in range(SIMHASH_BLOCKS)
+        ],
+    )
     pairs = None
-    for block in ("lo", "hi"):
-        l, r = fp2.alias("l"), fp2.alias("r")
+    for i in range(SIMHASH_BLOCKS):
+        l, r = blocks.alias("l"), blocks.alias("r")
         p = l.join(
             r,
-            (F.col(f"l.{block}") == F.col(f"r.{block}"))
+            (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         ).select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         pairs = p if pairs is None else pairs.unionAll(p)
     return pairs.where(F.col("hamming") <= max_hamming).distinct()
@@ -199,26 +217,69 @@ def ngram_jaccard_pairs(
 def embedding_cosine_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.99
 ) -> DataFrame:
-    """Embedding near-dup pairs by exact cosine ≥ threshold (brute force —
-    the correctness baseline; similarity.ann_lsh is the scale path)."""
+    """Embedding near-dup pairs by EXACT cosine ≥ threshold.
+
+    Plan shape (no nested-loop join anywhere): the vector matrix is
+    broadcast once; each task scans its partition of rows against it in
+    numpy blocks and emits only the (a < b, cosine ≥ t) survivors — an
+    O(n²/P)-compute, O(n·d)-memory blocked scan that never materializes
+    the quadratic pair relation the old `l.vec_id < r.vec_id` join did.
+    An exact low-threshold similarity join is inherently Ω(n²) compute;
+    this is the ≤10^7-vector exact path, and past broadcast scale the
+    honest answer is the approximate path (similarity.ann_lsh_topk /
+    lsh_sign_buckets), not a bigger cartesian.
+
+    Oracle parity: dot and norms accumulate SEQUENTIALLY over dimensions
+    in float64 — the same operation sequence as the previous
+    zip_with/aggregate fold and DuckDB's list_dot_product — and the final
+    round(…, 6) + threshold happen in Spark SQL (decimal HALF_UP,
+    matching DuckDB round()) on the tiny survivor set."""
+    import numpy as np
+    import pandas as pd
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    l, r = emb.alias("l"), emb.alias("r")
-    dot = F.aggregate(
-        F.zip_with("l.v", "r.v", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(f"{side}.v", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return (
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("a"),
-            F.col("r.vec_id").alias("b"),
-            F.round(dot / (norm("l") * norm("r")), 6).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    rows = emb.orderBy("vec_id").collect()  # broadcast-side: bounded by
+    # design to ≤ ~10^7 vectors (same bound any broadcast join has)
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((all_ids, mat))
+    d = mat.shape[1]
+
+    def _seq_sqnorm(m: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j] * m[:, j]
+        return acc
+
+    def scan(batches):
+        ids_all, m_all = bc.value
+        nb = np.sqrt(_seq_sqnorm(m_all))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lo in range(0, len(pdf), 1024):  # bound block memory
+                chunk = pdf.iloc[lo : lo + 1024]
+                a_ids = chunk["vec_id"].to_numpy(dtype=np.int64)
+                A = np.array(list(chunk["v"]), dtype=np.float64)
+                acc = np.zeros((len(A), len(m_all)))
+                for j in range(d):  # sequential fold order (see docstring)
+                    acc = acc + A[:, j : j + 1] * m_all[:, j]
+                cos = acc / (np.sqrt(_seq_sqnorm(A))[:, None] * nb[None, :])
+                mask = (cos >= threshold - 1e-9) & (
+                    a_ids[:, None] < ids_all[None, :]
+                )
+                ai, bi = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "a": a_ids[ai],
+                        "b": ids_all[bi],
+                        "raw": cos[ai, bi],
+                    }
+                )
+
+    out = emb.mapInPandas(scan, "a long, b long, raw double")
+    return out.select(
+        "a", "b", F.round("raw", 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -160,6 +160,23 @@ def x8_section_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x5_span_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 XPath/CssSelector over spans (selectors/xpath.rb:3-23): the
+    'search' = regexp-matching words of p_name (the span list), sc:index
+    (xpath.rb:5-9) = positional select of the 2nd match, sc:keyword
+    (xpath.rb:10-12) = exact-match count, and the fragment applicability
+    gate = a regexp over p_type. try_element_at past the end yields NULL
+    (xpath.rb returns an empty list) — matches SQL list indexing."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    matched = F.filter(words, lambda w: w.rlike("o"))
+    return part.where(F.col("p_type").rlike("^(PROMO|ECONOMY)")).select(
+        "p_partkey",
+        F.try_element_at(matched, F.lit(2)).alias("second_match"),
+        F.size(F.filter(words, lambda w: w == F.lit("tan"))).alias("kw_hits"),
+    )
+
+
 def x9_slice_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-9 slice selector (selectors/slice.rb:3-10) ↔ split + index."""
     part = _t(spark, sf_dir, "part")

@@ -76,53 +76,78 @@ def marker_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", pred.alias("pred_lang"))
 
 
-def ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram-profile language ID (the real heuristic): cosine
-    over hashed char-3-gram counts against tiny built-in profiles, in one
-    vectorized pandas UDF. No SQL oracle (rows-only check) — accuracy is
-    asserted in tests against the table's lang column where separable."""
-    import zlib
+NGRAM_BUCKETS = 4096
+NGRAM_PROFILES = {
+    "en": "the and ing ion tio ent for ati ter ers",
+    "de": "der und sch die ein ich den gen ung cht",
+    "fr": "les de la tion ent des que une eur ait",
+    "es": "de la que el los ion cion ado par ent",
+}
+# deterministic priority on score ties (same scheme as marker_langid)
+NGRAM_PRIORITY = ("en", "de", "fr", "es")
 
-    import numpy as np
-    import pandas as pd
 
-    def _h(s: str) -> int:
-        # crc32, NOT hash(): Python string hash is process-salted and
-        # would differ between driver and executors
-        return zlib.crc32(s.encode()) & 0xFFF
+def ngram_bucket(tri: str) -> int:
+    """md5-derived trigram bucket — the SAME construction as
+    text.hash60 (conv(substr(md5,1,15),16,10)), so the DuckDB oracle
+    reproduces every bucket exactly (never Python hash(): it is
+    process-salted)."""
+    import hashlib
 
-    profiles = {
-        "en": "the and ing ion tio ent for ati ter ers",
-        "de": "der und sch die ein ich den gen ung cht",
-        "fr": "les de la tion ent des que une eur ait",
-        "es": "de la que el los ion cion ado par ent",
-    }
-    langs = sorted(profiles)
-    prof_vecs = {}
-    for lang, words in profiles.items():
-        v = np.zeros(1 << 12)
+    return int(hashlib.md5(tri.encode()).hexdigest()[:15], 16) % NGRAM_BUCKETS
+
+
+def ngram_profile_weights() -> dict[str, dict[int, float]]:
+    """lang → {bucket: weight}: L2-normalized trigram counts of the
+    built-in profile words. Shared by the Spark UDF and (as embedded
+    literals) the DuckDB oracle."""
+    import math
+
+    out: dict[str, dict[int, float]] = {}
+    for lang, words in NGRAM_PROFILES.items():
+        counts: dict[int, float] = {}
         for w in words.split():
             for i in range(len(w) - 2):
-                v[_h(w[i : i + 3])] += 1.0
-        n = np.linalg.norm(v)
-        prof_vecs[lang] = v / (n or 1.0)
+                b = ngram_bucket(w[i : i + 3])
+                counts[b] = counts.get(b, 0.0) + 1.0
+        norm = math.sqrt(sum(c * c for c in counts.values())) or 1.0
+        out[lang] = {b: c / norm for b, c in sorted(counts.items())}
+    return out
+
+
+def ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID: per-lang score = Σ over
+    buckets of doc-trigram-count × normalized profile weight, argmax with
+    the marker_langid priority on ties, 'und' when no profile bucket is
+    hit. (Scores are unnormalized dot products — dividing every lang's
+    score by the same positive doc norm cannot change the argmax, so the
+    doc-side normalization the cosine formulation carries is dropped;
+    that makes the whole operator exactly reproducible in SQL.) Rounded
+    to 6 decimals before the argmax on BOTH sides so float summation
+    order can't flip razor-thin ties. One vectorized pandas UDF, no
+    shuffle."""
+    prof = ngram_profile_weights()
 
     @F.pandas_udf("string")
     def classify(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            v = np.zeros(1 << 12)
             t = (t or "").lower()
+            counts: dict[int, int] = {}
             for i in range(len(t) - 2):
-                v[_h(t[i : i + 3])] += 1.0
-            n = np.linalg.norm(v)
-            if n == 0:
-                out.append("und")
-                continue
-            v /= n
-            scores = [(float(v @ prof_vecs[lang]), lang) for lang in langs]
-            best_score, best_lang = max(scores)
-            out.append(best_lang if best_score > 0 else "und")
+                b = ngram_bucket(t[i : i + 3])
+                counts[b] = counts.get(b, 0) + 1
+            pred = "und"
+            best = 0.0
+            for lang in reversed(NGRAM_PRIORITY):
+                s = round(
+                    sum(counts.get(b, 0) * w for b, w in prof[lang].items()), 6
+                )
+                if s >= best and s > 0:
+                    pred, best = lang, s
+                elif s >= best:
+                    best = s
+            out.append(pred)
         return pd.Series(out)
 
     return _docs(spark, sf_dir).select(

@@ -1,0 +1,75 @@
+"""Dedup-operator fixes (round 2): simhash 4×8-bit block recall and the
+exact embedding-cosine blocked scan (no nested-loop join)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import dedup
+
+
+def test_simhash_finds_planted_2plus1_split_pair(spark):
+    """Hamming-3 pair whose differing bits split 2+1 across the 16-bit
+    halves (bits 1, 2 low / 17 high): the old 2×16-bit blocking had no
+    identical half and silently dropped it; 4×8-bit blocking must keep it
+    (blocks 2 and 3 are identical — pigeonhole)."""
+    a = 0b1010_1010_1010_1010_1010_1010_1010_1010
+    b = a ^ (1 << 1) ^ (1 << 2) ^ (1 << 17)
+    assert (a & 0xFFFF) != (b & 0xFFFF) and (a >> 16) != (b >> 16)
+    fp = spark.createDataFrame(
+        [("d0", a), ("d1", b), ("d2", 0)], "doc_id string, simhash long"
+    )
+    rows = dedup.simhash_pairs_from(fp, max_hamming=3).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in rows] == [("d0", "d1", 3)]
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """Block-join output == brute-force hamming filter over all
+    fingerprint pairs (full recall, not just the planted case)."""
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(spark, sf_dir).collect()
+    }
+    ids = sorted(fps)
+    want = {
+        (x, y, bin(fps[x] ^ fps[y]).count("1"))
+        for i, x in enumerate(ids)
+        for y in ids[i + 1 :]
+        if bin(fps[x] ^ fps[y]).count("1") <= 3
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_embedding_cosine_no_nested_loop_and_exact(spark, sf_dir):
+    df = dedup.embedding_cosine_pairs(spark, sf_dir, threshold=0.35)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # exact vs an independent numpy brute force (same fold order)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            dot = float(np.dot(mat[i], mat[j]))
+            c = dot / (np.linalg.norm(mat[i]) * np.linalg.norm(mat[j]))
+            if round(c, 6) >= 0.35:
+                want.add((ids[i], ids[j]))
+    got = {(r["a"], r["b"]) for r in df.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_embedding_cosine_threshold_column_values(spark, sf_dir):
+    """Rounding happens in Spark SQL (decimal HALF_UP) and the cosine
+    column is the rounded value — the driver hashes it."""
+    out = dedup.embedding_cosine_pairs(spark, sf_dir, threshold=0.35)
+    bad = out.where(
+        (F.col("cosine") < 0.35) | (F.col("cosine") > 1.000001)
+    ).count()
+    assert bad == 0
