@@ -226,11 +226,17 @@ class Crawler:
         store_dir: str,
         config: CrawlConfig | None = None,
         extractor=None,
+        store: CrawlStore | None = None,
     ):
         self.spark = spark
         self.documents = documents
         self.cfg = config or CrawlConfig()
-        self.store = CrawlStore(store_dir, seen_buckets=self.cfg.seen_buckets)
+        # store override: pass an IcebergCrawlStore to checkpoint into
+        # real Iceberg tables (frontier/iceberg_store.py); the default is
+        # the Iceberg-shaped parquet store (checkpoint.py)
+        self.store = store or CrawlStore(
+            store_dir, seen_buckets=self.cfg.seen_buckets
+        )
         self.extractor = extractor or LinkExtractor()
         self._frontier: DataFrame | None = None
         self._frontier_rows = 0
