@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_except": relational.a2_except,
         "a3_prf_metrics": relational.a3_prf_metrics,
         "a4_grouped_metrics": relational.a4_grouped_metrics,
+        "a5_optimizer_score": relational.a5_optimizer_score,
         "x2_minmax_normalize": relational.x2_minmax_normalize,
         "x8_section_window": relational.x8_section_window,
         "x5_span_select": relational.x5_span_select,
@@ -210,6 +211,38 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_disc
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "a5_optimizer_score": """
+            WITH o AS (
+              SELECT CAST(c_nationkey AS VARCHAR) AS sample,
+                     CAST(o_orderkey AS VARCHAR) AS k,
+                     o_orderstatus, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            g AS (SELECT DISTINCT sample, k FROM o WHERE o_orderstatus = 'F'),
+            e AS (SELECT DISTINCT sample, k FROM o WHERE o_totalprice > 100000),
+            both_sides AS (
+              SELECT COALESCE(g.sample, e.sample) AS sample,
+                     CASE WHEN g.k IS NULL THEN 0 ELSE 1 END AS in_g,
+                     CASE WHEN e.k IS NULL THEN 0 ELSE 1 END AS in_e
+              FROM g FULL OUTER JOIN e ON g.sample = e.sample AND g.k = e.k
+            ),
+            agg AS (
+              SELECT sample, sum(in_g * in_e) AS r,
+                     sum(in_g) AS ng, sum(in_e) AS ne
+              FROM both_sides GROUP BY sample
+            ),
+            pr AS (
+              SELECT CASE WHEN ne > 0 THEN CAST(r AS DOUBLE) / ne ELSE 1.0 END AS p,
+                     CASE WHEN ng > 0 THEN CAST(r AS DOUBLE) / ng ELSE 1.0 END AS rr
+              FROM agg
+            ),
+            f AS (
+              SELECT CASE WHEN p + rr > 0 THEN 2 * p * rr / (p + rr)
+                          ELSE 0.0 END AS fscore
+              FROM pr
+            )
+            SELECT round(avg(fscore), 6) AS score, count(*) AS n_samples FROM f
         """,
         "x2_minmax_normalize": """
             SELECT l_orderkey, l_linenumber,

@@ -122,6 +122,31 @@ def a4_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a5_optimizer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-5 optimizer score (optimizer.rb:310-324): mean per-sample F-score
+    over sample groups — here samples are customer nations, golden =
+    finished orders, extracted = high-value orders. Runs through the real
+    learning operator (learning.optimizer_score)."""
+    from ..learning import optimizer_score
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").cast("string").alias("sample"),
+        F.col("o_orderkey").cast("string").alias("s"),
+        F.lit("ex:order").alias("p"),
+        F.col("o_orderkey").cast("string").alias("o"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    golden = o.where(F.col("o_orderstatus") == "F")
+    extracted = o.where(F.col("o_totalprice") > 100000)
+    return optimizer_score(golden, extracted, metric="fscore")
+
+
 def x2_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-2 selector normalize (selector.rb:41-51): (v-min)/(max-min).
     Two-pass agg + broadcast join, NOT a global window (a global window
