@@ -7,9 +7,9 @@ spans-web derived from the sf0.001 documents table.
 SURVEY.md §2 plus the training-data pipeline operators (dedup, similarity,
 text analysis, multimodal). Every aggregate/computed column is aliased
 identically on both sides; fp-sensitive values are rounded on both sides.
-Ops without an oracle entry (crawl, LSH-ANN, ngram langid, media decode)
-get the driver's rows-only check and are additionally golden-tested in
-tests/.
+Ops without an oracle entry (crawl, LSH-ANN, media decode — inherently
+approximate or stubbed) get the driver's rows-only check and are
+additionally golden-tested in tests/.
 """
 
 from __future__ import annotations

@@ -112,6 +112,35 @@ def test_resume_after_compaction(spark, tmp_path):
     df.unpersist()
 
 
+def test_bucket_pruned_base_read(spark, tmp_path):
+    """read_seen(buckets=…) must (a) return exactly the rows whose hash
+    lands in those buckets and (b) push a partition filter on `b` into the
+    base scan — the directory-pruning evidence behind the 'bucketed seen
+    store' claim."""
+    df = generate_df(spark, CFG, partitions=2)
+    seeds = seeds_for(CFG, 2)
+    c = Crawler(
+        spark, df, str(tmp_path / "s"), CrawlConfig(depth=2, compact_every=2)
+    )
+    c.run(seeds)
+    store = c.store
+    marker = store.seen_base()
+    assert marker is not None
+    b = marker["buckets"]
+    full = store.read_seen(spark, upto=store.last_round())
+    want = {
+        r["h"]
+        for r in full.where(F.pmod(F.col("h"), F.lit(b)).isin([3, 7])).collect()
+    }
+    pruned = store.read_seen(spark, upto=store.last_round(), buckets=[3, 7])
+    got = {r["h"] for r in pruned.collect()}
+    # tail rows are always read in full, so pruned ⊇ bucket-matching base
+    # rows and ⊆ bucket rows ∪ tail rows; on the BASE portion it is exact
+    assert want <= got
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "b#" in plan
+
+
 # ------------------------------------------------------- bloom sizing
 
 
