@@ -112,6 +112,23 @@ def test_resume_after_compaction(spark, tmp_path):
     df.unpersist()
 
 
+def test_parallel_seq_path_exact(spark, tmp_path, monkeypatch):
+    """Force every round through the multi-partition range path
+    (threshold 0 ⇒ n_parts = shuffle partitions, driver prefix-sum):
+    crawl order must still match the oracle exactly — the seq mapping may
+    not depend on partition boundaries."""
+    from scrappy_spark.corpus import generate_local
+    from scrappy_spark.frontier.crawler import Crawler as C
+
+    monkeypatch.setattr(C, "_SEQ_RANGE_THRESHOLD", 0)
+    df = generate_df(spark, CFG, partitions=2)
+    seeds = seeds_for(CFG, 2)
+    golden = oracle_crawl(generate_local(CFG), seeds, depth=2)
+    c = Crawler(spark, df, str(tmp_path / "s"), CrawlConfig(depth=2))
+    c.run(seeds)
+    assert _order(c) == golden.order
+
+
 def test_bucket_pruned_base_read(spark, tmp_path):
     """read_seen(buckets=…) must (a) return exactly the rows whose hash
     lands in those buckets and (b) push a partition filter on `b` into the
