@@ -539,7 +539,9 @@ class Crawler:
             to_fetch = popped
 
         pop_side = (
-            F.broadcast(to_fetch) if self._frontier_rows <= 100_000 else to_fetch
+            F.broadcast(to_fetch)
+            if self._frontier_rows <= self._FETCH_BROADCAST_MAX
+            else to_fetch
         )
         fetched = self.documents.join(
             pop_side, self.documents.doc_id == pop_side.uri, "right"
@@ -760,6 +762,17 @@ class Crawler:
     # (the counting job per mid-size round costs more than it saves)
     _SEQ_RANGE_THRESHOLD = 8_192
     _seq_parts: DataFrame | None = None
+
+    # fetch-join strategy bound: popped rows are ~100 B (uri, depth,
+    # seq); below this the popped side broadcasts so the (wide,
+    # span-heavy) documents side is never shuffled. Measured on the
+    # bulk-drain shape (150k-pop rounds, fresh JVMs): raising the bound
+    # to 500k made local[8] 24% faster but local[32] ~30% SLOWER — the
+    # driver-side broadcast build is serial and caps wide parallelism —
+    # so past this bound the shuffle join (AQE's choice) wins exactly
+    # where scaling matters. Keep the bound modest; cluster path above it
+    # is a bucketed co-located join.
+    _FETCH_BROADCAST_MAX = 100_000
 
     def _config_meta(self) -> dict:
         return {
