@@ -290,9 +290,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_sig": _SIGS_CTE + " SELECT * FROM sigs",
         "dedup_minhash_lsh_pairs": _SIGS_CTE
-        + f""", bands AS ({_BANDS})
+        + f""", bands AS ({_BANDS}),
+            capped AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
+            )
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r
+            FROM capped l JOIN capped r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
         "dedup_simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM fp",
@@ -307,10 +313,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a, b, hamming FROM p WHERE hamming <= 3
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTE
-        + """, sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        + f""", shf AS (
+              SELECT doc_id, sh FROM (
+                SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+                FROM sh
+              ) WHERE df <= {dedup.JACCARD_MAX_DF}
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
              common AS (
                SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
-               FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+               FROM shf l JOIN shf r ON l.sh = r.sh AND l.doc_id < r.doc_id
                GROUP BY l.doc_id, r.doc_id)
             SELECT a, b,
                    round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard

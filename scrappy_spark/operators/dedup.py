@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .text import hash60_col, shingles_expr, tokens_col
@@ -33,6 +33,14 @@ MINHASH_K = 8
 LSH_BANDS = 4  # 4 bands × 2 rows
 SHINGLE_N = 3
 JACCARD_T = 0.4
+# skew guards (VERDICT r1 residual risks): a band bucket holding a
+# mega-duplicate cluster yields O(|bucket|²) candidate pairs, and a
+# stopword-heavy shingle is a quadratic skew key in the Jaccard
+# self-join. Both caps are mirrored in the DuckDB oracles, so the
+# semantics (drop pathological keys, keep everything else exact) are
+# part of the checked contract, not a silent truncation.
+LSH_MAX_BUCKET = 1_000  # band buckets larger than this are dropped
+JACCARD_MAX_DF = 10_000  # shingles appearing in more docs are dropped
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,9 +82,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
     """Candidate near-dup pairs: equal (band, sig-slice) bucket join.
-    Output (a, b) with a < b, distinct."""
+    Output (a, b) with a < b, distinct. Buckets holding more than
+    ``max_bucket`` docs are dropped BEFORE the self-join — a
+    mega-duplicate cluster otherwise materializes |bucket|²/2 pairs in
+    one task (pair generation for such clusters belongs to exact dedup,
+    which already groups them by full fingerprint in O(n))."""
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = None
@@ -88,6 +102,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
         )
         bands = band if bands is None else bands.unionAll(band)
+    w = Window.partitionBy("band", "bucket")
+    bands = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -177,11 +197,28 @@ def simhash_pairs_from(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_T,
+    max_df: int = JACCARD_MAX_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
-    Output (a, b, jaccard) with jaccard ≥ threshold."""
-    sh = _shingle_df(spark, sf_dir).persist()
+    """n-gram Jaccard similarity for every pair sharing ≥1 surviving
+    shingle. Output (a, b, jaccard) with jaccard ≥ threshold.
+
+    Shingles with document frequency > ``max_df`` are dropped BEFORE the
+    self-join (the standard frequent-token prefilter): a stopword-heavy
+    shingle is a skew key whose join output is quadratic in its df.
+    Sizes and intersections both use the filtered shingle sets, so the
+    measure stays a true Jaccard over the surviving vocabulary — and the
+    DuckDB oracle applies the identical df cap."""
+    sh = _shingle_df(spark, sf_dir)
+    dfw = Window.partitionBy("sh")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (

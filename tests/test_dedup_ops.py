@@ -65,6 +65,52 @@ def test_embedding_cosine_no_nested_loop_and_exact(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_lsh_bucket_cap_drops_mega_cluster(spark, tmp_path, monkeypatch):
+    """A mega-duplicate cluster (one bucket with every doc) must not
+    materialize |bucket|² pairs when the cap bites; distinct near-dup
+    pairs outside the cluster survive."""
+    import pandas as pd
+
+    n = 12
+    rows = [("dup%02d" % i, "the same exact duplicated text body") for i in range(n)]
+    # a small (size-2) duplicate bucket: identical signatures collide in
+    # every band, and 2 <= cap so the pair must survive
+    rows += [("uniq_a", "alpha beta gamma delta words here"),
+             ("uniq_b", "alpha beta gamma delta words here")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(path + "/documents.parquet")
+
+    uncapped = dedup.minhash_lsh_pairs(spark, path, max_bucket=10**9)
+    capped = dedup.minhash_lsh_pairs(spark, path, max_bucket=4)
+    unc = {(r["a"], r["b"]) for r in uncapped.collect()}
+    cap = {(r["a"], r["b"]) for r in capped.collect()}
+    assert len(unc) >= n * (n - 1) // 2  # quadratic blow-up, uncapped
+    assert all(not (a.startswith("dup") and b.startswith("dup")) for a, b in cap)
+    assert ("uniq_a", "uniq_b") in unc  # the legit near-dup pair exists…
+    assert ("uniq_a", "uniq_b") in cap  # …and survives the cap
+
+
+def test_jaccard_df_cap_drops_hot_shingle(spark, tmp_path):
+    """Pairs connected ONLY through a stopword-frequent shingle never
+    materialize under the df cap; pairs with real overlap keep a Jaccard
+    computed over the surviving vocabulary."""
+    import pandas as pd
+
+    hot = "the of and"  # one shingle shared by EVERY doc
+    rows = [("d%02d" % i, f"{hot} unique token{i} filler{i}") for i in range(8)]
+    rows += [("sim_a", f"{hot} red green blue yellow"),
+             ("sim_b", f"{hot} red green blue purple")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(path + "/documents.parquet")
+
+    out = dedup.ngram_jaccard_pairs(spark, path, threshold=0.01, max_df=5)
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert ("sim_a", "sim_b") in pairs
+    assert all(not (a.startswith("d") and b.startswith("d")) for a, b in pairs)
+
+
 def test_embedding_cosine_threshold_column_values(spark, sf_dir):
     """Rounding happens in Spark SQL (decimal HALF_UP) and the cosine
     column is the rounded value — the driver hashes it."""
