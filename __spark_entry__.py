@@ -81,8 +81,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": textstats.fingerprint,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
-        # multimodal plumbing (decode stub → rows-only)
+        # multimodal plumbing: the decode STUB is deterministic arithmetic
+        # over the payload bytes, so the metadata path is fully
+        # oracle-checkable even though the codec itself is stubbed
         "mm_media_features": multimodal.media_features,
+        "mm_resize": lambda s, d: multimodal.resize_images(
+            multimodal.synth_media(s, d)
+        ).select("doc_id", "width", "height", "scale"),
+        "mm_frame_sample": lambda s, d: multimodal.sample_frames(
+            multimodal.synth_media(s, d)
+        ).select("doc_id", "frame_idx", "t_offset"),
     }
 
 
@@ -160,6 +168,29 @@ _COSINE_E = (
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings"
 )
+
+# the multimodal decode STUB (multimodal._decode_stub) in SQL: the fake
+# codec's metadata is arithmetic over the first 64 payload bytes, and the
+# synthetic payload is the utf-8 text (all-ASCII in the driver tables, so
+# ascii(char) == byte value)
+_MM_META_CTE = """
+WITH hsum AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         coalesce(list_aggregate(
+           list_transform(range(1, least(length(text), 64) + 1),
+                          i -> ascii(substr(text, i, 1))), 'sum'), 0) AS h
+  FROM documents
+), m AS (
+  SELECT doc_id, kind,
+         CAST(CASE WHEN kind <> 'audio' THEN 16 + h % 1024 ELSE 0 END AS INT) AS width,
+         CAST(CASE WHEN kind <> 'audio' THEN 16 + (h * 7) % 768 ELSE 0 END AS INT) AS height,
+         CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + h % 300 END AS INT) AS n_frames
+  FROM hsum
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -413,5 +444,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es > 0 THEN 'es'
                         ELSE 'und' END AS pred_lang
             FROM documents docs LEFT JOIN s ON s.doc_id = docs.doc_id
+        """,
+        "mm_media_features": _MM_META_CTE
+        + " SELECT doc_id, kind, width, height, n_frames FROM m",
+        "mm_resize": _MM_META_CTE
+        + """
+            SELECT doc_id,
+                   CAST(floor(width * s) AS INT) AS width,
+                   CAST(floor(height * s) AS INT) AS height,
+                   round(s, 6) AS scale
+            FROM (
+              SELECT doc_id, width, height,
+                     least(256.0 / width, 256.0 / height, 1.0) AS s
+              FROM m WHERE kind = 'image'
+            )
+        """,
+        "mm_frame_sample": _MM_META_CTE
+        + """
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   round(frame_idx / 30.0, 6) AS t_offset
+            FROM (
+              SELECT doc_id, unnest(range(0, n_frames, 30)) AS frame_idx
+              FROM m WHERE kind = 'video'
+            )
         """,
     }

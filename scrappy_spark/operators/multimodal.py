@@ -106,9 +106,88 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, scale double"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, t_offset double, frame binary"
+
+
+def resize_images(
+    media: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-preserving resize plumbing over image-kind rows (one
+    mapInPandas pass, filter pushed before the UDF so only images pay).
+    The pixel work is the stubbed part — a real deployment swaps the body
+    for PIL `Image.resize` — but the contract is real and tested: scale =
+    min(max_w/w, max_h/h, 1), output dims rounded down, payload passed
+    through as the (fake) resized blob."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            rows = []
+            for (doc_id, payload), m in zip(
+                zip(pdf["doc_id"], pdf["payload"]), dims
+            ):
+                w, h = m["width"], m["height"]
+                scale = min(max_w / w, max_h / h, 1.0)
+                rows.append(
+                    (
+                        doc_id,
+                        payload,  # STUB: a real codec returns re-encoded bytes
+                        int(w * scale),
+                        int(h * scale),
+                        round(scale, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height", "scale"]
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plumbing over video-kind rows: one input row
+    explodes to ceil(n_frames / every_n) frame rows — the fan-out shape
+    (and batch memory profile) of a real ffmpeg keyframe sampler. The
+    frame bytes are a deterministic fake slice of the payload (STUB);
+    t_offset assumes the stub's nominal 30 fps."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, kind in zip(
+                pdf["doc_id"], pdf["payload"], pdf["kind"]
+            ):
+                n_frames = _decode_stub(payload, kind)["n_frames"]
+                for i, f_idx in enumerate(range(0, n_frames, every_n)):
+                    blob = payload or b"\x00"
+                    start = (f_idx * 7) % max(1, len(blob))
+                    rows.append(
+                        (
+                            doc_id,
+                            f_idx,
+                            round(f_idx / 30.0, 6),
+                            blob[start : start + 16],  # STUB frame bytes
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "t_offset", "frame"]
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: synth media → decode/featurize → typed metadata.
-    Rows-only oracle (the decode stub is not SQL-expressible by design)."""
+    Fully oracle-checked: the decode STUB is deterministic arithmetic over
+    payload bytes, so the DuckDB side reproduces every value — the codec
+    body is the only swap point for a real deployment."""
     return extract_features(synth_media(spark, sf_dir)).select(
         "doc_id", "kind", "width", "height", "n_frames"
     )

@@ -71,3 +71,40 @@ def test_formats():
     assert formats.wikify("hello  world") == "HelloWorld"
     assert formats.underscore("Hello World") == "hello_world"
     assert formats.clean("a  b\n c") == "a b c"
+
+
+def test_resize_plumbing(spark, sf_dir):
+    """Aspect-preserving resize contract over image-kind rows only."""
+    from scrappy_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, sf_dir)
+    out = multimodal.resize_images(media, max_w=256, max_h=256)
+    rows = out.collect()
+    assert len(rows) == media.where("kind = 'image'").count() > 0
+    for r in rows:
+        assert 0 < r["width"] <= 256 and 0 < r["height"] <= 256
+        assert 0 < r["scale"] <= 1.0
+        assert r["payload"] is not None
+    # determinism
+    again = out.orderBy("doc_id").collect()
+    assert again == out.orderBy("doc_id").collect()
+
+
+def test_frame_sample_plumbing(spark, sf_dir):
+    """One video row explodes to ceil(n_frames/step) frame rows with
+    monotone t_offset and non-empty fake frame bytes."""
+    from scrappy_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, sf_dir)
+    frames = multimodal.sample_frames(media, every_n=30)
+    feats = multimodal.extract_features(media).where("kind = 'video'")
+    want = {
+        r["doc_id"]: -(-r["n_frames"] // 30) for r in feats.collect()
+    }
+    got = {}
+    for r in frames.collect():
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        assert r["frame_idx"] % 30 == 0
+        assert abs(r["t_offset"] - round(r["frame_idx"] / 30.0, 6)) < 1e-9
+        assert len(r["frame"]) > 0
+    assert got == want
