@@ -38,6 +38,57 @@ def pops_per_round(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+VIOLATION_SCHEMA = "host string, ts long, gap_ms long, total_fetches long"
+_AUDIT_STATE = "last_ts long, total long"
+
+
+def politeness_violations(
+    fetch_events: DataFrame, min_interval_ms: int = 1000
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-host politeness auditor. State per host = (last fetch ts, total
+    fetches), carried across micro-batches; every fetch closer than
+    ``min_interval_ms`` to the previous one on the same host emits a
+    violation row. This is the applyInPandasWithState shape the engine
+    uses for any custom keyed state the built-in windowed aggregations
+    can't express (the reference's politeness is a sleep, agent.rb:217 —
+    auditing it continuously is the Spark-native upgrade).
+
+    Input stream schema: (host string, ts long) — epoch millis.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def audit(key, pdfs, state):
+        (host,) = key
+        last_ts, total = state.get if state.exists else (-(10**18), 0)
+        out = []
+        events = []
+        for pdf in pdfs:
+            events.extend(int(t) for t in pdf["ts"])
+        for ts in sorted(events):
+            gap = ts - last_ts
+            total += 1
+            if gap < min_interval_ms:
+                out.append((host, ts, gap, total))
+            last_ts = ts
+        state.update((last_ts, total))
+        yield pd.DataFrame(
+            out, columns=["host", "ts", "gap_ms", "total_fetches"]
+        )
+
+    return (
+        fetch_events.groupBy("host")
+        .applyInPandasWithState(
+            audit,
+            outputStructType=VIOLATION_SCHEMA,
+            stateStructType=_AUDIT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_fetch_rate(
     fetch_events: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
 ) -> DataFrame:

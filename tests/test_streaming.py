@@ -36,6 +36,65 @@ def test_order_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) >= 2
 
 
+def test_politeness_violations_stateful(spark, tmp_path):
+    """applyInPandasWithState auditor: state must carry ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file), and
+    the violation set must equal a pure-Python replay of the events."""
+    import os
+
+    from scrappy_spark.streaming.state_stream import politeness_violations
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    batch1 = [("a.com", 0), ("a.com", 5000), ("b.com", 100)]
+    batch2 = [("a.com", 5400), ("b.com", 6000), ("b.com", 6200)]
+    spark.createDataFrame(batch1, "host string, ts long").coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame(batch2, "host string, ts long").coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    stream = (
+        spark.readStream.schema("host string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        politeness_violations(stream, min_interval_ms=1000)
+        .writeStream.format("memory")
+        .queryName("violations")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["ts"], r["gap_ms"], r["total_fetches"])
+        for r in spark.sql("SELECT * FROM violations").collect()
+    }
+
+    # pure-python golden over the same per-batch event order
+    want = set()
+    state = {}
+    for batch in (batch1, batch2):
+        per_host = {}
+        for h, t in batch:
+            per_host.setdefault(h, []).append(t)
+        for h, ts_list in per_host.items():
+            last, total = state.get(h, (-(10**18), 0))
+            for t in sorted(ts_list):
+                gap = t - last
+                total += 1
+                if gap < 1000:
+                    want.add((h, t, gap, total))
+                last = t
+            state[h] = (last, total)
+    # a.com: 5400 follows 5000 from the PREVIOUS batch (gap 400) — only
+    # cross-batch state catches it; b.com: 6200 follows 6000 in-batch
+    assert ("a.com", 5400, 400, 3) in want
+    assert got == want
+
+
 def test_windowed_fetch_rate_with_watermark(spark, tmp_path):
     src = str(tmp_path / "events")
     rows = [(f"2026-01-01 00:00:{s:02d}", f"http://h/{s}") for s in range(0, 35, 5)]
