@@ -75,8 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
         "sim_ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approx)
+        "sim_ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approx)
         # text analysis
         "text_token_count": textstats.token_count,
+        "text_token_count_bpe": textstats.token_count_bpe,
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
         "text_marker_langid": textstats.marker_langid,
@@ -388,6 +390,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+        """,
+        "text_token_count_bpe": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '{textstats.BPE_PATTERN}')) AS INT) AS n_bpe_tokens
+            FROM documents
         """,
         "text_quality": f"""
             WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)

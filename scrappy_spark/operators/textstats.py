@@ -30,6 +30,25 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenization classes (the GPT-2 pre-tokenizer's shape:
+# letter runs, digit runs, single punctuation marks) — portable between
+# Spark's Java regex and DuckDB's RE2
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token count: whitespace counts nothing, punctuation
+    tokenizes separately, letter and digit runs are single tokens — the
+    standard BPE PRE-tokenization granularity (the merge table itself is
+    model data, not an engine operator). Pure native expression."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword heuristics (the standard crawl
     quality gates, computed as pure expressions)."""

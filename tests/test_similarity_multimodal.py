@@ -108,3 +108,34 @@ def test_frame_sample_plumbing(spark, sf_dir):
         assert abs(r["t_offset"] - round(r["frame_idx"] / 30.0, 6)) < 1e-9
         assert len(r["frame"]) > 0
     assert got == want
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    exact = {
+        (r["q"], r["vec_id"])
+        for r in similarity.cosine_topk(spark, sf_dir, k=5).collect()
+    }
+    a = similarity.ann_ivf_topk(spark, sf_dir, k=5).orderBy("q", "rk").collect()
+    b = similarity.ann_ivf_topk(spark, sf_dir, k=5).orderBy("q", "rk").collect()
+    assert a == b  # seeded quantizer => same cells, same answers
+    approx = {(r["q"], r["vec_id"]) for r in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_token_count_bpe(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textstats.token_count_bpe(spark, sf_dir).collect()
+    }
+    import re
+
+    import duckdb  # independent recount on a sample
+
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') LIMIT 20"
+    ).fetchall()
+    pat = re.compile(textstats.BPE_PATTERN)
+    for doc_id, text in sample:
+        assert rows[doc_id] == len(pat.findall(text))
