@@ -122,3 +122,39 @@ def test_redirects_exact_match(spark, tmp_path):
     assert triples == golden.triples
     # the redirected-to docs actually contributed triples
     assert any(s in targets for s, _, _, _ in triples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=400),
+    st.sampled_from([1, 2, 4, 8]),
+)
+def test_sharded_cuckoo_never_false_negative(hashes, n_shards):
+    """Prefilter exactness contract (F-3): for ANY inserted hash set and
+    shard count, might_contain is True for every inserted hash —
+    saturation degrades to all-True, never to a false negative."""
+    import numpy as np
+
+    from scrappy_spark.frontier.cuckoo import ShardedCuckoo
+
+    h = np.array(hashes, dtype=np.int64).view(np.uint64)
+    sc = ShardedCuckoo(n_shards=n_shards, buckets_per_shard=64)
+    sc.insert_many(h)
+    if len(h):
+        assert sc.might_contain(h).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=24))
+def test_simhash_block_recall_property(fps):
+    """Pigeonhole recall, independent of any corpus: for ANY 32-bit
+    fingerprints, every pair at hamming ≤ 3 shares at least one exact
+    8-bit block — the equi-join blocking can never miss a qualifying
+    pair (the 2×16-bit scheme this replaced fails this property)."""
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            x = fps[i] ^ fps[j]
+            if bin(x).count("1") <= 3:
+                assert any(
+                    (x >> (8 * b)) & 0xFF == 0 for b in range(4)
+                ), f"no shared block for {fps[i]:08x}/{fps[j]:08x}"
