@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe": textstats.token_count_bpe,
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
+        "text_fingerprint_rolling": textstats.fingerprint_rolling,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
@@ -411,6 +412,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "text_fingerprint_rolling": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(
+                     range(1, greatest(length(t) - {textstats.ROLLING_K - 1}, 1) + 1),
+                     i -> {DUCK_HASH60.format(s=f"substr(t, i, {textstats.ROLLING_K})")}
+                   )) AS rolling_fp
+            FROM d
         """,
         "text_marker_langid": f"""
             WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

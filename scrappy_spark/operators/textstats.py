@@ -74,6 +74,33 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_K = 16  # rolling-window width (chars)
+
+
+def fingerprint_rolling(
+    spark: SparkSession, sf_dir: str, k: int = ROLLING_K
+) -> DataFrame:
+    """Rolling-window document fingerprint (the winnowing/Rabin shape):
+    hash every k-char window of the normalized text and keep the MINIMUM
+    window hash — robust to insertions outside the minimizing window,
+    unlike the whole-document digest (``fingerprint``). All native
+    expressions: sequence → substring windows → md5-derived hash →
+    array_min; the DuckDB oracle mirrors it exactly."""
+    from .text import hash60_col
+
+    d = _docs(spark, sf_dir).withColumn(
+        "t", F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    )
+    windows = F.expr(
+        f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)), "
+        f"i -> substring(t, i, {k}))"
+    )
+    min_h = F.array_min(
+        F.transform(windows, lambda w: hash60_col(w))
+    )
+    return d.select("doc_id", min_h.alias("rolling_fp"))
+
+
 def marker_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID — deterministic argmax with fixed
     priority (en > de > fr > es), 'und' when no marker hits."""
