@@ -200,7 +200,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "f3_seen_antijoin": """
             SELECT c_custkey FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
         """,
         "f4_firstwins_dedup": """
             SELECT l_orderkey, l_partkey, l_linenumber FROM (

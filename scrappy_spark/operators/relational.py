@@ -23,11 +23,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def f3_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-3 seen-set dedup (map_reduce.rb:40-42) ↔ left-anti join:
-    customers that never ordered. Broadcast the distinct key side."""
+    customers with no 'F'-status order. The "seen" side is a filtered
+    subset, so the result is non-empty on the driver testdata (the r2
+    variant — customers that never ordered — returned 0 rows on both
+    sides, a vacuous oracle; VERDICT r2 #2)."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    seen = orders.where(F.col("o_orderstatus") == "F")
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        seen, customer.c_custkey == seen.o_custkey, "left_anti"
     ).select("c_custkey")
 
 

@@ -82,7 +82,21 @@ def lsh_sign_buckets(
 ) -> DataFrame:
     """(vec_id, table, bucket): sign-bit bucket per hash table, computed in
     one vectorized pandas UDF (matrix multiply per Arrow batch)."""
-    emb = _emb(spark, sf_dir)
+    return lsh_sign_buckets_from(
+        spark, _emb(spark, sf_dir), n_planes, n_tables, seed
+    )
+
+
+def lsh_sign_buckets_from(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The bucket kernel over any (vec_id, v) DataFrame — separated so the
+    near-dup path (dedup.embedding_near_pairs) and planted-vector tests
+    reuse the exact same bucketing."""
     dim = len(emb.select("v").first()["v"])
     planes = [
         _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)

@@ -65,6 +65,65 @@ def test_embedding_cosine_no_nested_loop_and_exact(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_embedding_cosine_block_partitioned_matches_brute(spark, sf_dir):
+    """The shipped plan (block-partitioned, no driver collect) must equal
+    the brute broadcast baseline bit-for-bit — including the multi-block
+    path (block_rows small enough that B > 1 forces real block-pair
+    fan-out + shuffle)."""
+    brute = {
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_cosine_brute(spark, sf_dir, 0.35).collect()
+    }
+    assert len(brute) > 0
+    for block_rows in (1 << 20, 64):  # B == 1 and B == ceil(n/64)
+        got = {
+            (r["a"], r["b"], r["cosine"])
+            for r in dedup.embedding_cosine_pairs(
+                spark, sf_dir, 0.35, block_rows=block_rows
+            ).collect()
+        }
+        assert got == brute
+
+
+def test_embedding_near_pairs_planted_clusters_full_recall(spark):
+    """LSH-bucketed near-dup (the 100 TB path, no driver collect) ==
+    brute force on planted 0.99-clusters among random decoys: candidates
+    come only from sign buckets, so this checks both recall (no true pair
+    lost to bucketing) and precision (exact verify drops bucket noise).
+    The driver embeddings top out at cosine ~0.6 (measured), so a 0.99
+    driver-oracle entry would be vacuous — this planted test is the
+    gate."""
+    rng = np.random.RandomState(7)
+    rows, vid = [], 0
+    for _ in range(10):  # 10 clusters of 3 near-identical vectors
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.standard_normal(64) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(100):  # decoys
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_pairs_from(spark, emb, 0.99).collect()
+    }
+    mat = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    nrm = np.sqrt((mat * mat).sum(1))
+    cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+    want = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(cos[i, j], 6) >= 0.99
+    }
+    assert got == want and len(want) >= 30
+
+
 def test_lsh_bucket_cap_drops_mega_cluster(spark, tmp_path, monkeypatch):
     """A mega-duplicate cluster (one bucket with every doc) must not
     materialize |bucket|² pairs when the cap bites; distinct near-dup
