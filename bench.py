@@ -81,15 +81,49 @@ def _crawl_bench(spark, n_docs: int, cpus: int) -> dict:
         web.unpersist()
 
 
-def _session(cpus: int):
+def _session(cpus: int, master: str | None = None):
     from scrappy_spark.session import get_spark
 
     # generous heap: the bench persists multi-GB synthetic webs; eviction
     # would silently re-run the (Python) generator inside timed sections
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     return get_spark(
-        f"bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        f"bench-{cpus}",
+        master=master or f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
     )
+
+
+def _fixed_cost(spark, sf_dir: str) -> dict[str, float]:
+    """Split the ~0.4–0.9 s floor every trivial bench query pays
+    (VERDICT r2 #7): job-submission floor (noop write of a 1k range),
+    cold + warm full scans of the two operator inputs, and the same
+    trivial operator run twice in one session. The numbers land in
+    BASELINE.md's bench-methodology note."""
+    from scrappy_spark.operators import textstats
+
+    out = {}
+    t0 = time.monotonic()
+    spark.range(1000).write.format("noop").mode("overwrite").save()
+    out["noop_job_sec"] = round(time.monotonic() - t0, 3)
+    for name in ("documents", "embeddings"):
+        t0 = time.monotonic()
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"scan_{name}_cold_sec"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"scan_{name}_warm_sec"] = round(time.monotonic() - t0, 3)
+    for run in ("first", "second"):
+        t0 = time.monotonic()
+        textstats.fingerprint(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"fingerprint_{run}_sec"] = round(time.monotonic() - t0, 3)
+    return out
 
 
 def main() -> None:
@@ -107,6 +141,8 @@ def main() -> None:
     spark = _session(cpus)
     t_total0 = time.monotonic()
     queries = _bench_queries(spark, sf_dir)
+    fixed = _fixed_cost(spark, sf_dir)  # after the queries: their timings
+    # stay comparable across rounds; this measures the warm-session floor
     crawl = _crawl_bench(spark, n_docs, cpus)
     total = time.monotonic() - t_total0
 
@@ -115,6 +151,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "fixed_cost": fixed,
         "sf": sf,
         **crawl,
         "cpus": cpus,
@@ -151,35 +188,65 @@ def _extract_bench(spark, n_docs: int) -> float:
 
 
 def _scaling_protocol(n_docs: int) -> dict:
-    """N vs 4N evidence (BASELINE.json): same job at local[8] and
-    local[32], each in a FRESH subprocess (a reused JVM carries GC/memory
-    state from the previous level and contaminates the measurement).
+    """N vs 4N evidence (BASELINE.json): same job at N and 4N cores, each
+    level in a FRESH subprocess (a reused JVM carries GC/memory state from
+    the previous level and contaminates the measurement).
     A = end-to-end crawl (includes checkpoint IO + shuffles, which share
     ONE box's bandwidth in the sandbox); B = CPU-bound extraction stage
-    (clean core-scaling signal)."""
+    (clean core-scaling signal).
+
+    SPARK_GRAFT_SCALING_MODE selects the topology:
+      local    (default) single JVM — local[8] vs local[32]
+      cluster  separate executor JVMs (VERDICT r2 #4: isolates GC and
+               per-executor memory channels, the closest sandbox analog to
+               'executors with their own channels') —
+               local-cluster[2,4,8192] vs local-cluster[8,4,8192]
+      both     all four legs."""
     import subprocess
 
-    crawl, extract = {}, {}
-    for c in (8, 32):
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "local")
+    legs: list[tuple[str, str, int]] = []
+    if mode in ("local", "both"):
+        legs += [("local8", "local[8]", 8), ("local32", "local[32]", 32)]
+    if mode in ("cluster", "both"):
+        legs += [
+            ("cluster2x4", "local-cluster[2,4,8192]", 8),
+            ("cluster8x4", "local-cluster[8,4,8192]", 32),
+        ]
+    crawl, extract, loads = {}, {}, {}
+    for name, master, cores in legs:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(c), str(n_docs)],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--scale-worker",
+                str(cores),
+                str(n_docs),
+                master,
+            ],
             capture_output=True,
             text=True,
             check=True,
         )
         vals = json.loads(r.stdout.strip().splitlines()[-1])
-        crawl[f"local{c}"] = vals["urls_per_sec"]
-        extract[f"local{c}"] = vals["extract_docs_per_sec"]
-    return {
+        crawl[name] = vals["urls_per_sec"]
+        extract[name] = vals["extract_docs_per_sec"]
+        loads[name] = [vals["loadavg_before"], vals["loadavg_after"]]
+    out: dict = {
         "crawl_urls_per_sec": crawl,
-        "crawl_efficiency_n_to_4n": round(
-            (crawl["local32"] / crawl["local8"]) / 4, 3
-        ),
         "extract_docs_per_sec": extract,
-        "extract_efficiency_n_to_4n": round(
-            (extract["local32"] / extract["local8"]) / 4, 3
-        ),
+        "loadavg": loads,
     }
+    pairs = {"": ("local8", "local32"), "cluster_": ("cluster2x4", "cluster8x4")}
+    for prefix, (a, b) in pairs.items():
+        if a in crawl:
+            out[f"crawl_{prefix}efficiency_n_to_4n"] = round(
+                (crawl[b] / crawl[a]) / 4, 3
+            )
+            out[f"extract_{prefix}efficiency_n_to_4n"] = round(
+                (extract[b] / extract[a]) / 4, 3
+            )
+    return out
 
 
 def _scale_crawl_bench(spark, cpus: int) -> dict:
@@ -217,11 +284,11 @@ def _scale_crawl_bench(spark, cpus: int) -> dict:
         web.unpersist()
 
 
-def _scale_worker(cpus: int, n_docs: int) -> None:
+def _scale_worker(cpus: int, n_docs: int, master: str | None = None) -> None:
     # extraction first: it is the clean CPU-scaling signal and must not
     # inherit the crawl bench's JVM heap churn
     load0 = os.getloadavg()[0]
-    spark = _session(cpus)
+    spark = _session(cpus, master=master)
     docs_s = _extract_bench(spark, 400_000)
     crawl = _scale_crawl_bench(spark, cpus)
     print(
@@ -242,6 +309,10 @@ def _scale_worker(cpus: int, n_docs: int) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        _scale_worker(int(sys.argv[2]), int(sys.argv[3]))
+        _scale_worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            sys.argv[4] if len(sys.argv) > 4 else None,
+        )
     else:
         main()

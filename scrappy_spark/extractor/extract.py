@@ -64,6 +64,46 @@ def extract_triples(docs: DataFrame, kb: tuple[Fragment, ...]) -> DataFrame:
     )
 
 
+def extract_triples_tagged(
+    docs: DataFrame, kbs: list[tuple[str, tuple[Fragment, ...]]]
+) -> DataFrame:
+    """Run MANY candidate KBs over the documents table in ONE pass,
+    tagging each output triple with its candidate id — the hill-climb
+    batch-scoring path (VERDICT r2 #6: one distributed extraction per
+    optimizer iteration instead of one per candidate). Each document's
+    span list is decoded once and interpreted under every candidate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for uri, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None or len(spans) == 0:
+                    continue
+                span_dicts = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in spans
+                ]
+                if not semantics.is_html(span_dicts):
+                    continue
+                for cid, kb in kbs:
+                    for s, p, o, lit in extract_document(kb, uri, span_dicts):
+                        rows.append((cid, s, p, o, lit, uri))
+            yield pd.DataFrame(
+                rows, columns=["cand", "s", "p", "o", "is_literal", "src_uri"]
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(
+        run,
+        "cand string, s string, p string, o string, is_literal boolean, "
+        "src_uri string",
+    )
+
+
 class FragmentExtractor:
     def __init__(self, kb: tuple[Fragment, ...]):
         self.kb = kb

@@ -310,6 +310,14 @@ class Crawler:
 
     def _restore(self, last: int) -> int:
         """Rebuild in-memory state from committed deltas (kill-resume)."""
+        # reset filter state (ADVICE r2): a SECOND run() on the same
+        # instance would otherwise hit the cuckoo delta-merge branch with
+        # the FULL seen set as the delta, double-inserting every entry
+        if self._filter_bc is not None:
+            self._filter_bc.destroy()
+            self._filter_bc = None
+        self._bloom = None
+        self._bloom_capacity = 0
         m = self.store.manifest(last)
         enq = self.store.read_seen(self.spark, upto=last)
         popped = self.store.read_all(self.spark, "order", upto=last)
@@ -610,16 +618,6 @@ class Crawler:
         }
         self.store.commit(rnd, meta)
 
-        # fold seen deltas into the bucketed base once the tail is
-        # compact_every rounds deep — per-round seen reads stay O(tail)
-        base = self.store.seen_base()
-        if (
-            self._seen_rows > self._base_rows
-            and rnd - (base["upto"] if base else 0) >= self.cfg.compact_every
-        ):
-            self.store.compact_seen(self.spark, upto=rnd)
-            self._base_rows = self._seen_rows
-
         # eager-materializes (see _set_frontier) — only then is it safe to
         # drop the caches the round plan was built from
         self._set_frontier(
@@ -637,6 +635,25 @@ class Crawler:
         self._retired_bcs.clear()
         if hasattr(self.extractor, "cleanup"):
             self.extractor.cleanup()
+
+        # fold seen deltas into the bucketed base once the tail is
+        # compact_every rounds deep — per-round seen reads stay O(tail).
+        # Runs LAST (ADVICE r2): compaction deletes the old base version
+        # and folded deltas, so every live plan with lineage into those
+        # files (the frontier pre-checkpoint, the persisted base cache)
+        # must be materialized/retired first; the base cache is dropped
+        # here and rebuilt from the NEW base on next use.
+        base = self.store.seen_base()
+        if (
+            self._seen_rows > self._base_rows
+            and rnd - (base["upto"] if base else 0) >= self.cfg.compact_every
+        ):
+            self.store.compact_seen(self.spark, upto=rnd)
+            self._base_rows = self._seen_rows
+            if self._seen_base_cache is not None:
+                self._seen_base_cache.unpersist()
+                self._seen_base_cache = None
+                self._seen_base_upto = -2
         return meta["next_seq"], n_popped
 
     # -- seen-membership join sides (the scale path of F-3) ---------------

@@ -148,11 +148,15 @@ class CuckooFilter:
         return buckets, self.table[buckets, slots]
 
     def insert_pairs(self, buckets: np.ndarray, fps: np.ndarray) -> None:
-        """Merge another (same-sized) filter's entries into this one."""
+        """Merge another (same-sized) filter's entries into this one.
+        A failed insert marks the filter saturated (all-True for its hash
+        range — safe, never a false negative) but the remaining pairs are
+        STILL inserted (ADVICE r2): entries that do fit keep the table
+        closer to complete, shrinking rebuild pressure if the saturation
+        flag is later cleared by a larger rebuild."""
         for b, fp in zip(buckets, fps):
             if not self._insert_from(int(b), int(fp)):
                 self.saturated = True
-                return
 
 
 def _rot_out_shard_bits(h: np.ndarray, n_shards: int) -> np.ndarray:

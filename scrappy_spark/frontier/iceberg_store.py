@@ -84,14 +84,20 @@ class IcebergCrawlStore(CrawlStore):
     def write_delta(self, table: str, rnd: int, df: DataFrame, max_files: int = 8):
         if table != "order":
             df = df.withColumn("round", F.lit(rnd))
+        # row count from OUR DataFrame, not from the table's latest
+        # snapshot (ADVICE r2): a concurrent writer on the same table can
+        # interleave commits, and misattributed added-records would
+        # corrupt the manifest seen_rows/frontier_rows used for resume.
+        # The count re-reads cached round intermediates (cheap); the
+        # snapshot id recorded for lineage is best-effort.
+        rows = df.count()
         df.writeTo(self._tbl(table)).append()
         snap = (
             self.spark.sql(
-                f"SELECT snapshot_id, summary FROM {self._tbl(table)}.snapshots "
+                f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "
                 "ORDER BY committed_at DESC LIMIT 1"
             ).collect()[0]
         )
-        rows = int(snap["summary"].get("added-records", "0"))
         return {
             "rows": rows,
             "partitions": {"snapshot": str(snap["snapshot_id"])},

@@ -43,6 +43,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local-cluster[…]: separate executor JVMs spawn their own Python
+        # workers — ship the package root explicitly (local[…] inherits
+        # the env set above; a real cluster uses spark-submit --py-files)
+        .config("spark.executorEnv.PYTHONPATH", pkg_root)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -53,6 +53,46 @@ class Repository:
         df = df.withColumn("day", (F.col("extracted_at") / 86400).cast("long"))
         df.write.mode("append").partitionBy("day").parquet(self.path)
 
+    def store_bulk(
+        self, uris: list[str], triples: DataFrame | None, extracted_at: int
+    ) -> None:
+        """Write-through for a whole observe tick in ONE partitioned write
+        (O(1) Spark jobs in the watch-list size — the per-URI store loop
+        was VERDICT r2 #5). ``triples`` carries ``src_uri``; only rows for
+        ``uris`` are stored, and every URI with no extracted triples gets
+        the sentinel row (agent.rb:187 semantics, same as store())."""
+        uris_df = self.spark.createDataFrame([(u,) for u in uris], "uri string")
+        ts = F.lit(extracted_at).cast("long").alias("extracted_at")
+        if triples is None:
+            covered = None
+        else:
+            rows = (
+                triples.join(
+                    F.broadcast(uris_df),
+                    triples.src_uri == uris_df.uri,
+                )
+                .select("uri", ts, "s", "p", "o", "is_literal")
+            )
+            covered = triples.select(
+                F.col("src_uri").alias("uri")
+            ).distinct()
+        missing = (
+            uris_df
+            if covered is None
+            else uris_df.join(covered, "uri", "left_anti")
+        )
+        sentinels = missing.select(
+            "uri",
+            ts,
+            F.col("uri").alias("s"),
+            F.lit(SENTINEL_P).alias("p"),
+            F.lit(SENTINEL_O).alias("o"),
+            F.lit(False).alias("is_literal"),
+        )
+        df = sentinels if covered is None else rows.unionByName(sentinels)
+        df = df.withColumn("day", (F.col("extracted_at") / 86400).cast("long"))
+        df.write.mode("append").partitionBy("day").parquet(self.path)
+
     def _table(self) -> DataFrame | None:
         if not os.path.isdir(self.path):
             return None
@@ -76,21 +116,27 @@ class Repository:
             ~((F.col("p") == SENTINEL_P) & (F.col("o") == SENTINEL_O))
         ).select("s", "p", "o", "is_literal")
 
-    def stale_uris(self, watched: list[str], now: int) -> list[str]:
-        """Observe-mode gate (F-15): which watched URIs lack a recent
-        context and need a re-crawl."""
+    def fresh_times(self, watched: list[str], now: int) -> dict[str, int]:
+        """uri -> latest in-window extracted_at, for watched URIs with a
+        recent context. One partition-pruned aggregate job; the observer's
+        freshness filter re-tracks keys from these timestamps."""
         t = self._table()
         if t is None:
-            return list(watched)
-        fresh = {
-            r["uri"]
+            return {}
+        return {
+            r["uri"]: r["ts"]
             for r in t.where(
                 F.col("uri").isin(list(watched))
                 & (F.col("extracted_at") >= now - self.window_seconds)
                 & (F.col("day") >= (now - self.window_seconds) // 86400)
             )
-            .select("uri")
-            .distinct()
+            .groupBy("uri")
+            .agg(F.max("extracted_at").alias("ts"))
             .collect()
         }
+
+    def stale_uris(self, watched: list[str], now: int) -> list[str]:
+        """Observe-mode gate (F-15): which watched URIs lack a recent
+        context and need a re-crawl."""
+        fresh = self.fresh_times(watched, now)
         return [u for u in watched if u not in fresh]

@@ -72,3 +72,14 @@ def test_cuckoo_crawl_exact_match(spark, tmp_path):
     assert seen == golden.seen
     # the cuckoo was actually engaged
     assert crawler._bloom is not None and crawler._bloom.count > 0
+
+    # re-running the SAME instance (finished crawl: restore, no new work)
+    # must not double-insert the seen set into a rebuilt filter
+    # (ADVICE r2: _restore reused the stale _bloom as a merge target)
+    count_after_first = crawler._bloom.count
+    crawler.run(seeds)
+    assert crawler._bloom.count == count_after_first
+    assert [
+        (r["seq"], r["uri"], r["depth"])
+        for r in crawler.order_df().orderBy("round", "seq").collect()
+    ] == golden.order

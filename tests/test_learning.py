@@ -164,6 +164,54 @@ def test_hill_climb_rolls_back_harmful_merge(spark):
     assert len(optimized) == 2  # merge rejected, original KB kept
 
 
+def test_hill_climb_one_extraction_pass_per_iteration(spark, monkeypatch):
+    """Batched scoring (VERDICT r2 #6): each hill-climb iteration runs
+    exactly ONE tagged extraction over the documents, regardless of how
+    many candidate merges it considers."""
+    import scrappy_spark.learning.optimize as opt
+
+    calls: list[int] = []
+    real = opt.extract_triples_tagged
+
+    def counting(docs, kbs):
+        calls.append(len(kbs))
+        return real(docs, kbs)
+
+    monkeypatch.setattr(opt, "extract_triples_tagged", counting)
+
+    def root(fid, lo, hi):
+        f1, _ = _price_kb()
+        sub = f1.subfragments[0]
+        from dataclasses import replace
+
+        sel = replace(sub.selectors[0], min_offset=lo, max_offset=hi)
+        return replace(
+            f1,
+            fid=fid,
+            subfragments=(replace(sub, fid=f"{fid}_lit", selectors=(sel,)),),
+        )
+
+    docs = {
+        "http://ex.com/a": [_sp("text", "price one", 3)],
+        "http://ex.com/b": [_sp("text", "price two", 5)],
+        "http://ex.com/c": [_sp("text", "price three", 7)],
+    }
+    golden = spark.createDataFrame(
+        [
+            ("http://ex.com/a", "http://ex.com/a", "ex:price", "price one"),
+            ("http://ex.com/b", "http://ex.com/b", "ex:price", "price two"),
+            ("http://ex.com/c", "http://ex.com/c", "ex:price", "price three"),
+        ],
+        "sample string, s string, p string, o string",
+    )
+    kb = (root("f1", 3, 3), root("f2", 5, 5), root("f3", 7, 7))
+    optimized, score = learning.hill_climb(kb, _docs_df(spark, docs), golden)
+    assert score == 1.0 and len(optimized) == 1  # merged all the way down
+    assert all(c >= 1 for c in calls)
+    assert max(calls) >= 3  # a 3-fragment iteration considers 3 pairs…
+    assert len(calls) <= 3  # …in ONE pass (iterations, not candidates)
+
+
 # ---------------------------------------------------------------- A-8
 
 
