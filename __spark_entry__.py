@@ -7,9 +7,11 @@ spans-web derived from the sf0.001 documents table.
 SURVEY.md §2 plus the training-data pipeline operators (dedup, similarity,
 text analysis, multimodal). Every aggregate/computed column is aliased
 identically on both sides; fp-sensitive values are rounded on both sides.
-Ops without an oracle entry (crawl, LSH-ANN, media decode — inherently
-approximate or stubbed) get the driver's rows-only check and are
-additionally golden-tested in tests/.
+Ops without an oracle entry get the driver's rows-only check and are
+additionally golden-tested in tests/ — after round 3 the only such entry
+is the IVF ANN (its k-means quantizer is not SQL-expressible); even the
+LSH-based approximate ops are fully value-oracled (md5-derived planes,
+see operators/similarity.py).
 """
 
 from __future__ import annotations
@@ -72,9 +74,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(s, d, 0.35),
+        # LSH-bucketed near-dup with md5-derived planes: the oracle
+        # reproduces the BUCKETS (candidate generation), not just the
+        # exact verify. 0.45 because this table's max pair cosine is 0.51
+        # (a 0.99 entry would be a vacuous 0=0 oracle); production
+        # default stays 0.99 (see dedup.embedding_near_pairs docstring)
+        "dedup_embedding_near": lambda s, d: dedup.embedding_near_pairs(s, d, 0.45),
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
-        "sim_ann_lsh_topk": similarity.ann_lsh_topk,  # rows-only (approx)
+        # approximate top-k, yet fully value-oracled: md5 planes +
+        # sequential sign dots make the BUCKETS DuckDB-reproducible
+        "sim_ann_lsh_topk": similarity.ann_lsh_topk,
         "sim_ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approx)
         # text analysis
         "text_token_count": textstats.token_count,
@@ -110,6 +120,29 @@ WITH tokd AS (
   )
 )
 """
+
+def _duck_lsh_buckets(n_tables: int, n_planes: int) -> str:
+    """CTE body reproducing similarity.lsh_sign_buckets_md5_from exactly:
+    md5-derived plane components ((hash60/2^60)*2-1) and a SEQUENTIAL
+    float64 dot fold (list_dot_product) — the sign decisions, hence the
+    buckets, are bit-identical to the Spark pandas-UDF kernel."""
+    return f"""
+            planes AS (
+              SELECT t.range AS t, p.range AS p,
+                     list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)),
+                       j -> (CAST(concat('0x', substr(md5(
+                                concat(t.range, ':', p.range, ':', j)),
+                                1, 15)) AS BIGINT)
+                             / 1152921504606846976.0) * 2 - 1) AS c
+              FROM range({n_tables}) t, range({n_planes}) p
+            ),
+            buckets AS (
+              SELECT e.vec_id, pl.t,
+                     sum(CASE WHEN list_dot_product(e.v, pl.c) >= 0
+                              THEN 1 << pl.p ELSE 0 END) AS bucket
+              FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t
+            )"""
+
 
 _MINHASH_AGGS = ",\n    ".join(
     f"min({DUCK_HASH60.format(s=repr(str(i) + ':') + ' || sh')}) AS h{i}"
@@ -377,6 +410,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(l.v, r.v)
                         / (sqrt(list_dot_product(l.v, l.v))
                            * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.35
+        """,
+        "dedup_embedding_near": f"""
+            WITH e AS ({_COSINE_E}),
+            {_duck_lsh_buckets(dedup.NEAR_TABLES, dedup.NEAR_PLANES)},
+            capped AS (
+              SELECT vec_id, t, bucket FROM buckets
+              QUALIFY count(*) OVER (PARTITION BY t, bucket)
+                      <= {dedup.NEAR_MAX_BUCKET}
+            ),
+            cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM capped l JOIN capped r
+              ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+            )
+            SELECT a, b, cosine FROM (
+              SELECT cand.a, cand.b,
+                     round(list_dot_product(ea.v, eb.v)
+                           / (sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+              FROM cand
+              JOIN e ea ON ea.vec_id = cand.a
+              JOIN e eb ON eb.vec_id = cand.b)
+            WHERE cosine >= 0.45
+        """,
+        "sim_ann_lsh_topk": f"""
+            WITH e AS ({_COSINE_E}),
+            {_duck_lsh_buckets(16, 4)},
+            qb AS (SELECT vec_id AS q, t, bucket FROM buckets
+                   WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT qb.q, b.vec_id
+              FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+              WHERE b.vec_id <> qb.q
+            ),
+            s AS (
+              SELECT cand.q, cand.vec_id,
+                     round(list_dot_product(eq.v, ev.v)
+                           / (sqrt(list_dot_product(eq.v, eq.v))
+                              * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cosine
+              FROM cand
+              JOIN e eq ON eq.vec_id = cand.q
+              JOIN e ev ON ev.vec_id = cand.vec_id)
+            SELECT q, vec_id, cosine, rk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q
+                             ORDER BY cosine DESC, vec_id) AS INT) AS rk
+              FROM s) WHERE rk <= 5
         """,
         "sim_cosine_topk": f"""
             WITH e AS ({_COSINE_E}),

@@ -308,7 +308,6 @@ def embedding_cosine_pairs(
     emb = _read_emb(spark, sf_dir)
     n = emb.count()  # scalar sizing job (no data leaves the executors)
     n_blocks = max(1, -(-n // block_rows))
-    d_dim = len(emb.select("v").first()["v"])
 
     # block-pair fan-out: row in block k joins groups (k, k..B-1) and
     # (0..k-1, k) — every unordered block pair exactly once, as a native
@@ -338,7 +337,8 @@ def embedding_cosine_pairs(
         bi, bj = int(key[0]), int(key[1])
         left = pdf[pdf["blk"] == bi]
         right = pdf[pdf["blk"] == bj]
-        l_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"a": [], "b": [], "raw": []})
         r_ids = right["vec_id"].to_numpy(dtype=np.int64)
         R = np.array(list(right["v"]), dtype=np.float64)
         r_norm = np.sqrt(_np_seq_sqnorm(R))
@@ -348,7 +348,7 @@ def embedding_cosine_pairs(
             a_ids = chunk["vec_id"].to_numpy(dtype=np.int64)
             A = np.array(list(chunk["v"]), dtype=np.float64)
             acc = np.zeros((len(A), len(R)))
-            for j in range(d_dim):  # sequential fold order (see docstring)
+            for j in range(R.shape[1]):  # sequential fold order (docstring)
                 acc = acc + A[:, j : j + 1] * R[:, j]
             cos = acc / (np.sqrt(_np_seq_sqnorm(A))[:, None] * r_norm[None, :])
             mask = cos >= premask
@@ -422,6 +422,12 @@ def embedding_cosine_brute(
 
 NEAR_PLANES = 8  # sign bits per LSH table (bucket space = 2^8)
 NEAR_TABLES = 16  # miss prob per true 0.99-pair ≈ (1-(1-θ/π)^8)^16 ≈ 7e-9
+NEAR_MAX_BUCKET = 1_000  # same skew contract as LSH_MAX_BUCKET: a sign
+# bucket holding a degenerate direction (e.g. a mega-cluster of identical
+# embeddings) is O(|bucket|²) in the candidate self-join; buckets past the
+# cap are dropped IN BOTH ENGINES (the cap is part of the checked oracle
+# semantics), and a true pair in a dropped bucket can still surface via
+# its other n_tables-1 tables.
 
 
 def embedding_near_pairs(
@@ -430,7 +436,7 @@ def embedding_near_pairs(
     threshold: float = 0.99,
     n_planes: int = NEAR_PLANES,
     n_tables: int = NEAR_TABLES,
-    seed: int = 42,
+    max_bucket: int = NEAR_MAX_BUCKET,
 ) -> DataFrame:
     """High-threshold near-duplicate pairs, the 100 TB-shaped path:
     candidates come from LSH sign buckets (pairs sharing any
@@ -439,12 +445,18 @@ def embedding_near_pairs(
     value, so precision is 1.0 and only recall is probabilistic (bounded
     by the table count — see NEAR_TABLES). No driver collect anywhere.
 
-    Exactness on real near-dups is tested against embedding_cosine_brute
-    on planted 0.99-clusters (tests/test_dedup_ops.py); the driver tables
-    carry no pairs above cosine 0.61 (measured), so a 0.99 driver-oracle
-    entry would be vacuous (0 = 0) — the planted test is the gate."""
+    Fully oracle-checkable (driver entry `dedup_embedding_near`): the
+    hyperplanes are md5-derived and the sign dots fold sequentially
+    (similarity.lsh_sign_buckets_md5_from), so DuckDB reproduces the
+    BUCKETS bit-for-bit, not just the exact-cosine verify — the oracle
+    checks candidate generation and verification together. The driver
+    entry runs at threshold 0.45 (this table's max off-diagonal cosine is
+    0.51, so 0.99 would be a vacuous 0=0 oracle); recall at the
+    production 0.99 default is gated by the planted-cluster test vs
+    embedding_cosine_brute (tests/test_dedup_ops.py)."""
     return embedding_near_pairs_from(
-        spark, _read_emb(spark, sf_dir), threshold, n_planes, n_tables, seed
+        spark, _read_emb(spark, sf_dir), threshold, n_planes, n_tables,
+        max_bucket,
     )
 
 
@@ -454,13 +466,19 @@ def embedding_near_pairs_from(
     threshold: float = 0.99,
     n_planes: int = NEAR_PLANES,
     n_tables: int = NEAR_TABLES,
-    seed: int = 42,
+    max_bucket: int = NEAR_MAX_BUCKET,
 ) -> DataFrame:
     """The bucket-candidate + exact-verify kernel over any (vec_id, v)
     DataFrame — separated so planted-vector tests drive it directly."""
-    from .similarity import _cosine, lsh_sign_buckets_from
+    from .similarity import _cosine, lsh_sign_buckets_md5_from
 
-    b = lsh_sign_buckets_from(spark, emb, n_planes, n_tables, seed)
+    b = lsh_sign_buckets_md5_from(spark, emb, n_planes, n_tables)
+    w = Window.partitionBy("table", "bucket")
+    b = (
+        b.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(

@@ -66,55 +66,51 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes (fixed seed → same buckets
-    on every run and every cluster size)."""
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+def md5_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Hyperplane components derived from md5 — reproducible ANYWHERE
+    (numpy, DuckDB SQL, any future engine): component (t, p, j) =
+    (hash60(f"{t}:{p}:{j}") / 2^60) * 2 - 1 ∈ [-1, 1), hash60 being the
+    same 60-bit md5 prefix the text operators mirror in DuckDB (text.py).
+    Uniform-per-coordinate rather than Gaussian — fine for sign-LSH
+    (the exact-verify step carries correctness; planes only shape
+    recall, which the planted-cluster tests measure)."""
+    import hashlib
+
+    c = np.empty((n_tables * n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[:15], 16
+                )
+                c[t * n_planes + p, j] = (h / 2**60) * 2 - 1
+    return c
 
 
-def lsh_sign_buckets(
-    spark: SparkSession,
-    sf_dir: str,
-    n_planes: int = 4,
-    n_tables: int = 16,
-    seed: int = 42,
+def lsh_sign_buckets_md5_from(
+    spark: SparkSession, emb: DataFrame, n_planes: int, n_tables: int
 ) -> DataFrame:
-    """(vec_id, table, bucket): sign-bit bucket per hash table, computed in
-    one vectorized pandas UDF (matrix multiply per Arrow batch)."""
-    return lsh_sign_buckets_from(
-        spark, _emb(spark, sf_dir), n_planes, n_tables, seed
-    )
-
-
-def lsh_sign_buckets_from(
-    spark: SparkSession,
-    emb: DataFrame,
-    n_planes: int = 4,
-    n_tables: int = 16,
-    seed: int = 42,
-) -> DataFrame:
-    """The bucket kernel over any (vec_id, v) DataFrame — separated so the
-    near-dup path (dedup.embedding_near_pairs) and planted-vector tests
-    reuse the exact same bucketing."""
+    """(vec_id, table, bucket) with md5-derived planes AND a
+    dimension-sequential float64 dot fold — bit-identical sign decisions
+    to a DuckDB mirror (list_dot_product folds sequentially), so bucket
+    membership itself is oracle-checkable, not just the exact verify.
+    The Gaussian/BLAS kernel above stays the ANN top-k path (faster;
+    ANN needs no SQL mirror)."""
     dim = len(emb.select("v").first()["v"])
-    planes = [
-        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
-    ]
-    bc = spark.sparkContext.broadcast(planes)
+    bc = spark.sparkContext.broadcast(md5_planes(dim, n_planes, n_tables))
+    nt, npl = n_tables, n_planes
 
     @F.pandas_udf("array<int>")
     def buckets(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (batch, dim)
-        out = []
-        bits_all = [
-            ((mat @ p.T) > 0).astype(np.int64) for p in bc.value
-        ]  # each (batch, n_planes)
-        weights = 1 << np.arange(n_planes, dtype=np.int64)
-        codes = [b @ weights for b in bits_all]  # (batch,) per table
-        for i in range(len(mat)):
-            out.append([int(c[i]) for c in codes])
-        return pd.Series(out)
+        C = bc.value  # (n_tables*n_planes, dim)
+        mat = np.stack(v.to_numpy())
+        acc = np.zeros((len(mat), C.shape[0]))
+        for j in range(C.shape[1]):  # sequential fold (oracle parity)
+            acc = acc + mat[:, j : j + 1] * C[:, j]
+        bits = (acc >= 0.0).astype(np.int64)
+        weights = 1 << np.arange(npl, dtype=np.int64)
+        codes = bits.reshape(len(mat), nt, npl) @ weights  # exact int math
+        return pd.Series([[int(x) for x in row] for row in codes])
 
     return emb.select(
         "vec_id", F.posexplode(buckets(F.col("v"))).alias("table", "bucket")
@@ -222,9 +218,13 @@ def ann_lsh_topk(
     n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any (table, bucket)
-    with the query; exact cosine re-rank on candidates only."""
+    with the query; exact cosine re-rank on candidates only. Buckets and
+    cosines are both DuckDB-reproducible (md5 planes, sequential folds),
+    so even this *approximate* operator carries a full value oracle
+    (`sim_ann_lsh_topk`) — the oracle mirrors candidate generation, not
+    just the re-rank."""
     emb = _emb(spark, sf_dir)
-    b = lsh_sign_buckets(spark, sf_dir, n_planes, n_tables).persist()
+    b = lsh_sign_buckets_md5_from(spark, emb, n_planes, n_tables).persist()
     qb = b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q"), "table", "bucket"
     )

@@ -124,6 +124,33 @@ def test_embedding_near_pairs_planted_clusters_full_recall(spark):
     assert got == want and len(want) >= 30
 
 
+def test_embedding_near_bucket_cap_drops_degenerate_direction(spark):
+    """NEAR_MAX_BUCKET contract: a mega-cluster of identical embeddings
+    (same sign bucket in EVERY table → O(|cluster|²) candidates) is
+    dropped when the cap bites, while an unrelated near-identical pair
+    (bucket size 2) still surfaces with its exact cosine."""
+    rng = np.random.RandomState(11)
+    rows, vid = [], 0
+    mega = rng.standard_normal(64)
+    for _ in range(8):  # identical vectors: one bucket of size 8 per table
+        rows.append((vid, [float(x) for x in mega]))
+        vid += 1
+    pair_base = rng.standard_normal(64)
+    for _ in range(2):
+        v = pair_base + rng.standard_normal(64) * 0.001
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_pairs_from(
+            spark, emb, 0.99, max_bucket=4
+        ).collect()
+    }
+    assert got == {(8, 9)}  # the pair survives; the mega-cluster is capped
+
+
 def test_lsh_bucket_cap_drops_mega_cluster(spark, tmp_path, monkeypatch):
     """A mega-duplicate cluster (one bucket with every doc) must not
     materialize |bucket|² pairs when the cap bites; distinct near-dup
