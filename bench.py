@@ -139,12 +139,17 @@ def main() -> None:
         _scaling_protocol(n_docs) if os.environ.get("SPARK_GRAFT_SCALING") else None
     )
 
-    spark = _session(cpus)
     t_total0 = time.monotonic()
+    # headline crawl in its OWN fresh subprocess, like the scaling legs:
+    # measured A/B (round 3) — the same crawl after the 17-query phase in
+    # the shared 48g JVM ran 135 URLs/s vs 312 fresh on a contended host
+    # (GC debt from the query phase, not crawl cost). The timed section
+    # is unchanged; only the JVM state it starts from is controlled.
+    crawl = _headline_crawl_subprocess(n_docs, cpus)
+    spark = _session(cpus)
     queries = _bench_queries(spark, sf_dir)
     fixed = _fixed_cost(spark, sf_dir)  # after the queries: their timings
     # stay comparable across rounds; this measures the warm-session floor
-    crawl = _crawl_bench(spark, n_docs, cpus)
     total = time.monotonic() - t_total0
 
     out = {
@@ -162,6 +167,26 @@ def main() -> None:
         out["scaling"] = scaling
 
     print(json.dumps(out))
+
+
+def _headline_crawl_subprocess(n_docs: int, cpus: int) -> dict:
+    """Run the headline crawl bench in a fresh subprocess and return its
+    stats dict (see main() for why)."""
+    import subprocess
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--crawl-worker",
+            str(cpus),
+            str(n_docs),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def _extract_bench(spark, n_docs: int) -> float:
@@ -308,6 +333,12 @@ def _scale_worker(cpus: int, n_docs: int, master: str | None = None) -> None:
     spark.stop()
 
 
+def _crawl_worker(cpus: int, n_docs: int) -> None:
+    spark = _session(cpus)
+    print(json.dumps(_crawl_bench(spark, n_docs, cpus)))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         _scale_worker(
@@ -315,5 +346,7 @@ if __name__ == "__main__":
             int(sys.argv[3]),
             sys.argv[4] if len(sys.argv) > 4 else None,
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
+        _crawl_worker(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()
