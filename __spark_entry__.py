@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        # duplicate-cluster resolution: connected components over the LSH
+        # pair graph, canonical survivor per cluster (min doc_id)
+        "dedup_minhash_components": dedup.minhash_components,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
@@ -369,6 +372,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM capped l JOIN capped r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        # same pair CTEs as dedup_minhash_lsh_pairs, then transitive
+        # closure by recursive CTE and group-min = the label-propagation
+        # fixpoint the Spark loop converges to
+        "dedup_minhash_components": _SIGS_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + f""", bands AS ({_BANDS}),
+            capped AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM capped l JOIN capped r
+                ON l.band = r.band AND l.bucket = r.bucket
+                   AND l.doc_id < r.doc_id
+            ),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            ),
+            comp AS (SELECT x AS node, min(y) AS mn FROM reach GROUP BY x)
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(c.mn, d.doc_id)) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "dedup_simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM fp",
         "dedup_simhash_pairs": _SIMHASH_CTE

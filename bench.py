@@ -34,6 +34,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "s9_recency_window": relational.s9_recency_window,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_minhash_components": dedup.minhash_components,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),

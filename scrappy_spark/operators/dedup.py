@@ -124,6 +124,64 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_components(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate-cluster resolution over the MinHash-LSH pair graph —
+    the survivor-selection step every dedup pipeline needs after pair
+    generation: each document maps to the lexicographic MIN doc_id of
+    its connected near-dup component (``canonical_id``); singletons map
+    to themselves. Keep rows where doc_id == canonical_id, drop the
+    rest, and the corpus is deduplicated with one deterministic survivor
+    per cluster.
+
+    Spark plan: iterative min-label propagation over the edge list (the
+    standard scalable connected-components recipe) — per iteration one
+    equi-join edges⋈labels, one groupBy-min, one join back; lineage is
+    truncated by an eager localCheckpoint per iteration so the plan
+    stays O(1) deep. Converges in O(component diameter) iterations
+    (near-dup clusters are shallow); the driver-side convergence check
+    is one count per iteration. The edge list is pairs, not the corpus —
+    at 100 TB it is orders of magnitude smaller than the documents
+    table, and every step is an equi-join shuffle on the node id.
+
+    The DuckDB oracle computes the same fixpoint with a recursive CTE
+    (transitive closure + group-min), so the driver checks the full
+    doc_id → canonical_id mapping value-for-value."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy(F.col("b").alias("nb"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(nmin, labels["node"] == nmin["nb"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias(
+                "chg"
+            ),
+        )
+        stepped = stepped.localCheckpoint()  # eager: breaks the loop lineage
+        changed = stepped.where("chg").count()
+        old = labels
+        labels = stepped.drop("chg")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 32-bit simhash over tokens (with multiplicity)."""
     toks = (

@@ -124,6 +124,39 @@ def test_embedding_near_pairs_planted_clusters_full_recall(spark):
     assert got == want and len(want) >= 30
 
 
+def test_minhash_components_match_union_find(spark, sf_dir):
+    """Duplicate-cluster resolution (min-label propagation over the LSH
+    pair graph) must equal an independent union-find over the same pair
+    list: every doc maps to its component's min doc_id, singletons to
+    themselves, and at least one non-trivial cluster exists in the
+    driver data (non-vacuous)."""
+    pairs = [(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.minhash_components(spark, sf_dir).collect()
+    }
+    want = {(d, find(d) if d in parent else d) for d, _ in got}
+    assert got == want
+    assert any(d != c for d, c in got)  # non-vacuous: real clusters exist
+    assert all(c <= d for d, c in got)  # canonical is the component min
+
+
 def test_embedding_near_bucket_cap_drops_degenerate_direction(spark):
     """NEAR_MAX_BUCKET contract: a mega-cluster of identical embeddings
     (same sign bucket in EVERY table → O(|cluster|²) candidates) is
