@@ -21,7 +21,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from scrappy_spark.operators import dedup, multimodal, relational, similarity, textstats
+from scrappy_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    textstats,
+)
 from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
 
 # ----------------------------------------------------------------- entry
@@ -97,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_rolling": textstats.fingerprint_rolling,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
+        # composed end-to-end training-corpus filter (langid + quality +
+        # dedup survivor selection) — the composition itself is oracled
+        "pipeline_training_corpus": pipeline.training_corpus,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -164,6 +174,33 @@ _SIMHASH_W = ",\n    ".join(
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
 )
+_COMPONENTS_SQL = _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+            bands AS ({_BANDS}),
+            capped AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM capped l JOIN capped r
+                ON l.band = r.band AND l.bucket = r.bucket
+                   AND l.doc_id < r.doc_id
+            ),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            ),
+            comp AS (SELECT x AS node, min(y) AS mn FROM reach GROUP BY x)
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(c.mn, d.doc_id)) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """
+
 _SIMHASH_CTE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS t FROM documents
@@ -207,6 +244,30 @@ _COSINE_E = (
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings"
 )
+
+# full-statement mirrors reused by the composed pipeline oracle below
+_QUALITY_SQL = f"""
+            WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+                   round(len(list_filter(toks, t -> t IN ({_QUALITY_STOP})))
+                         / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+                   round(length(text) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
+            FROM d
+        """
+
+_MARKER_LANGID_SQL = f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, {_LANGID_COUNTS} FROM d)
+            SELECT doc_id,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                        WHEN s_es > 0 THEN 'es'
+                        ELSE 'und' END AS pred_lang
+            FROM s
+        """
 
 # the multimodal decode STUB (multimodal._decode_stub) in SQL: the fake
 # codec's metadata is arithmetic over the first 64 payload bytes, and the
@@ -376,34 +437,7 @@ def oracle_sql() -> dict[str, str]:
         # same pair CTEs as dedup_minhash_lsh_pairs, then transitive
         # closure by recursive CTE and group-min = the label-propagation
         # fixpoint the Spark loop converges to
-        "dedup_minhash_components": _SIGS_CTE.replace(
-            "WITH ", "WITH RECURSIVE ", 1
-        )
-        + f""", bands AS ({_BANDS}),
-            capped AS (
-              SELECT doc_id, band, bucket FROM (
-                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
-                FROM bands
-              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
-            ),
-            pairs AS (
-              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              FROM capped l JOIN capped r
-                ON l.band = r.band AND l.bucket = r.bucket
-                   AND l.doc_id < r.doc_id
-            ),
-            edges AS (SELECT a AS x, b AS y FROM pairs
-                      UNION SELECT b, a FROM pairs),
-            reach AS (
-              SELECT x, y FROM edges
-              UNION
-              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
-            ),
-            comp AS (SELECT x AS node, min(y) AS mn FROM reach GROUP BY x)
-            SELECT d.doc_id,
-                   least(d.doc_id, coalesce(c.mn, d.doc_id)) AS canonical_id
-            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        """,
+        "dedup_minhash_components": _COMPONENTS_SQL,
         "dedup_simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM fp",
         "dedup_simhash_pairs": _SIMHASH_CTE
         + f""", blk AS (
@@ -513,16 +547,7 @@ def oracle_sql() -> dict[str, str]:
                         '{textstats.BPE_PATTERN}')) AS INT) AS n_bpe_tokens
             FROM documents
         """,
-        "text_quality": f"""
-            WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-            SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                         / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
-                   round(len(list_filter(toks, t -> t IN ({_QUALITY_STOP})))
-                         / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
-                   round(length(text) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len
-            FROM d
-        """,
+        "text_quality": _QUALITY_SQL,
         "text_fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -541,16 +566,18 @@ def oracle_sql() -> dict[str, str]:
                    )) AS rolling_fp
             FROM d
         """,
-        "text_marker_langid": f"""
-            WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            s AS (SELECT doc_id, {_LANGID_COUNTS} FROM d)
-            SELECT doc_id,
-                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-                        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-                        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-                        WHEN s_es > 0 THEN 'es'
-                        ELSE 'und' END AS pred_lang
-            FROM s
+        "text_marker_langid": _MARKER_LANGID_SQL,
+        # COMPOSED pipeline oracle: the same three sub-query mirrors
+        # nested — checks that the operators compose, not just that each
+        # is correct in isolation
+        "pipeline_training_corpus": f"""
+            SELECT q.doc_id, q.n_tokens, q.alpha_ratio, l.pred_lang
+            FROM ({_QUALITY_SQL}) q
+            JOIN ({_MARKER_LANGID_SQL}) l ON l.doc_id = q.doc_id
+            JOIN ({_COMPONENTS_SQL}) c ON c.doc_id = q.doc_id
+            WHERE l.pred_lang = '{pipeline.KEEP_LANG}'
+              AND q.n_tokens >= {pipeline.MIN_TOKENS}
+              AND c.canonical_id = q.doc_id
         """,
         "text_ngram_langid": f"""
             WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),

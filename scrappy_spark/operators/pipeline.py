@@ -1,0 +1,52 @@
+"""Composed training-data pipeline over the `documents` table.
+
+The individual operators (language ID, quality scoring, dedup pair
+generation, duplicate-cluster resolution) are each oracle-checked on
+their own; this module composes them into the end-to-end corpus filter a
+real 100 TB training-data pipeline runs, and the driver oracle checks
+the COMPOSITION value-for-value (the SQL mirror nests the same three
+sub-queries). Beyond-the-reference layer — see COVERAGE.md; the crawl
+engine (frontier/crawler.py) produces the documents this consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup, textstats
+
+MIN_TOKENS = 20  # drop stubs (the driver corpus' 25th percentile is 32)
+KEEP_LANG = "en"
+
+
+def training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_lang: str = KEEP_LANG,
+    min_tokens: int = MIN_TOKENS,
+) -> DataFrame:
+    """One-pass training-corpus filter: keep documents that are
+    (1) identified as ``keep_lang`` by the marker language ID,
+    (2) at least ``min_tokens`` whitespace tokens (quality gate), and
+    (3) the canonical survivor of their near-dup cluster
+        (``doc_id == canonical_id`` from minhash_components).
+
+    Plan shape at scale: three equi-joins on doc_id — langid and quality
+    are embarrassingly-parallel scans, components is the (much smaller)
+    label-propagation output; Catalyst pushes the lang/token filters
+    below the joins, so non-English stubs never reach the join shuffle.
+    """
+    lang = textstats.marker_langid(spark, sf_dir)
+    quality = textstats.quality_score(spark, sf_dir)
+    comp = dedup.minhash_components(spark, sf_dir)
+    return (
+        quality.join(lang, "doc_id")
+        .join(comp, "doc_id")
+        .where(
+            (F.col("pred_lang") == keep_lang)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .select("doc_id", "n_tokens", "alpha_ratio", "pred_lang")
+    )

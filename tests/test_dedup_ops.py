@@ -157,6 +157,30 @@ def test_minhash_components_match_union_find(spark, sf_dir):
     assert all(c <= d for d, c in got)  # canonical is the component min
 
 
+def test_training_corpus_composition(spark, sf_dir):
+    """The composed pipeline filter must equal the manual composition of
+    its three oracle-checked parts, and every gate must actually
+    discriminate on the driver corpus (no vacuous conjunct)."""
+    from scrappy_spark.operators import pipeline, textstats
+
+    got = {r["doc_id"] for r in pipeline.training_corpus(spark, sf_dir).collect()}
+
+    lang = {r["doc_id"]: r["pred_lang"] for r in textstats.marker_langid(spark, sf_dir).collect()}
+    toks = {r["doc_id"]: r["n_tokens"] for r in textstats.quality_score(spark, sf_dir).collect()}
+    canon = {r["doc_id"]: r["canonical_id"] for r in dedup.minhash_components(spark, sf_dir).collect()}
+    want = {
+        d
+        for d in lang
+        if lang[d] == "en" and toks[d] >= pipeline.MIN_TOKENS and canon[d] == d
+    }
+    assert got == want
+    assert 0 < len(got) < len(lang)  # the filter keeps some, drops some
+    # each conjunct discriminates on its own
+    assert any(lang[d] != "en" for d in lang)
+    assert any(toks[d] < pipeline.MIN_TOKENS for d in toks)
+    assert any(canon[d] != d for d in canon)
+
+
 def test_embedding_near_bucket_cap_drops_degenerate_direction(spark):
     """NEAR_MAX_BUCKET contract: a mega-cluster of identical embeddings
     (same sign bucket in EVERY table → O(|cluster|²) candidates) is
