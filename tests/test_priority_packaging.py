@@ -57,6 +57,75 @@ def test_priority_expr_reorders_budgeted_pops(spark, tmp_path):
     assert per <= 2
 
 
+_SUBMIT_JOB = '''\
+"""Crawl job for the spark-submit --py-files contract test: imports
+scrappy_spark ONLY from the shipped zip (no repo path anywhere)."""
+import tempfile
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("pyfiles-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from scrappy_spark.corpus import CorpusConfig, generate_df, seeds_for
+from scrappy_spark.frontier import Crawler, CrawlConfig
+
+cfg = CorpusConfig(n_docs=150)
+web = generate_df(spark, cfg, partitions=4).persist()
+web.count()
+store = tempfile.mkdtemp(prefix="submit_crawl_")
+crawler = Crawler(spark, web, store, CrawlConfig(depth=1))
+stats = crawler.run(seeds_for(cfg, 4))
+print("SUBMIT_RESULT popped=%d rounds=%d" % (stats["popped"], stats["rounds"]))
+spark.stop()
+'''
+
+
+def test_spark_submit_pyfiles_multi_executor(tmp_path):
+    """The north rule's deployment contract end-to-end: `spark-submit
+    --py-files <zip>` onto a MULTI-EXECUTOR master (local-cluster — two
+    separate executor JVMs whose Python workers must import the package
+    from the shipped zip). cwd is a scratch dir and PYTHONPATH is
+    scrubbed, so the zip is the ONLY way scrappy_spark can resolve —
+    on driver and on every executor."""
+    import os
+
+    import pyspark
+
+    import package
+
+    zip_path = package.build(str(tmp_path / "scrappy_spark.zip"))
+    job = tmp_path / "job.py"
+    job.write_text(_SUBMIT_JOB)
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [
+            submit,
+            "--master",
+            "local-cluster[2,2,2048]",
+            "--driver-memory",
+            "2g",
+            "--py-files",
+            zip_path,
+            str(job),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("SUBMIT_RESULT")]
+    assert line, r.stdout[-2000:]
+    popped = int(line[0].split("popped=")[1].split()[0])
+    assert popped > 0
+
+
 def test_pyfiles_zip_importable(tmp_path):
     import package
 
