@@ -148,8 +148,20 @@ def minhash_components(
     The DuckDB oracle computes the same fixpoint with a recursive CTE
     (transitive closure + group-min), so the driver checks the full
     doc_id → canonical_id mapping value-for-value."""
-    docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return components_from_pairs(
+        _docs(spark, sf_dir).select("doc_id"),
+        minhash_lsh_pairs(spark, sf_dir),
+        max_iter,
+    )
+
+
+def components_from_pairs(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """The min-label-propagation kernel over any (doc_id) node set and
+    (a, b) pair list — separated so tests can drive it with explicit
+    worst-case graphs (long chains = max component diameter = max
+    iterations)."""
     edges = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()

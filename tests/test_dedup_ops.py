@@ -157,6 +157,27 @@ def test_minhash_components_match_union_find(spark, sf_dir):
     assert all(c <= d for d, c in got)  # canonical is the component min
 
 
+def test_components_chain_graph_converges(spark):
+    """Worst-case diameter: a 12-node path graph (0-1-2-…-11) forces the
+    min label to propagate one hop per iteration — all nodes must still
+    collapse to node 0 within the default max_iter, and a disjoint
+    triangle plus an isolated node must keep their own canonicals."""
+    nodes = [(f"n{i:02d}",) for i in range(12)] + [("t0",), ("t1",), ("t2",), ("iso",)]
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    tri = [("t0", "t1"), ("t1", "t2"), ("t0", "t2")]
+    docs = spark.createDataFrame(nodes, "doc_id string")
+    pairs = spark.createDataFrame(chain + tri, "a string, b string")
+
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.components_from_pairs(docs, pairs).collect()
+    }
+    want = {(f"n{i:02d}", "n00") for i in range(12)}
+    want |= {(t, "t0") for t in ("t0", "t1", "t2")}
+    want |= {("iso", "iso")}
+    assert got == want
+
+
 def test_training_corpus_composition(spark, sf_dir):
     """The composed pipeline filter must equal the manual composition of
     its three oracle-checked parts, and every gate must actually
