@@ -170,11 +170,24 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — hypervisor steal is the
+    shared-host contention loadavg cannot see (it comes from OTHER VMs
+    on the physical host; measured up to 7.5% at 32 threads, enough to
+    flip thread-scaling negative — see BASELINE.md round 3)."""
+    f = open("/proc/stat").readline().split()
+    return int(f[8]), sum(int(x) for x in f[1:])
+
+
 def _headline_crawl_subprocess(n_docs: int, cpus: int) -> dict:
     """Run the headline crawl bench in a fresh subprocess and return its
-    stats dict (see main() for why)."""
+    stats dict (see main() for why), annotated with the host-contention
+    context (loadavg + hypervisor steal%) so the artifact records the
+    conditions it was measured under."""
     import subprocess
 
+    load0 = os.getloadavg()[0]
+    s0, t0 = _steal_ticks()
     r = subprocess.run(
         [
             sys.executable,
@@ -187,7 +200,11 @@ def _headline_crawl_subprocess(n_docs: int, cpus: int) -> dict:
         text=True,
         check=True,
     )
-    return json.loads(r.stdout.strip().splitlines()[-1])
+    s1, t1 = _steal_ticks()
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    out["crawl_loadavg_start"] = round(load0, 1)
+    out["crawl_steal_pct"] = round(100 * (s1 - s0) / max(1, t1 - t0), 2)
+    return out
 
 
 def _extract_bench(spark, n_docs: int) -> float:
