@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a 0.99 entry would be a vacuous 0=0 oracle); production
         # default stays 0.99 (see dedup.embedding_near_pairs docstring)
         "dedup_embedding_near": lambda s, d: dedup.embedding_near_pairs(s, d, 0.45),
+        # survivor selection over the embedding near-dup graph (same
+        # label-propagation kernel; oracle nests the near-pairs mirror
+        # inside a recursive closure)
+        "dedup_embedding_components": lambda s, d: dedup.embedding_components(
+            s, d, 0.45
+        ),
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
         # approximate top-k, yet fully value-oracled: md5 planes +
@@ -244,6 +250,32 @@ _COSINE_E = (
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings"
 )
+
+# full-statement mirror of dedup.embedding_near_pairs at the driver
+# threshold (0.45) — reused by the embedding-components closure below
+_EMB_NEAR_SQL = f"""
+            WITH e AS ({_COSINE_E}),
+            {_duck_lsh_buckets(dedup.NEAR_TABLES, dedup.NEAR_PLANES)},
+            capped AS (
+              SELECT vec_id, t, bucket FROM buckets
+              QUALIFY count(*) OVER (PARTITION BY t, bucket)
+                      <= {dedup.NEAR_MAX_BUCKET}
+            ),
+            cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM capped l JOIN capped r
+              ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+            )
+            SELECT a, b, cosine FROM (
+              SELECT cand.a, cand.b,
+                     round(list_dot_product(ea.v, eb.v)
+                           / (sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+              FROM cand
+              JOIN e ea ON ea.vec_id = cand.a
+              JOIN e eb ON eb.vec_id = cand.b)
+            WHERE cosine >= 0.45
+        """
 
 # full-statement mirrors reused by the composed pipeline oracle below
 _QUALITY_SQL = f"""
@@ -479,28 +511,24 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(l.v, l.v))
                            * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.35
         """,
-        "dedup_embedding_near": f"""
-            WITH e AS ({_COSINE_E}),
-            {_duck_lsh_buckets(dedup.NEAR_TABLES, dedup.NEAR_PLANES)},
-            capped AS (
-              SELECT vec_id, t, bucket FROM buckets
-              QUALIFY count(*) OVER (PARTITION BY t, bucket)
-                      <= {dedup.NEAR_MAX_BUCKET}
+        "dedup_embedding_near": _EMB_NEAR_SQL,
+        # components over the embedding near-dup graph: the near-pairs
+        # mirror nests as a CTE inside the recursive closure, so
+        # candidates, exact verify AND the component fixpoint are all
+        # checked in one oracle
+        "dedup_embedding_components": f"""
+            WITH RECURSIVE np AS ({_EMB_NEAR_SQL}),
+            edges AS (SELECT a AS x, b AS y FROM np
+                      UNION SELECT b, a FROM np),
+            reach AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
             ),
-            cand AS (
-              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-              FROM capped l JOIN capped r
-              ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
-            )
-            SELECT a, b, cosine FROM (
-              SELECT cand.a, cand.b,
-                     round(list_dot_product(ea.v, eb.v)
-                           / (sqrt(list_dot_product(ea.v, ea.v))
-                              * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
-              FROM cand
-              JOIN e ea ON ea.vec_id = cand.a
-              JOIN e eb ON eb.vec_id = cand.b)
-            WHERE cosine >= 0.45
+            comp AS (SELECT x AS node, min(y) AS mn FROM reach GROUP BY x)
+            SELECT emb.vec_id,
+                   least(emb.vec_id, coalesce(c.mn, emb.vec_id)) AS canonical_vec
+            FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
         """,
         "sim_ann_lsh_topk": f"""
             WITH e AS ({_COSINE_E}),

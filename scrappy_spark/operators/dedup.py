@@ -194,6 +194,29 @@ def components_from_pairs(
     )
 
 
+def embedding_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.99,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Survivor selection for embedding near-dups: connected components
+    over the `embedding_near_pairs` graph (LSH candidates + exact cosine
+    ≥ threshold), each vector mapped to its component's MIN vec_id.
+    Same label-propagation kernel as minhash_components — the node set
+    is the embeddings table, the edge list is the verified near-dup
+    pairs. The driver entry runs at threshold 0.45 (see
+    embedding_near_pairs on why 0.99 is vacuous on the driver tables);
+    the oracle nests the near-pairs SQL inside a recursive-CTE closure,
+    so candidate generation, exact verification AND the component
+    fixpoint are all value-checked together."""
+    emb = _read_emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    pairs = embedding_near_pairs(spark, sf_dir, threshold).select("a", "b")
+    return components_from_pairs(emb, pairs, max_iter).select(
+        F.col("doc_id").alias("vec_id"), F.col("canonical_id").alias("canonical_vec")
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 32-bit simhash over tokens (with multiplicity)."""
     toks = (

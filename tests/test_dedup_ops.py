@@ -157,6 +157,38 @@ def test_minhash_components_match_union_find(spark, sf_dir):
     assert all(c <= d for d, c in got)  # canonical is the component min
 
 
+def test_embedding_components_match_union_find(spark, sf_dir):
+    """Embedding survivor selection == union-find over the same verified
+    near-dup pairs (threshold 0.45 so the driver data has real edges)."""
+    pairs = [
+        (r["a"], r["b"])
+        for r in dedup.embedding_near_pairs(spark, sf_dir, 0.45).collect()
+    ]
+    assert pairs  # non-vacuous at this threshold
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {
+        (r["vec_id"], r["canonical_vec"])
+        for r in dedup.embedding_components(spark, sf_dir, 0.45).collect()
+    }
+    want = {(v, find(v) if v in parent else v) for v, _ in got}
+    assert got == want and any(v != c for v, c in got)
+
+
 def test_components_chain_graph_converges(spark):
     """Worst-case diameter: a 12-node path graph (0-1-2-…-11) forces the
     min label to propagate one hop per iteration — all nodes must still
