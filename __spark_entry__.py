@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_components": dedup.minhash_components,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
+        # cluster resolution over the simhash pair graph (the canonical
+        # production web-dedup shape: fingerprint → block-pair → resolve)
+        "dedup_simhash_components": dedup.simhash_components,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(s, d, 0.35),
         # LSH-bucketed near-dup with md5-derived planes: the oracle
@@ -225,6 +228,16 @@ _SIMHASH_BLK_JOINS = "\n    UNION ALL ".join(
         FROM blk l JOIN blk r ON l.blk{i} = r.blk{i} AND l.doc_id < r.doc_id"""
     for i in range(dedup.SIMHASH_BLOCKS)
 )
+
+_SIMHASH_PAIRS_SQL = _SIMHASH_CTE + f""", blk AS (
+              SELECT doc_id, simhash,
+                     {", ".join(f"(simhash >> {8 * i}) & 255 AS blk{i}" for i in range(dedup.SIMHASH_BLOCKS))}
+              FROM fp
+            ), p AS (
+              {_SIMHASH_BLK_JOINS}
+            )
+            SELECT DISTINCT a, b, hamming FROM p WHERE hamming <= 3
+        """
 
 _NGRAM_PROF_ROWS = ", ".join(
     f"('{lang}', {b}, {w!r})"
@@ -471,15 +484,22 @@ def oracle_sql() -> dict[str, str]:
         # fixpoint the Spark loop converges to
         "dedup_minhash_components": _COMPONENTS_SQL,
         "dedup_simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM fp",
-        "dedup_simhash_pairs": _SIMHASH_CTE
-        + f""", blk AS (
-              SELECT doc_id, simhash,
-                     {", ".join(f"(simhash >> {8 * i}) & 255 AS blk{i}" for i in range(dedup.SIMHASH_BLOCKS))}
-              FROM fp
-            ), p AS (
-              {_SIMHASH_BLK_JOINS}
-            )
-            SELECT DISTINCT a, b, hamming FROM p WHERE hamming <= 3
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        # cluster resolution over the simhash pair graph — same
+        # recursive-closure shape as the other components oracles
+        "dedup_simhash_components": f"""
+            WITH RECURSIVE sp AS ({_SIMHASH_PAIRS_SQL}),
+            edges AS (SELECT a AS x, b AS y FROM sp
+                      UNION SELECT b, a FROM sp),
+            reach AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+            ),
+            comp AS (SELECT x AS node, min(y) AS mn FROM reach GROUP BY x)
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(c.mn, d.doc_id)) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTE
         + f""", shf AS (

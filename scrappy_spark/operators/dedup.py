@@ -194,6 +194,22 @@ def components_from_pairs(
     )
 
 
+def simhash_components(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Survivor selection over the simhash near-dup graph — the
+    canonical production web-dedup shape (fingerprint once, pair by
+    hamming blocks, resolve clusters, keep one canonical doc). Same
+    label-propagation kernel as minhash_components over the
+    simhash_near_pairs edges."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = simhash_near_pairs(spark, sf_dir, max_hamming).select("a", "b")
+    return components_from_pairs(docs, pairs, max_iter)
+
+
 def embedding_components(
     spark: SparkSession,
     sf_dir: str,

@@ -157,6 +157,36 @@ def test_minhash_components_match_union_find(spark, sf_dir):
     assert all(c <= d for d, c in got)  # canonical is the component min
 
 
+def test_simhash_components_match_union_find(spark, sf_dir):
+    """Simhash cluster resolution == union-find over the same hamming
+    pair list (this graph is dense on the driver corpus — hundreds of
+    non-trivial memberships — so it also exercises deeper propagation
+    than the minhash graph)."""
+    pairs = [(r["a"], r["b"]) for r in dedup.simhash_near_pairs(spark, sf_dir).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.simhash_components(spark, sf_dir).collect()
+    }
+    want = {(d, find(d) if d in parent else d) for d, _ in got}
+    assert got == want and any(d != c for d, c in got)
+
+
 def test_embedding_components_match_union_find(spark, sf_dir):
     """Embedding survivor selection == union-find over the same verified
     near-dup pairs (threshold 0.45 so the driver data has real edges)."""
