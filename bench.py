@@ -24,7 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    from scrappy_spark.operators import dedup, multimodal, relational, similarity, textstats
+    from scrappy_spark.operators import (
+        dedup,
+        multimodal,
+        pipeline,
+        relational,
+        similarity,
+        textstats,
+    )
 
     qs = {
         "a4_grouped_metrics": relational.a4_grouped_metrics,
@@ -35,6 +42,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_components": dedup.minhash_components,
+        "dedup_simhash_components": dedup.simhash_components,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
@@ -45,6 +53,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
         "mm_media_features": multimodal.media_features,
+        "pipeline_training_corpus": pipeline.training_corpus,
     }
     times = {}
     for name, fn in qs.items():

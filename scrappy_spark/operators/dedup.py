@@ -161,13 +161,20 @@ def components_from_pairs(
     """The min-label-propagation kernel over any (doc_id) node set and
     (a, b) pair list — separated so tests can drive it with explicit
     worst-case graphs (long chains = max component diameter = max
-    iterations)."""
+    iterations).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iter`` iterations: an unconverged labeling is a silently WRONG
+    component map, and a dedup-cluster graph whose diameter exceeds the
+    cap is degenerate enough that failing loudly is the correct
+    behavior (raise the cap explicitly if such a graph is expected)."""
     edges = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         nmin = (
             edges.join(labels, edges["a"] == labels["node"])
@@ -189,6 +196,12 @@ def components_from_pairs(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"component labeling did not converge in {max_iter} iterations "
+            f"({changed} labels still moving) — graph diameter exceeds the "
+            "cap; pass a larger max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )

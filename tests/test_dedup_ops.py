@@ -2,6 +2,7 @@
 exact embedding-cosine blocked scan (no nested-loop join)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from scrappy_spark.operators import dedup
@@ -238,6 +239,11 @@ def test_components_chain_graph_converges(spark):
     want |= {(t, "t0") for t in ("t0", "t1", "t2")}
     want |= {("iso", "iso")}
     assert got == want
+
+    # an insufficient iteration cap must raise, never return a silently
+    # unconverged (wrong) component map
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.components_from_pairs(docs, pairs, max_iter=3).collect()
 
 
 def test_training_corpus_composition(spark, sf_dir):
