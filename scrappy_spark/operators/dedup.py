@@ -192,9 +192,30 @@ def components_from_pairs(
         changed = stepped.where("chg").count()
         old = labels
         labels = stepped.drop("chg")
-        old.unpersist()
         if changed == 0:
+            old.unpersist()
             break
+        # pointer-jumping shortcut: label ← label(label). Every label is
+        # itself a node id in the same component with a ≤ id, so the
+        # shortcut stays in-component and monotone — it only ACCELERATES
+        # convergence (distance-to-min roughly doubles per iteration:
+        # O(log diameter) iterations instead of O(diameter)). Measured
+        # cost-neutral at diameter ~10 (the extra join ≈ the saved
+        # iterations); its value is the WORST-CASE bound — a pathological
+        # chain converges in log steps instead of blowing the iteration
+        # cap. Exactness is untouched: the break above fires only on the
+        # NEIGHBOR-MIN fixpoint (changed == 0 ⇒ labels equal across every
+        # symmetric edge ⇒ constant per component ⇒ the component min).
+        lbl2 = labels.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        labels = (
+            labels.join(lbl2, labels["label"] == lbl2["pnode"], "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        stepped.unpersist()
+        old.unpersist()
     edges.unpersist()
     if changed != 0:
         raise RuntimeError(

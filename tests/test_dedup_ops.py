@@ -243,7 +243,9 @@ def test_components_chain_graph_converges(spark):
     # an insufficient iteration cap must raise, never return a silently
     # unconverged (wrong) component map
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.components_from_pairs(docs, pairs, max_iter=3).collect()
+        # 2 iterations cover ≤ ~6 hops even with pointer jumping — far
+        # short of the 11-hop chain, so labels are provably still moving
+        dedup.components_from_pairs(docs, pairs, max_iter=2).collect()
 
 
 def test_training_corpus_composition(spark, sf_dir):
