@@ -178,10 +178,11 @@ _BANDS = "\n    UNION ALL ".join(
 )
 
 _SIMHASH_W = ",\n    ".join(
-    f"sum(((h >> {b}) & 1) * 2 - 1) AS w{b}" for b in range(32)
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS w{b}" for b in range(dedup.SIMHASH_BITS)
 )
-_SIMHASH_BITS = " + ".join(
-    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+_SIMHASH_BITS_SUM = " + ".join(
+    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(dedup.SIMHASH_BITS)
 )
 _COMPONENTS_SQL = _SIGS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
             bands AS ({_BANDS}),
@@ -218,23 +219,26 @@ WITH tok AS (
 ), w AS (
   SELECT doc_id, {_SIMHASH_W} FROM h GROUP BY doc_id
 ), fp AS (
-  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM w
+  SELECT doc_id, CAST({_SIMHASH_BITS_SUM} AS BIGINT) AS simhash FROM w
 )
 """
 
-_SIMHASH_BLK_JOINS = "\n    UNION ALL ".join(
-    f"""SELECT l.doc_id AS a, r.doc_id AS b,
-           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-        FROM blk l JOIN blk r ON l.blk{i} = r.blk{i} AND l.doc_id < r.doc_id"""
-    for i in range(dedup.SIMHASH_BLOCKS)
-)
-
-_SIMHASH_PAIRS_SQL = _SIMHASH_CTE + f""", blk AS (
-              SELECT doc_id, simhash,
-                     {", ".join(f"(simhash >> {8 * i}) & 255 AS blk{i}" for i in range(dedup.SIMHASH_BLOCKS))}
-              FROM fp
+# mirror of dedup.simhash_pairs_from: posexplode fan-out to
+# (block index, block value) rows, bucket cap, one equi-join
+_SIMHASH_PAIRS_SQL = _SIMHASH_CTE + f""", blkx AS (
+              SELECT doc_id, simhash, i.range AS bi,
+                     (simhash >> ({dedup.SIMHASH_BLOCK_BITS} * i.range))
+                       & {dedup.SIMHASH_BLOCK_MASK} AS bv
+              FROM fp, range({dedup.SIMHASH_BLOCKS}) i
+            ), capped AS (
+              SELECT doc_id, simhash, bi, bv FROM blkx
+              QUALIFY count(*) OVER (PARTITION BY bi, bv)
+                      <= {dedup.SIMHASH_MAX_BUCKET}
             ), p AS (
-              {_SIMHASH_BLK_JOINS}
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+              FROM capped l JOIN capped r
+                ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
             )
             SELECT DISTINCT a, b, hamming FROM p WHERE hamming <= 3
         """

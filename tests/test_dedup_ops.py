@@ -1,5 +1,6 @@
-"""Dedup-operator fixes (round 2): simhash 4×8-bit block recall and the
-exact embedding-cosine blocked scan (no nested-loop join)."""
+"""Dedup-operator fixes (rounds 2–4): simhash block recall (60-bit /
+4×15-bit since round 4) and the exact embedding-cosine blocked scan
+(no nested-loop join)."""
 
 import numpy as np
 import pytest
@@ -9,13 +10,14 @@ from scrappy_spark.operators import dedup
 
 
 def test_simhash_finds_planted_2plus1_split_pair(spark):
-    """Hamming-3 pair whose differing bits split 2+1 across the 16-bit
-    halves (bits 1, 2 low / 17 high): the old 2×16-bit blocking had no
-    identical half and silently dropped it; 4×8-bit blocking must keep it
-    (blocks 2 and 3 are identical — pigeonhole)."""
-    a = 0b1010_1010_1010_1010_1010_1010_1010_1010
+    """Hamming-3 pair whose differing bits split 2+1 across block
+    boundaries (bits 1, 2 in block 0 / bit 17 in block 1 of the 15-bit
+    blocking): a half-split blocking would drop it; the 4×15-bit blocking
+    must keep it (blocks 2 and 3 are identical — pigeonhole)."""
+    a = 0xAAAAAAAAAAAAAAA  # 15 hex digits = 60-bit pattern
     b = a ^ (1 << 1) ^ (1 << 2) ^ (1 << 17)
-    assert (a & 0xFFFF) != (b & 0xFFFF) and (a >> 16) != (b >> 16)
+    x = a ^ b
+    assert x & 0x7FFF and (x >> 15) & 0x7FFF and x >> 30 == 0
     fp = spark.createDataFrame(
         [("d0", a), ("d1", b), ("d2", 0)], "doc_id string, simhash long"
     )

@@ -145,16 +145,16 @@ def test_sharded_cuckoo_never_false_negative(hashes, n_shards):
 
 
 @settings(max_examples=100, deadline=None)
-@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=24))
+@given(st.lists(st.integers(min_value=0, max_value=2**60 - 1), min_size=2, max_size=24))
 def test_simhash_block_recall_property(fps):
-    """Pigeonhole recall, independent of any corpus: for ANY 32-bit
+    """Pigeonhole recall, independent of any corpus: for ANY 60-bit
     fingerprints, every pair at hamming ≤ 3 shares at least one exact
-    8-bit block — the equi-join blocking can never miss a qualifying
-    pair (the 2×16-bit scheme this replaced fails this property)."""
+    15-bit block — the equi-join blocking can never miss a qualifying
+    pair (a 2-block half-split scheme fails this property)."""
     for i in range(len(fps)):
         for j in range(i + 1, len(fps)):
             x = fps[i] ^ fps[j]
             if bin(x).count("1") <= 3:
                 assert any(
-                    (x >> (8 * b)) & 0xFF == 0 for b in range(4)
-                ), f"no shared block for {fps[i]:08x}/{fps[j]:08x}"
+                    (x >> (15 * b)) & 0x7FFF == 0 for b in range(4)
+                ), f"no shared block for {fps[i]:015x}/{fps[j]:015x}"
