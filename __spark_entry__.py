@@ -7,15 +7,16 @@ spans-web derived from the sf0.001 documents table.
 SURVEY.md §2 plus the training-data pipeline operators (dedup, similarity,
 text analysis, multimodal). Every aggregate/computed column is aliased
 identically on both sides; fp-sensitive values are rounded on both sides.
-Ops without an oracle entry get the driver's rows-only check and are
-additionally golden-tested in tests/ — after round 3 the only such entry
-is the IVF ANN (its k-means quantizer is not SQL-expressible); even the
-LSH-based approximate ops are fully value-oracled (md5-derived planes,
-see operators/similarity.py).
+Since round 4 EVERY entry carries a full value oracle — including both
+approximate ANN paths: the LSH buckets are md5-derived (operators/
+similarity.py) and the IVF quantizer, while not SQL-expressible, is
+deterministic, so its centroids/probes are recomputed driver-side and
+embedded as literal VALUES (_ivf_oracle_sql).
 """
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -104,7 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate top-k, yet fully value-oracled: md5 planes +
         # sequential sign dots make the BUCKETS DuckDB-reproducible
         "sim_ann_lsh_topk": similarity.ann_lsh_topk,
-        "sim_ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approx)
+        # fully value-oracled since round 4: deterministic centroids +
+        # probes embedded as literal VALUES, sequential-fold distances
+        "sim_ann_ivf_topk": similarity.ann_ivf_topk,
         # text analysis
         "text_token_count": textstats.token_count,
         "text_token_count_bpe": textstats.token_count_bpe,
@@ -268,6 +271,66 @@ _COSINE_E = (
     "FROM embeddings"
 )
 
+# the driver evaluates oracle SQL against these tables (sf0.01); the IVF
+# oracle embeds a model recomputed from the same parquet, so it needs the
+# path — overridable for local experiments at other scales
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _ivf_oracle_sql() -> str | None:
+    """Full value oracle for `sim_ann_ivf_topk` (VERDICT r3 #4): the
+    k-means quantizer itself is not SQL-expressible, but its OUTPUT is a
+    deterministic function of the table (seeded init, fixed iterations,
+    ordered bounded sample) — so recompute centroids + probe cells
+    driver-side (similarity.ivf_oracle_model, no Spark involved) and
+    embed them as literal VALUES. Assignment distances use the same
+    sequential-fold expression shape as the Spark pandas kernel
+    (dot(v,v) - 2*dot(v,c) + dot(c,c), list_dot_product order), so the
+    argmin cell — and hence candidates and re-rank — match value-for-
+    value. Returns None (entry omitted → rows-only check, the pre-r4
+    status) only if the model cannot be built, e.g. missing table."""
+    try:
+        cents, probes = similarity.ivf_oracle_model(_ORACLE_SF_DIR)
+    except Exception:
+        return None
+    cent_vals = ", ".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cents)
+    )
+    probe_vals = ", ".join(f"({q}, {c})" for q, c in probes)
+    return f"""
+            WITH e AS ({_COSINE_E}),
+            cents(cell, c) AS (VALUES {cent_vals}),
+            probes(q, cell) AS (VALUES {probe_vals}),
+            assign AS (
+              SELECT e.vec_id, cents.cell,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.v, e.v)
+                       - 2*list_dot_product(e.v, cents.c)
+                       + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+              FROM e CROSS JOIN cents
+            ),
+            cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+            cand AS (
+              SELECT DISTINCT p.q, cl.vec_id
+              FROM cells cl JOIN probes p USING (cell)
+              WHERE cl.vec_id <> p.q
+            ),
+            s AS (
+              SELECT cand.q, cand.vec_id,
+                     round(list_dot_product(eq.v, ev.v)
+                           / (sqrt(list_dot_product(eq.v, eq.v))
+                              * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cosine
+              FROM cand JOIN e eq ON eq.vec_id = cand.q
+              JOIN e ev ON ev.vec_id = cand.vec_id)
+            SELECT q, vec_id, cosine, rk FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q
+                             ORDER BY cosine DESC, vec_id) AS INT) AS rk
+              FROM s) WHERE rk <= 5
+        """
+
 # full-statement mirror of dedup.embedding_near_pairs at the driver
 # threshold (0.45) — reused by the embedding-components closure below
 _EMB_NEAR_SQL = f"""
@@ -343,6 +406,14 @@ WITH hsum AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    ivf = _ivf_oracle_sql()
+    if ivf is not None:
+        out["sim_ann_ivf_topk"] = ivf
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "f3_seen_antijoin": """
             SELECT c_custkey FROM customer c
