@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from scrappy_spark.operators import (
+    boilerplate,
     dedup,
     multimodal,
     pipeline,
@@ -116,9 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_rolling": textstats.fingerprint_rolling,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
+        # sequence-level dedup: boilerplate segments (df > cap across
+        # docs) dropped, documents rebuilt in order (round 4)
+        "dedup_boilerplate": boilerplate.boilerplate_clean,
         # composed end-to-end training-corpus filter (langid + quality +
         # dedup survivor selection) — the composition itself is oracled
         "pipeline_training_corpus": pipeline.training_corpus,
+        # v2: + boilerplate removal, quality gate on the CLEANED token
+        # count — the four-operator composition is oracled end-to-end
+        "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -271,12 +278,12 @@ _COSINE_E = (
     "FROM embeddings"
 )
 
-# the driver evaluates oracle SQL against these tables (sf0.01); the IVF
-# oracle embeds a model recomputed from the same parquet, so it needs the
-# path — overridable for local experiments at other scales
-_ORACLE_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-)
+def _oracle_sf_dir() -> str:
+    """The driver evaluates oracle SQL against the sf0.01 tables; the IVF
+    oracle embeds a model recomputed from the same parquet, so it needs
+    the path. Read at oracle_sql() CALL time so tests (which run the
+    contract at sf0.001) can point it at their own tables."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _ivf_oracle_sql() -> str | None:
@@ -292,7 +299,7 @@ def _ivf_oracle_sql() -> str | None:
     value. Returns None (entry omitted → rows-only check, the pre-r4
     status) only if the model cannot be built, e.g. missing table."""
     try:
-        cents, probes = similarity.ivf_oracle_model(_ORACLE_SF_DIR)
+        cents, probes = similarity.ivf_oracle_model(_oracle_sf_dir())
     except Exception:
         return None
     cent_vals = ", ".join(
@@ -379,6 +386,49 @@ _MARKER_LANGID_SQL = f"""
                         WHEN s_es > 0 THEN 'es'
                         ELSE 'und' END AS pred_lang
             FROM s
+        """
+
+# mirror of boilerplate.boilerplate_clean in chunk mode (k=3, max_df=2):
+# non-overlapping 3-token windows, document frequency over per-doc
+# distinct segments, df>cap segments dropped, ordered rebuild
+_BOILERPLATE_SQL = f"""
+            WITH tokd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            segx AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks) // {boilerplate.CHUNK_K})) AS seg_idx
+              FROM tokd
+            ),
+            seg AS (
+              SELECT doc_id, seg_idx,
+                     array_to_string(list_slice(toks,
+                       seg_idx * {boilerplate.CHUNK_K} + 1,
+                       seg_idx * {boilerplate.CHUNK_K} + {boilerplate.CHUNK_K}),
+                       ' ') AS seg
+              FROM segx
+            ),
+            dfreq AS (
+              SELECT seg, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, seg FROM seg) GROUP BY seg
+            ),
+            kept AS (
+              SELECT s.doc_id, s.seg_idx, s.seg
+              FROM seg s JOIN dfreq USING (seg)
+              WHERE df <= {boilerplate.MAX_DF}
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_total FROM seg GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+                   CAST(coalesce(t.n_total, 0) - coalesce(r.n_kept, 0) AS INT)
+                     AS n_dropped
+            FROM documents d
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+            LEFT JOIN totals t ON t.doc_id = d.doc_id
         """
 
 # the multimodal decode STUB (multimodal._decode_stub) in SQL: the fake
@@ -701,6 +751,23 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE l.pred_lang = '{pipeline.KEEP_LANG}'
               AND q.n_tokens >= {pipeline.MIN_TOKENS}
               AND c.canonical_id = q.doc_id
+        """,
+        "dedup_boilerplate": _BOILERPLATE_SQL,
+        # v2 composition: boilerplate mirror + langid mirror + the
+        # recursive components closure, quality gate on CLEANED tokens
+        "pipeline_training_corpus_v2": f"""
+            SELECT doc_id, n_tokens_clean, pred_lang, n_dropped FROM (
+              SELECT b.doc_id,
+                     CAST(len(string_split_regex(trim(b.clean_text), '\\s+'))
+                          AS INT) AS n_tokens_clean,
+                     l.pred_lang, b.n_dropped, c.canonical_id
+              FROM ({_BOILERPLATE_SQL}) b
+              JOIN ({_MARKER_LANGID_SQL}) l ON l.doc_id = b.doc_id
+              JOIN ({_COMPONENTS_SQL}) c ON c.doc_id = b.doc_id
+            )
+            WHERE pred_lang = '{pipeline.KEEP_LANG}'
+              AND n_tokens_clean >= {pipeline.MIN_TOKENS}
+              AND canonical_id = doc_id
         """,
         "text_ngram_langid": f"""
             WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -23,8 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     from scrappy_spark.operators import (
+        boilerplate,
         dedup,
         multimodal,
         pipeline,
@@ -46,6 +47,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
+        "dedup_boilerplate": boilerplate.boilerplate_clean,
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(s, d, 0.35),
         "dedup_embedding_near": lambda s, d: dedup.embedding_near_pairs(s, d, 0.45),
         "sim_cosine_topk": similarity.cosine_topk,
@@ -54,13 +56,21 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_fingerprint": textstats.fingerprint,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
+        "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
     }
-    times = {}
+    times, steal = {}, {}
     for name, fn in qs.items():
+        s0, j0 = _steal_ticks()
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
-    return times
+        s1, j1 = _steal_ticks()
+        # per-query hypervisor steal%, same protocol as the crawl leg
+        # (VERDICT r3 #3: unannotated query times re-measured 3–20×
+        # faster on a quiet host — a number without its contention
+        # context cannot be compared across rounds)
+        steal[name] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
+    return times, steal
 
 
 def _crawl_bench(spark, n_docs: int, cpus: int) -> dict:
@@ -117,17 +127,21 @@ def _fixed_cost(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.monotonic()
     spark.range(1000).write.format("noop").mode("overwrite").save()
     out["noop_job_sec"] = round(time.monotonic() - t0, 3)
+    # first/second scan in the WARM session (ADVICE r3: these run after
+    # the query phase, so OS page cache and JVM are hot — "cold" would
+    # overstate what is measured; the first/second delta isolates the
+    # plan-compilation share of the floor, not storage cold-read cost)
     for name in ("documents", "embeddings"):
         t0 = time.monotonic()
         spark.read.parquet(f"{sf_dir}/{name}.parquet").write.format(
             "noop"
         ).mode("overwrite").save()
-        out[f"scan_{name}_cold_sec"] = round(time.monotonic() - t0, 3)
+        out[f"scan_{name}_first_sec"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         spark.read.parquet(f"{sf_dir}/{name}.parquet").write.format(
             "noop"
         ).mode("overwrite").save()
-        out[f"scan_{name}_warm_sec"] = round(time.monotonic() - t0, 3)
+        out[f"scan_{name}_second_sec"] = round(time.monotonic() - t0, 3)
     for run in ("first", "second"):
         t0 = time.monotonic()
         textstats.fingerprint(spark, sf_dir).write.format("noop").mode(
@@ -157,7 +171,10 @@ def main() -> None:
     # is unchanged; only the JVM state it starts from is controlled.
     crawl = _headline_crawl_subprocess(n_docs, cpus)
     spark = _session(cpus)
-    queries = _bench_queries(spark, sf_dir)
+    qload0 = os.getloadavg()[0]
+    qs0, qj0 = _steal_ticks()
+    queries, query_steal = _bench_queries(spark, sf_dir)
+    qs1, qj1 = _steal_ticks()
     fixed = _fixed_cost(spark, sf_dir)  # after the queries: their timings
     # stay comparable across rounds; this measures the warm-session floor
     total = time.monotonic() - t_total0
@@ -167,6 +184,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "query_steal_pct": query_steal,
+        "queries_loadavg_start": round(qload0, 1),
+        "queries_steal_pct": round(100 * (qs1 - qs0) / max(1, qj1 - qj0), 2),
         "fixed_cost": fixed,
         "sf": sf,
         **crawl,

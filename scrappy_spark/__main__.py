@@ -11,7 +11,7 @@ Flag parity (reference flag → here):
                         recorded in round manifests
     -c/--concurrence C  reference worker threads (bin/scrappy:40) → Spark
                         local parallelism (local[C])
-    -f/--format FMT     ntriples | json | ejson (bin/scrappy:44,199)
+    -f/--format FMT     ntriples | json | ejson | rdfxml | yarf (bin/scrappy:44,199)
     -o/--observe URIs   comma-separated watch list: one observe tick
                         (agent.rb:140-151; scheduling belongs to cron /
                         Structured Streaming triggers)
@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--delay", type=int, default=0, metavar="MS")
     p.add_argument("-c", "--concurrence", type=int, default=None)
     p.add_argument(
-        "-f", "--format", default="ntriples", choices=("ntriples", "json", "ejson")
+        "-f", "--format", default="ntriples", choices=("ntriples", "json", "ejson", "rdfxml", "yarf")
     )
     p.add_argument("-o", "--observe", metavar="URIS")
     p.add_argument("-t", "--time", type=int, default=15, metavar="MINUTES")

@@ -424,9 +424,28 @@ class Crawler:
                     )
                     changed = True
             else:
-                d = build_sharded(delta.select("h"), cfg.cuckoo_shards, per_shard)
+                cur_per = self._bloom.buckets_per_shard
+                d = build_sharded(delta.select("h"), cfg.cuckoo_shards, cur_per)
                 self._bloom.merge(d)
                 changed = True
+                if self._bloom.saturated_shards:
+                    # saturated shards answer all-True (safe but useless as
+                    # a prefilter) — rebuild the WHOLE filter at a larger
+                    # geometry from the committed seen set, mirroring the
+                    # bloom's capacity-overflow rebuild (VERDICT r3 #6:
+                    # without this, a saturated shard stays all-True for
+                    # the rest of the crawl). Double until the design load
+                    # (count/slots ≤ ~95%, the cuckoo fill ceiling) holds
+                    # for the grown seen set; power-of-two doubling keeps
+                    # the per-shard bucket count valid.
+                    target = int(self._seen_rows * cfg.bloom_growth)
+                    new_per = cur_per * 2
+                    while cfg.cuckoo_shards * new_per * 4 * 95 < target * 100:
+                        new_per *= 2
+                    seen = self.store.read_seen(self.spark, upto=upto_round)
+                    self._bloom = build_sharded(
+                        seen.select("h"), cfg.cuckoo_shards, new_per
+                    )
         else:
             overflow = (
                 self._bloom is not None

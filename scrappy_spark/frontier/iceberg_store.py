@@ -88,10 +88,18 @@ class IcebergCrawlStore(CrawlStore):
         # snapshot (ADVICE r2): a concurrent writer on the same table can
         # interleave commits, and misattributed added-records would
         # corrupt the manifest seen_rows/frontier_rows used for resume.
-        # The count re-reads cached round intermediates (cheap); the
-        # snapshot id recorded for lineage is best-effort.
-        rows = df.count()
-        df.writeTo(self._tbl(table)).append()
+        # Persist the delta so count and append see the SAME rows
+        # (ADVICE r3: if an upstream intermediate is not actually cached,
+        # the two executions of a non-deterministic lineage could
+        # diverge — the exact corruption the count-our-own-rows change
+        # was meant to prevent). The snapshot id recorded for lineage is
+        # best-effort.
+        df = df.persist()
+        try:
+            rows = df.count()
+            df.writeTo(self._tbl(table)).append()
+        finally:
+            df.unpersist()
         snap = (
             self.spark.sql(
                 f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, textstats
+from . import boilerplate, dedup, textstats
 
 MIN_TOKENS = 20  # drop stubs (the driver corpus' 25th percentile is 32)
 KEEP_LANG = "en"
@@ -49,4 +49,42 @@ def training_corpus(
             & (F.col("doc_id") == F.col("canonical_id"))
         )
         .select("doc_id", "n_tokens", "alpha_ratio", "pred_lang")
+    )
+
+
+def training_corpus_v2(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_lang: str = KEEP_LANG,
+    min_tokens: int = MIN_TOKENS,
+) -> DataFrame:
+    """training_corpus + sequence-level boilerplate removal (round 4):
+    documents are first rebuilt without their boilerplate segments
+    (boilerplate.boilerplate_clean), then the quality gate runs on the
+    CLEANED token count — a page that is mostly nav-bar shrinks below
+    ``min_tokens`` and drops out even though its raw length passed v1.
+    Language ID and survivor selection still act on the original text
+    (boilerplate removal must not flip a document's language or its
+    near-dup cluster membership).
+
+    Output: (doc_id, n_tokens_clean, pred_lang, n_dropped). The driver
+    oracle nests the boilerplate mirror inside the v1 mirrors, so the
+    four-operator COMPOSITION is value-checked end-to-end."""
+    lang = textstats.marker_langid(spark, sf_dir)
+    clean = boilerplate.boilerplate_clean(spark, sf_dir)
+    comp = dedup.minhash_components(spark, sf_dir)
+    n_clean = F.size(
+        F.split(F.trim(F.col("clean_text")), r"\s+")
+    ).alias("n_tokens_clean")
+    return (
+        clean.select("doc_id", "clean_text", "n_dropped")
+        .join(lang, "doc_id")
+        .join(comp, "doc_id")
+        .select("doc_id", n_clean, "pred_lang", "n_dropped", "canonical_id")
+        .where(
+            (F.col("pred_lang") == keep_lang)
+            & (F.col("n_tokens_clean") >= min_tokens)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .select("doc_id", "n_tokens_clean", "pred_lang", "n_dropped")
     )

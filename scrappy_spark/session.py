@@ -43,10 +43,6 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        # local-cluster[…]: separate executor JVMs spawn their own Python
-        # workers — ship the package root explicitly (local[…] inherits
-        # the env set above; a real cluster uses spark-submit --py-files)
-        .config("spark.executorEnv.PYTHONPATH", pkg_root)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -58,6 +54,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local-cluster[…]: separate executor JVMs spawn their own Python
+    # workers — ship the package root explicitly (local[…] inherits the
+    # env set above). ONLY for local masters (ADVICE r3): on a real
+    # cluster the driver-local path does not exist on executors and
+    # would shadow a legitimately configured executor PYTHONPATH;
+    # spark-submit --py-files is the deployment path there.
+    if master.startswith(("local", "local-cluster")):
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -35,12 +35,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..frontier import CrawlConfig, Crawler
 from ..urlnorm import canonicalize
-from .sinks import ntriples_lines
+from .sinks import (
+    RDFXML_FOOTER,
+    RDFXML_HEADER,
+    ntriples_lines,
+    rdf_json_lines,
+    rdfxml_descriptions,
+    yarf_blocks,
+)
 
 CONTENT_TYPES = {  # agent.rb:12-13 (the publicly-serializable subset)
     "ntriples": "text/plain",
     "json": "application/json",
     "ejson": "application/json",
+    "rdfxml": "application/rdf+xml",  # round 4 (sinks.py matrix)
+    "rdf": "application/rdf+xml",
+    "yarf": "text/plain",
 }
 
 
@@ -105,6 +115,18 @@ class ScrappyService:
     def _serialize(triples: DataFrame, fmt: str) -> str:
         if fmt == "ntriples":
             lines = [r["value"] for r in ntriples_lines(triples).collect()]
+            return "\n".join(sorted(lines))
+        if fmt in ("rdfxml", "rdf"):
+            descs = [r["value"] for r in rdfxml_descriptions(triples).collect()]
+            return "\n".join([RDFXML_HEADER, *sorted(descs), RDFXML_FOOTER])
+        if fmt == "yarf":
+            blocks = [r["value"] for r in yarf_blocks(triples).collect()]
+            return "\n".join(sorted(blocks))
+        if fmt == "ejson":
+            # the reference's second JSON form: resource-centric RDF/JSON
+            # (its plain "json" stays the flat rows dump below, which the
+            # JSONP path wraps)
+            lines = [r["value"] for r in rdf_json_lines(triples).collect()]
             return "\n".join(sorted(lines))
         rows = [
             {

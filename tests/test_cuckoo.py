@@ -83,3 +83,42 @@ def test_cuckoo_crawl_exact_match(spark, tmp_path):
         (r["seq"], r["uri"], r["depth"])
         for r in crawler.order_df().orderBy("round", "seq").collect()
     ] == golden.order
+
+
+def test_cuckoo_saturation_triggers_growth_rebuild(spark, tmp_path):
+    """A deliberately undersized cuckoo (1 shard x 64 buckets = 256
+    slots, vs ~350+ seen entries) must saturate mid-crawl, then be
+    REBUILT at a larger geometry from the committed seen set (round 4:
+    previously a saturated shard stayed all-True — safe but a dead
+    prefilter — for the rest of the crawl). Crawl results stay exact
+    throughout (the filter only short-circuits definite misses)."""
+    cfg = CorpusConfig(n_docs=200)
+    docs = generate_local(cfg)
+    df = generate_df(spark, cfg, partitions=2)
+    seeds = seeds_for(cfg, 2)
+    golden = oracle_crawl(docs, seeds, depth=2)
+    crawler = Crawler(
+        spark,
+        df,
+        str(tmp_path / "store"),
+        CrawlConfig(
+            depth=2,
+            seen_filter="cuckoo",
+            bloom_min_seen=0,
+            cuckoo_shards=1,
+            cuckoo_buckets=64,
+        ),
+    )
+    crawler.run(seeds)
+    f = crawler._bloom
+    assert f is not None and f.count > 256  # really outgrew the start size
+    assert f.buckets_per_shard > 64  # geometry grew
+    assert f.saturated_shards == 0  # prefilter selectivity restored
+    # capacity headroom: the rebuilt table fits the seen set under the
+    # ~95% cuckoo fill ceiling
+    assert f.count <= 0.95 * f.n_shards * f.buckets_per_shard * 4
+    order = [
+        (r["seq"], r["uri"], r["depth"])
+        for r in crawler.order_df().orderBy("round", "seq").collect()
+    ]
+    assert order == golden.order

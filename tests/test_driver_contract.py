@@ -12,6 +12,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the IVF oracle embeds a model recomputed from the oracle tables — point
+# it at the SAME sf dir this contract test runs the Spark queries on
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"
+)
+
 import __spark_entry__ as entrymod  # noqa: E402
 
 TABLES = (

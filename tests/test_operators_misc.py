@@ -182,3 +182,99 @@ def test_robots_exact_match_vs_oracle(spark, tmp_path):
     assert seen == golden.seen
     assert not any(u.startswith("http://h000.example.com/") for u, _ in seen)
     assert all(not robots_disallowed(u, robots) for u, _ in seen)
+
+
+def test_rdfxml_descriptions_and_framed_write(spark, tmp_path):
+    """Round-4 serializer matrix: each rdfxml part-file is a complete,
+    well-formed standalone document; descriptions carry escaped literals,
+    rdf:resource links, and rdf:nodeID blank nodes."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    from scrappy_spark.sources.sinks import (
+        rdfxml_descriptions,
+        write_rdfxml,
+    )
+
+    t = _triples(
+        spark,
+        [
+            ("http://a", "http://ex.org/p", "http://b", False),
+            ("http://a", "http://ex.org/name", 'x < "y" & z', True),
+            ("_:b1", "http://ex.org/p", "_:b2", False),
+        ],
+    )
+    descs = {r["value"] for r in rdfxml_descriptions(t).collect()}
+    assert len(descs) == 2  # one block per subject
+    joined = "\n".join(descs)
+    assert 'rdf:about="http://a"' in joined
+    assert 'rdf:resource="http://b"' in joined
+    assert "x &lt; &quot;y&quot; &amp; z" in joined
+    assert 'rdf:nodeID="b1"' in joined and 'rdf:nodeID="b2"' in joined
+
+    out = str(tmp_path / "rdfxml")
+    write_rdfxml(t.repartition(2), out)
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert parts
+    for p in parts:
+        root = ET.parse(p).getroot()  # every part parses standalone
+        assert root.tag.endswith("RDF")
+
+
+def test_rdf_json_lines_shape(spark):
+    import json as _json
+
+    from scrappy_spark.sources.sinks import rdf_json_lines
+
+    t = _triples(
+        spark,
+        [
+            ("http://a", "http://p", "http://b", False),
+            ("http://a", "http://p", "lit", True),
+            ("http://a", "http://q", "_:b1", False),
+        ],
+    )
+    [row] = rdf_json_lines(t).collect()
+    obj = _json.loads(row["value"])
+    vals = obj["http://a"]["http://p"]
+    assert {"type": "literal", "value": "lit"} in vals
+    assert {"type": "uri", "value": "http://b"} in vals
+    assert obj["http://a"]["http://q"] == [{"type": "bnode", "value": "_:b1"}]
+
+
+def test_yarf_blocks_shape(spark):
+    from scrappy_spark.sources.sinks import yarf_blocks
+
+    t = _triples(
+        spark,
+        [
+            ("http://a", "http://p", "http://b", False),
+            ("http://a", "http://q", 'say "hi"', True),
+        ],
+    )
+    [row] = yarf_blocks(t).collect()
+    lines = row["value"].split("\n")
+    assert lines[0] == "<http://a>:"
+    assert "  <http://p>: <http://b>" in lines
+    assert '  <http://q>: "say \\"hi\\""' in lines
+
+
+def test_server_facade_new_formats(spark, tmp_path):
+    """rdfxml / yarf / ejson negotiate through the service facade."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    from scrappy_spark.frontier import CrawlConfig
+    from scrappy_spark.sources.server import ScrappyService
+    from tests.test_server_facade import _web
+
+    svc = ScrappyService(spark, _web(spark), str(tmp_path), CrawlConfig(depth=0))
+    r = svc.process_request("rdfxml", "http://a.example.com/")
+    assert r.status == "ok" and r.content_type == "application/rdf+xml"
+    assert ET.fromstring(r.output).tag.endswith("RDF")
+    y = svc.process_request("yarf", "http://a.example.com/")
+    assert y.status == "ok" and "<http://a.example.com/>:" in y.output
+    e = svc.process_request("ejson", "http://a.example.com/")
+    assert e.status == "ok"
+    first = _json.loads(e.output.splitlines()[0])
+    assert isinstance(first, dict)

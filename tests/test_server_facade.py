@@ -51,7 +51,10 @@ def test_redirect_error_and_unknown_format(spark, tmp_path):
     svc = ScrappyService(spark, _web(spark), str(tmp_path), cfg)
     r = svc.process_request("ntriples", "http://a.example.com/old")
     assert r.status == "redirect" and r.uri == "http://a.example.com/"
-    assert svc.process_request("yarf", "http://a.example.com/").status == "error"
+    # png (graphviz raster in the reference) is the one format with no
+    # distributed analog here — stays an error; yarf became a real
+    # format in round 4 (sinks.py)
+    assert svc.process_request("png", "http://a.example.com/").status == "error"
     assert (
         svc.process_request("ntriples", "http://missing.example.com/").status
         == "error"
