@@ -12,6 +12,7 @@ Flag parity (reference flag → here):
     -c/--concurrence C  reference worker threads (bin/scrappy:40) → Spark
                         local parallelism (local[C])
     -f/--format FMT     ntriples | json | ejson | rdfxml | yarf (bin/scrappy:44,199)
+    -r/--reference      referenceable provenance output (bin/scrappy:43,212)
     -o/--observe URIs   comma-separated watch list: one observe tick
                         (agent.rb:140-151; scheduling belongs to cron /
                         Structured Streaming triggers)
@@ -38,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--concurrence", type=int, default=None)
     p.add_argument(
         "-f", "--format", default="ntriples", choices=("ntriples", "json", "ejson", "rdfxml", "yarf")
+    )
+    p.add_argument(
+        "-r",
+        "--reference",
+        action="store_true",
+        help="output referenceable provenance (sc:UnivocalSelector graph)",
     )
     p.add_argument("-o", "--observe", metavar="URIS")
     p.add_argument("-t", "--time", type=int, default=15, metavar="MINUTES")
@@ -68,7 +75,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             politeness_delay_ms=args.delay,
             per_host_budget=1 if args.delay else None,
         )
-        svc = ScrappyService(spark, web, store, cfg)
+        svc = ScrappyService(spark, web, store, cfg, referenceable=args.reference)
         resp = svc.process_request(args.format, args.get)
         if resp.status != "ok":
             print(f"error: {resp.status} ({resp.uri})", file=sys.stderr)

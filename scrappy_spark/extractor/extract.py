@@ -30,11 +30,15 @@ COMBINED_SCHEMA = (
 )
 
 
-def extract_triples(docs: DataFrame, kb: tuple[Fragment, ...]) -> DataFrame:
+def extract_triples(
+    docs: DataFrame, kb: tuple[Fragment, ...], referenceable: bool = False
+) -> DataFrame:
     """Run a KB over a documents table (doc_id, spans) WITHOUT crawling —
     the reference's 'test this extractor on these samples' path
     (admin.rb:167-239). Single mapInPandas pass, single output, no cache:
-    the memory-lean shape for bulk re-extraction over a 100 TB table."""
+    the memory-lean shape for bulk re-extraction over a 100 TB table.
+    ``referenceable`` adds the per-node sc:source/sc:UnivocalSelector
+    provenance graph (the reference's -r output shape)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -53,7 +57,9 @@ def extract_triples(docs: DataFrame, kb: tuple[Fragment, ...]) -> DataFrame:
                 ]
                 if not semantics.is_html(span_dicts):
                     continue
-                for s, p, o, lit in extract_document(kb, uri, span_dicts):
+                for s, p, o, lit in extract_document(
+                    kb, uri, span_dicts, referenceable
+                ):
                     rows.append((s, p, o, lit, uri))
             yield pd.DataFrame(
                 rows, columns=["s", "p", "o", "is_literal", "src_uri"]
@@ -105,8 +111,9 @@ def extract_triples_tagged(
 
 
 class FragmentExtractor:
-    def __init__(self, kb: tuple[Fragment, ...]):
+    def __init__(self, kb: tuple[Fragment, ...], referenceable: bool = False):
         self.kb = kb
+        self.referenceable = referenceable
         self._cached: DataFrame | None = None
 
     def cleanup(self) -> None:
@@ -116,6 +123,7 @@ class FragmentExtractor:
 
     def extract(self, fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
         kb = self.kb  # closure-captured; broadcast via task serialization
+        referenceable = self.referenceable
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -136,7 +144,7 @@ class FragmentExtractor:
                     ]
                     if not semantics.is_html(span_dicts):
                         continue
-                    triples = extract_document(kb, uri, span_dicts)
+                    triples = extract_document(kb, uri, span_dicts, referenceable)
                     for s, p, o, lit in triples:
                         rows.append(
                             ("t", s, p, o, lit, None, None, None, None, uri, seq)

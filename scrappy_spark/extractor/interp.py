@@ -30,12 +30,13 @@ NEGATIONS = ("no", "false", "n", "0")
 
 
 class _State:
-    __slots__ = ("seq", "bnodes", "doc_uri")
+    __slots__ = ("seq", "bnodes", "doc_uri", "referenceable")
 
-    def __init__(self, doc_uri: str):
+    def __init__(self, doc_uri: str, referenceable: bool = False):
         self.seq: dict[str, int] = {}
         self.bnodes = 0
         self.doc_uri = doc_uri
+        self.referenceable = referenceable
 
 
 def _ctx(uri: str, spans: list[dict], value=None, nofollow=False) -> dict:
@@ -178,6 +179,59 @@ def select(sel: Selector, ctx: dict, state: _State) -> list[dict]:
     return out
 
 
+def _reference_triples(
+    node: str, frag: Fragment, rctx: dict, state: _State
+) -> list[Triple]:
+    """Referenceable provenance (VERDICT r3 missing #4 — the reference's
+    `-r` output shape): `node sc:source → source` bnode carrying an
+    `sc:selector → sc:UnivocalSelector` node plus an `sc:presentation`
+    node (fragment.rb:84-93, 138-171). Span-sequence analogs of the
+    DOM/visual fields: sc:path is `span:<first offset>` (the position a
+    node was built from — the XPath analog over the span axis), sc:tag
+    is the first span's kind (the element-name analog), and the
+    presentation geometry is the offset window (sc:x = min offset,
+    sc:width = span count) with sc:text the stripped concatenated span
+    text — the reference's vx/vw/node.text with the interleaved-spans
+    table's one positional axis. Fragment metadata (sc:type,
+    sc:superclass, sc:sameas, sc:relation) attaches to the source node
+    exactly as in fragment.rb:86-90."""
+    spans = rctx["spans"]
+    state.bnodes += 1
+    src = f"_:{state.doc_uri}#{state.bnodes}"
+    state.bnodes += 1
+    sel = f"_:{state.doc_uri}#{state.bnodes}"
+    t: list[Triple] = [
+        (node, "sc:source", src, False),
+        (src, "sc:selector", sel, False),
+        (sel, "rdf:type", "sc:UnivocalSelector", False),
+        (sel, "sc:document", state.doc_uri, False),
+    ]
+    if spans:
+        first = spans[0]
+        t.append((sel, "sc:path", f"span:{first['offset']}", True))
+        t.append((sel, "sc:tag", first["kind"], True))
+        state.bnodes += 1
+        pres = f"_:{state.doc_uri}#{state.bnodes}"
+        text = " ".join((s["text"] or "") for s in spans).strip()
+        t.extend(
+            [
+                (src, "sc:presentation", pres, False),
+                (pres, "sc:x", str(min(s["offset"] for s in spans)), True),
+                (pres, "sc:width", str(len(spans)), True),
+                (pres, "sc:text", text, True),
+            ]
+        )
+    if frag.rdf_type:
+        t.append((src, "sc:type", frag.rdf_type, False))
+    if frag.superclass:
+        t.append((src, "sc:superclass", frag.superclass, False))
+    if frag.sameas:
+        t.append((src, "sc:sameas", frag.sameas, False))
+    if frag.relation:
+        t.append((src, "sc:relation", frag.relation, False))
+    return t
+
+
 def apply_fragment(
     frag: Fragment, parent_node: str | None, ctx: dict, state: _State
 ) -> tuple[list[Triple], int]:
@@ -233,15 +287,22 @@ def apply_fragment(
                 t.extend(sub_t)
             if ok:
                 count += 1
+                if state.referenceable:
+                    t.extend(_reference_triples(node, frag, rctx, state))
                 triples.extend(t)
     return triples, count
 
 
 def extract_document(
-    kb: tuple[Fragment, ...], uri: str, spans: list[dict]
+    kb: tuple[Fragment, ...],
+    uri: str,
+    spans: list[dict],
+    referenceable: bool = False,
 ) -> list[Triple]:
-    """Extractor#extract (extractor.rb:10-30) for one document."""
-    state = _State(uri)
+    """Extractor#extract (extractor.rb:10-30) for one document.
+    ``referenceable`` adds the `-r` provenance graph per node
+    (_reference_triples); default off — golden-parity mode."""
+    state = _State(uri, referenceable)
     ctx = _ctx(uri, sorted(spans, key=lambda s: s["offset"]))
     out: list[Triple] = []
     for frag in kb:

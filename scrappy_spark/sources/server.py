@@ -81,11 +81,16 @@ class ScrappyService:
         documents: DataFrame,
         store_root: str,
         config: CrawlConfig | None = None,
+        referenceable: bool = False,
     ):
         self.spark = spark
         self.documents = documents
         self.store_root = store_root
         self.cfg = config or CrawlConfig(depth=0)
+        # -r (bin/scrappy:43): crawl with the fragment extractor in
+        # referenceable mode so responses carry the sc:source /
+        # sc:UnivocalSelector provenance graph per node
+        self.referenceable = referenceable
         os.makedirs(store_root, exist_ok=True)
 
     def process_request(
@@ -102,7 +107,15 @@ class ScrappyService:
         ).isEmpty():  # fetch failure → 500 (server.rb:37-39)
             return Response(status="error", uri=uri)
         store = tempfile.mkdtemp(prefix="req_", dir=self.store_root)
-        crawler = Crawler(self.spark, self.documents, store, self.cfg)
+        extractor = None
+        if self.referenceable:
+            from ..extractor import FragmentExtractor
+            from ..extractor.kb import link_kb
+
+            extractor = FragmentExtractor(link_kb(), referenceable=True)
+        crawler = Crawler(
+            self.spark, self.documents, store, self.cfg, extractor=extractor
+        )
         crawler.run([uri])
         body = self._serialize(crawler.clean_triples_df(), fmt)
         if callback:  # JSONP wrap, server.rb:35

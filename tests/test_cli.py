@@ -56,3 +56,17 @@ def test_cli_observe_tick(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "'stale': 1" in capsys.readouterr().out
+
+
+def test_cli_reference_flag(spark, tmp_path, capsys):
+    """-r (bin/scrappy:43): the response carries the provenance graph."""
+    web = _web_path(spark, tmp_path)
+    seed = seeds_for(CorpusConfig(n_docs=60), 1)[0]
+    rc = main(
+        ["-g", seed, "-l", "1", "-r", "--web", web,
+         "--store", str(tmp_path / "store_r")],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sc:UnivocalSelector" in out and "<sc:source>" in out

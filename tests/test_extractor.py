@@ -288,3 +288,66 @@ def test_rich_kb_crawl_exact_match(spark, tmp_path):
     assert any(p == "sc:topic" for _, p, _, _ in triples)
     # nofollow honored: no wiki.example.com URI was ever crawled
     assert not any("wiki.example.com" in u for u, _ in seen)
+
+
+def test_referenceable_provenance_graph():
+    """-r output shape (fragment.rb:84-93, 138-171 analog, round 4):
+    referenceable mode ADDS an sc:source → sc:selector
+    (sc:UnivocalSelector with span-axis path/tag) + sc:presentation
+    graph per node; base triples and link emission are bit-unchanged."""
+    kb = link_kb()
+    plain = extract_document(kb, URI, SPANS)
+    ref = extract_document(kb, URI, SPANS, referenceable=True)
+
+    # the plain triples are a subset, order-preserved
+    assert [t for t in ref if t in plain] == plain
+    extra = [t for t in ref if t not in plain]
+    preds = {p for _, p, _, _ in extra}
+    assert {"sc:source", "sc:selector", "sc:path", "sc:document",
+            "sc:presentation", "sc:text"} <= preds
+    # one UnivocalSelector per extracted node, each typed, documented,
+    # and carrying the span-axis path
+    sels = [s for s, p, o, _ in extra
+            if p == "rdf:type" and o == "sc:UnivocalSelector"]
+    n_sources = sum(1 for _, p, _, _ in extra if p == "sc:source")
+    assert len(sels) == n_sources > 0
+    for sel in sels:
+        assert (sel, "sc:document", URI, False) in extra
+        assert any(s == sel and p == "sc:path" and o.startswith("span:")
+                   for s, p, o, _ in extra)
+    # provenance bnodes never change link emission
+    assert semantics.emit_links(URI, 2, ref) == semantics.emit_links(
+        URI, 2, plain
+    )
+
+
+def test_referenceable_crawl_matches_plain_order(spark, tmp_path):
+    """A crawl with a referenceable FragmentExtractor produces the SAME
+    crawl order/seen set as the plain one (provenance is additive)."""
+    cfg = CorpusConfig(n_docs=60)
+    df = generate_df(spark, cfg, partitions=2)
+    seeds = seeds_for(cfg, 2)
+    orders = []
+    for referenceable in (False, True):
+        c = Crawler(
+            spark,
+            df,
+            str(tmp_path / f"store_{referenceable}"),
+            CrawlConfig(depth=2),
+            extractor=FragmentExtractor(link_kb(), referenceable),
+        )
+        c.run(seeds)
+        orders.append(
+            [
+                (r["seq"], r["uri"], r["depth"])
+                for r in c.order_df().orderBy("round", "seq").collect()
+            ]
+        )
+        if referenceable:
+            trips = c.triples_df()
+            assert trips.where("p = 'sc:source'").count() > 0
+            assert (
+                trips.where("o = 'sc:UnivocalSelector'").count()
+                == trips.where("p = 'sc:source'").count()
+            )
+    assert orders[0] == orders[1]
