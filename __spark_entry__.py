@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence-level dedup: boilerplate segments (df > cap across
         # docs) dropped, documents rebuilt in order (round 4)
         "dedup_boilerplate": boilerplate.boilerplate_clean,
+        # exact-substring dedup: ≥min_run-token runs duplicated across
+        # documents removed at any alignment (round 4)
+        "dedup_passages": boilerplate.duplicate_passage_clean,
         # composed end-to-end training-corpus filter (langid + quality +
         # dedup survivor selection) — the composition itself is oracled
         "pipeline_training_corpus": pipeline.training_corpus,
@@ -429,6 +432,69 @@ _BOILERPLATE_SQL = f"""
             FROM documents d
             LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
             LEFT JOIN totals t ON t.doc_id = d.doc_id
+        """
+
+# mirror of boilerplate.duplicate_passage_clean: shingle positions,
+# df >= 2 marking, consecutive-position runs (pos - row_number), run
+# length gate, coverage explode, ordered rebuild of surviving tokens
+_PASSAGES_SQL = f"""
+            WITH tokd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks) - {boilerplate.PASSAGE_K} + 1)) AS p
+              FROM tokd WHERE len(toks) >= {boilerplate.PASSAGE_K}
+            ),
+            shp AS (
+              SELECT doc_id, p,
+                     array_to_string(list_slice(toks, p + 1,
+                       p + {boilerplate.PASSAGE_K}), ' ') AS sh
+              FROM pos
+            ),
+            dfreq AS (
+              SELECT sh, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, sh FROM shp) GROUP BY sh
+            ),
+            dup AS (
+              SELECT s.doc_id, s.p FROM shp s JOIN dfreq USING (sh)
+              WHERE df >= 2
+            ),
+            runs AS (
+              SELECT doc_id, min(p) AS a, max(p) AS b FROM (
+                SELECT doc_id, p,
+                       p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                FROM dup
+              ) GROUP BY doc_id, grp
+              HAVING max(p) - min(p) + {boilerplate.PASSAGE_K}
+                     >= {boilerplate.PASSAGE_MIN_RUN}
+            ),
+            removed AS (
+              SELECT DISTINCT doc_id,
+                     unnest(range(a, b + {boilerplate.PASSAGE_K})) AS tp
+              FROM runs
+            ),
+            tok AS (
+              SELECT doc_id, tp, toks[tp + 1] AS tok FROM (
+                SELECT doc_id, toks, unnest(range(0, len(toks))) AS tp
+                FROM tokd
+              )
+            ),
+            kept AS (
+              SELECT t.doc_id, t.tp, t.tok
+              FROM tok t LEFT JOIN removed r
+                ON r.doc_id = t.doc_id AND r.tp = t.tp
+              WHERE r.tp IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, len(toks) AS n FROM tokd)
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   CAST(t.n - coalesce(a.n_kept, 0) AS INT) AS n_removed
+            FROM documents d
+            JOIN tot t ON t.doc_id = d.doc_id
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
         """
 
 # the multimodal decode STUB (multimodal._decode_stub) in SQL: the fake
@@ -753,6 +819,7 @@ def _oracle_sql_static() -> dict[str, str]:
               AND c.canonical_id = q.doc_id
         """,
         "dedup_boilerplate": _BOILERPLATE_SQL,
+        "dedup_passages": _PASSAGES_SQL,
         # v2 composition: boilerplate mirror + langid mirror + the
         # recursive components closure, quality gate on CLEANED tokens
         "pipeline_training_corpus_v2": f"""

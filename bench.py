@@ -48,6 +48,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(s, d, 0.2),
         "dedup_boilerplate": boilerplate.boilerplate_clean,
+        "dedup_passages": boilerplate.duplicate_passage_clean,
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_pairs(s, d, 0.35),
         "dedup_embedding_near": lambda s, d: dedup.embedding_near_pairs(s, d, 0.45),
         "sim_cosine_topk": similarity.cosine_topk,

@@ -106,3 +106,89 @@ def test_segments_pushes_filter_to_scan(spark, sf_dir):
     )
     plan = seg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_passage_dedup_removes_planted_duplicate_run(spark):
+    """A ≥min_run-token passage shared by two docs is removed from BOTH
+    at different alignments; short shared runs and unique text stay."""
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            ("a", f"alpha beta {passage} gamma delta"),
+            ("b", f"{passage} epsilon zeta eta theta iota"),
+            ("c", "alpha beta gamma delta epsilon unique words only here"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in boilerplate.duplicate_passage_clean_from(
+            docs, k=3, min_run=8
+        ).collect()
+    }
+    assert out["a"][0] == "alpha beta gamma delta" and out["a"][1] == 10
+    assert out["b"][0] == "epsilon zeta eta theta iota" and out["b"][1] == 10
+    # doc c shares 3-shingles with nobody as an 8-token run — untouched
+    assert out["c"][1] == 0 and out["c"][0].startswith("alpha beta gamma")
+
+
+def test_passage_dedup_short_runs_survive(spark):
+    """Duplicated runs SHORTER than min_run are left in place — the
+    operator removes passages, not vocabulary."""
+    shared = "one two three four"  # 4 tokens < min_run=8
+    docs = spark.createDataFrame(
+        [
+            ("a", f"{shared} unique tail alpha beta"),
+            ("b", f"prefix words here {shared} gamma"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in boilerplate.duplicate_passage_clean_from(
+            docs, k=3, min_run=8
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 0}
+
+
+def test_passage_dedup_matches_python_oracle(spark, sf_dir):
+    """Distributed plan == an independent pure-python run-merging
+    implementation over the real table."""
+    import re
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    k, min_run = boilerplate.PASSAGE_K, boilerplate.PASSAGE_MIN_RUN
+    docs = {r["doc_id"]: re.split(r"\s+", r["text"].strip()) for r in rows}
+    df = Counter()
+    for toks in docs.values():
+        for s in {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}:
+            df[s] += 1
+    want = {}
+    for did, toks in docs.items():
+        dup = [
+            i
+            for i in range(len(toks) - k + 1)
+            if df[" ".join(toks[i : i + k])] >= 2
+        ]
+        runs, removed = [], set()
+        for p in dup:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], p)
+            else:
+                runs.append((p, p))
+        for a, b in runs:
+            if b - a + k >= min_run:
+                removed.update(range(a, b + k))
+        kept = [t for i, t in enumerate(toks) if i not in removed]
+        want[did] = (" ".join(kept), len(removed))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in boilerplate.duplicate_passage_clean(spark, sf_dir).collect()
+    }
+    assert got == want
