@@ -118,3 +118,51 @@ def test_windowed_fetch_rate_with_watermark(spark, tmp_path):
     # append mode emits only windows fully below the final watermark
     assert all(r["fetches"] == 2 for r in rates)
     assert len(rates) >= 2
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup across micro-batches (maxFilesPerTrigger=1
+    forces one batch per file, so the fingerprint state must carry over)
+    == batch dropDuplicates on the same files; duplicate texts arriving
+    in LATER batches are dropped."""
+    import datetime
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            [(d, t, t0 + datetime.timedelta(seconds=s)) for d, t, s in rows],
+            "doc_id string, text string, event_time timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    _write("b1", [("a1", "alpha text", 0), ("b1", "beta text", 1),
+                  ("a2", "alpha text", 2)])
+    _write("b2", [("b2", "beta text", 10), ("c1", "gamma text", 11)])
+
+    from scrappy_spark.streaming.state_stream import dedup_stream
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["text"],)
+        for r in spark.sql("SELECT text FROM dedup_stream_t").collect()
+    }
+    n = spark.sql("SELECT count(*) c FROM dedup_stream_t").first()["c"]
+    assert got == {("alpha text",), ("beta text",), ("gamma text",)}
+    assert n == 3  # one survivor per fingerprint, across batches
