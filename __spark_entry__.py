@@ -303,7 +303,18 @@ def _ivf_oracle_sql() -> str | None:
     status) only if the model cannot be built, e.g. missing table."""
     try:
         cents, probes = similarity.ivf_oracle_model(_oracle_sf_dir())
-    except Exception:
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import sys
+
+        # LOUD downgrade (review r4): without this line a defect in the
+        # model builder would silently demote the advertised full value
+        # oracle to the driver's rows-only check
+        print(
+            f"WARNING: sim_ann_ivf_topk oracle disabled - ivf_oracle_model "
+            f"failed for {_oracle_sf_dir()!r}: {e!r}; entry falls back to "
+            "rows-only",
+            file=sys.stderr,
+        )
         return None
     cent_vals = ", ".join(
         f"({ci}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"

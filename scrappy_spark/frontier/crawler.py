@@ -338,6 +338,19 @@ class Crawler:
             self._update_bloom(enq, upto_round=last)
         return m["next_seq"]
 
+    def _cuckoo_per_shard_for(self, seen_rows: int) -> int:
+        """Per-shard bucket count (power of two) sized so ``seen_rows`` ×
+        bloom_growth fits under the ~95% cuckoo fill ceiling — shared by
+        the initial build and the saturation growth-rebuild."""
+        from .cuckoo import SLOTS
+
+        cfg = self.cfg
+        per = max(64, cfg.cuckoo_buckets // cfg.cuckoo_shards)
+        target = int(seen_rows * cfg.bloom_growth)
+        while cfg.cuckoo_shards * per * SLOTS * 95 < target * 100:
+            per *= 2
+        return per
+
     def _robots_filter(self, df: DataFrame, uri_col: str) -> DataFrame:
         """Robots disallow gate: drop rows whose (authority, path) matches
         any broadcast rule — authority = full host[:port] (the reference
@@ -415,12 +428,18 @@ class Crawler:
         if cfg.seen_filter == "cuckoo":
             from .cuckoo import build_sharded
 
-            per_shard = max(64, cfg.cuckoo_buckets // cfg.cuckoo_shards)
             if self._bloom is None:
                 if self._seen_rows >= cfg.bloom_min_seen:
                     seen = self.store.read_seen(self.spark, upto=upto_round)
+                    # size the INITIAL build from the actual seen count,
+                    # not just the static config floor (review r4: a
+                    # resume over a grown seen set would otherwise build
+                    # an immediately-saturated all-True filter and waste
+                    # a round before the growth path below kicks in)
                     self._bloom = build_sharded(
-                        seen.select("h"), cfg.cuckoo_shards, per_shard
+                        seen.select("h"),
+                        cfg.cuckoo_shards,
+                        self._cuckoo_per_shard_for(self._seen_rows),
                     )
                     changed = True
             else:
@@ -434,14 +453,12 @@ class Crawler:
                     # geometry from the committed seen set, mirroring the
                     # bloom's capacity-overflow rebuild (VERDICT r3 #6:
                     # without this, a saturated shard stays all-True for
-                    # the rest of the crawl). Double until the design load
-                    # (count/slots ≤ ~95%, the cuckoo fill ceiling) holds
-                    # for the grown seen set; power-of-two doubling keeps
-                    # the per-shard bucket count valid.
-                    target = int(self._seen_rows * cfg.bloom_growth)
-                    new_per = cur_per * 2
-                    while cfg.cuckoo_shards * new_per * 4 * 95 < target * 100:
-                        new_per *= 2
+                    # the rest of the crawl). Always at least doubles;
+                    # power-of-two steps keep the bucket count valid.
+                    new_per = max(
+                        cur_per * 2,
+                        self._cuckoo_per_shard_for(self._seen_rows),
+                    )
                     seen = self.store.read_seen(self.spark, upto=upto_round)
                     self._bloom = build_sharded(
                         seen.select("h"), cfg.cuckoo_shards, new_per
@@ -495,7 +512,9 @@ class Crawler:
                 "fill": round(f.fill_ratio(), 6),
                 "est_fpp": round(f.est_fpp(), 8),
             }
-        load = f.count / (f.n_shards * f.buckets_per_shard * 4)
+        from .cuckoo import SLOTS
+
+        load = f.count / (f.n_shards * f.buckets_per_shard * SLOTS)
         return {
             "kind": "cuckoo",
             "shards": f.n_shards,

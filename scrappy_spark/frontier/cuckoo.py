@@ -29,7 +29,8 @@ from __future__ import annotations
 
 import numpy as np
 
-_SLOTS = 4
+SLOTS = 4  # slots per bucket — public: capacity math in crawler.py uses it
+_SLOTS = SLOTS
 _MAX_KICKS = 500
 
 

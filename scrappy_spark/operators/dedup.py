@@ -696,7 +696,7 @@ def embedding_near_pairs_from(
     DataFrame — separated so planted-vector tests drive it directly."""
     from .similarity import _cosine, lsh_sign_buckets_md5_from
 
-    b = lsh_sign_buckets_md5_from(spark, emb, n_planes, n_tables)
+    b = lsh_sign_buckets_md5_from(emb, n_planes, n_tables)
     w = Window.partitionBy("table", "bucket")
     b = (
         b.withColumn("bsz", F.count(F.lit(1)).over(w))

@@ -103,7 +103,7 @@ def _planes_cached(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
 
 
 def lsh_sign_buckets_md5_from(
-    spark: SparkSession, emb: DataFrame, n_planes: int, n_tables: int
+    emb: DataFrame, n_planes: int, n_tables: int
 ) -> DataFrame:
     """(vec_id, table, bucket) with md5-derived planes AND a
     dimension-sequential float64 dot fold — bit-identical sign decisions
@@ -319,7 +319,7 @@ def ann_lsh_topk(
     (`sim_ann_lsh_topk`) — the oracle mirrors candidate generation, not
     just the re-rank."""
     emb = _emb(spark, sf_dir)
-    b = lsh_sign_buckets_md5_from(spark, emb, n_planes, n_tables).persist()
+    b = lsh_sign_buckets_md5_from(emb, n_planes, n_tables).persist()
     qb = b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q"), "table", "bucket"
     )

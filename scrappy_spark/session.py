@@ -60,7 +60,7 @@ def get_spark(
     # cluster the driver-local path does not exist on executors and
     # would shadow a legitimately configured executor PYTHONPATH;
     # spark-submit --py-files is the deployment path there.
-    if master.startswith(("local", "local-cluster")):
+    if master.startswith("local"):  # covers local[...] and local-cluster[...]
         builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_root)
     if extra_conf:
         for k, v in extra_conf.items():

@@ -136,11 +136,15 @@ class ScrappyService:
             blocks = [r["value"] for r in yarf_blocks(triples).collect()]
             return "\n".join(sorted(blocks))
         if fmt == "ejson":
-            # the reference's second JSON form: resource-centric RDF/JSON
-            # (its plain "json" stays the flat rows dump below, which the
-            # JSONP path wraps)
-            lines = [r["value"] for r in rdf_json_lines(triples).collect()]
-            return "\n".join(sorted(lines))
+            # the reference's second JSON form: resource-centric RDF/JSON.
+            # The per-subject JSON-lines are merged into ONE document
+            # object — the facade body must be a single JSON value so the
+            # JSONP callback wrap stays syntactically valid JS (its plain
+            # "json" stays the flat rows dump below)
+            merged: dict = {}
+            for r in rdf_json_lines(triples).collect():
+                merged.update(json.loads(r["value"]))
+            return json.dumps(merged, sort_keys=True)
         rows = [
             {
                 "s": r["s"],

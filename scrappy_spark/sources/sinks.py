@@ -64,6 +64,9 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
 CURIE_NS = {
     "sc": "http://lab.gsi.dit.upm.es/scraping.rdf#",
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    # interp.py also emits rdfs:subClassOf (superclass) and owl:sameAs
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
 }
 
 
@@ -85,6 +88,15 @@ def _xml_escape(c: Column) -> Column:
     return c
 
 
+def _ncname_bnode(c: Column) -> Column:
+    """rdf:nodeID value for an internal bnode label. The engine's labels
+    embed the doc URI (`_:<uri>#<n>`) — not a valid NCName and unsafe
+    raw inside an XML attribute — so serialize a deterministic digest
+    instead: 'b' + md5(label). Same label → same nodeID across every
+    description in the document, which is all RDF/XML requires."""
+    return F.concat(F.lit("b"), F.md5(c))
+
+
 def rdfxml_descriptions(triples: DataFrame) -> DataFrame:
     """(s,p,o,is_literal) -> one complete <rdf:Description> XML block per
     subject (column ``value``), property elements namespaced via a
@@ -104,7 +116,7 @@ def rdfxml_descriptions(triples: DataFrame) -> DataFrame:
     about = F.when(
         F.col("s").startswith("_:"),
         F.concat(F.lit('  <rdf:Description rdf:nodeID="'),
-                 F.substring("s", 3, 1 << 20), F.lit('">')),
+                 _ncname_bnode(F.col("s")), F.lit('">')),
     ).otherwise(
         F.concat(F.lit('  <rdf:Description rdf:about="'),
                  _xml_escape(F.col("s")), F.lit('">'))
@@ -143,7 +155,7 @@ def elem_of(x):
             x["o"].startswith("_:"),
             F.concat(
                 F.lit("    <"), local, F.lit(' xmlns="'), ns,
-                F.lit('" rdf:nodeID="'), x["o"].substr(F.lit(3), F.lit(1 << 20)),
+                F.lit('" rdf:nodeID="'), _ncname_bnode(x["o"]),
                 F.lit('"/>'),
             ),
         )

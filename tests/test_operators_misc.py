@@ -210,7 +210,12 @@ def test_rdfxml_descriptions_and_framed_write(spark, tmp_path):
     assert 'rdf:about="http://a"' in joined
     assert 'rdf:resource="http://b"' in joined
     assert "x &lt; &quot;y&quot; &amp; z" in joined
-    assert 'rdf:nodeID="b1"' in joined and 'rdf:nodeID="b2"' in joined
+    # bnode labels serialize as NCName-safe digests ('b'+md5), stable
+    # per label: the _:b1 subject and _:b2 object each appear exactly once
+    import re as _re
+
+    ids = _re.findall(r'rdf:nodeID="(b[0-9a-f]{32})"', joined)
+    assert len(ids) == 2 and len(set(ids)) == 2
 
     out = str(tmp_path / "rdfxml")
     write_rdfxml(t.repartition(2), out)
@@ -276,5 +281,9 @@ def test_server_facade_new_formats(spark, tmp_path):
     assert y.status == "ok" and "<http://a.example.com/>:" in y.output
     e = svc.process_request("ejson", "http://a.example.com/")
     assert e.status == "ok"
-    first = _json.loads(e.output.splitlines()[0])
-    assert isinstance(first, dict)
+    doc = _json.loads(e.output)  # ONE JSON value (JSONP-wrappable)
+    assert isinstance(doc, dict) and "http://a.example.com/" in doc
+    # JSONP over ejson is valid JS again (review r4)
+    wrapped = svc.process_request("ejson", "http://a.example.com/", callback="cb")
+    assert wrapped.output.startswith("cb(") and wrapped.output.endswith(")")
+    _json.loads(wrapped.output[3:-1])
