@@ -12,6 +12,7 @@ capability the engine adds.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,6 +87,123 @@ def politeness_violations(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def simhash_py(text: str) -> int:
+    """Pure-python 60-bit simhash of one document — bit-for-bit the same
+    value as dedup.simhash_fingerprints (same whitespace tokenization,
+    same md5-derived hash60, same per-bit majority vote), so the
+    streaming near-dup operator below and the batch operator agree on
+    fingerprints (tested)."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
+    w = [0] * 60
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            w[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(60) if w[b] > 0)
+
+
+SIMHASH_PAIR_STREAM_SCHEMA = "a string, b string, hamming int"
+_SIMHASH_BUCKET_STATE = "ids array<string>, fps array<long>, ts array<long>"
+
+
+def simhash_pairs_stream(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming near-duplicate pair detection (round 4): the streaming
+    analog of dedup.simhash_near_pairs for a live ingest feed. Each
+    arriving document's 60-bit simhash is computed row-locally (no
+    shuffle), exploded to its four 15-bit blocks, and compared under
+    per-(block index, block value) keyed state
+    (``applyInPandasWithState``) against the fingerprints previously
+    seen in that bucket — pigeonhole gives full recall at
+    hamming ≤ 3 *within the state retention window*.
+
+    State contract (the 100 TB/day shape): each bucket retains at most
+    ``max_bucket`` most-recent fingerprints and drops entries older than
+    ``ttl_ms`` of event time — state is bounded by
+    buckets × max_bucket, never by corpus size. A pair whose two sides
+    share 2+ identical blocks can emit from more than one bucket;
+    downstream consumers needing exactly-once pairs apply a distinct
+    (the batch operator's .distinct() equivalent).
+
+    Input stream schema: (doc_id string, text string,
+    event_time timestamp)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import (
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_BLOCK_MASK,
+        SIMHASH_BLOCKS,
+    )
+
+    @F.pandas_udf("long")
+    def fp_of(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: simhash_py(t or ""))
+
+    blocks = (
+        docs.withColumn("fp", fp_of(F.col("text")))
+        .withColumn("ems", (F.col("event_time").cast("double") * 1000).cast("long"))
+        .select(
+            "doc_id",
+            "fp",
+            "ems",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("fp"), SIMHASH_BLOCK_BITS * i)
+                        .bitwiseAND(F.lit(SIMHASH_BLOCK_MASK))
+                        .cast("long")
+                        .alias(f"b{i}")
+                        for i in range(SIMHASH_BLOCKS)
+                    ]
+                )
+            ).alias("bi", "bv"),
+        )
+    )
+
+    def probe(key, pdfs, state):
+        ids, fps, ts = state.get if state.exists else ([], [], [])
+        ids, fps, ts = list(ids), list(fps), list(ts)
+        rows = []
+        out = []
+        for pdf in pdfs:
+            for did, fp, ems in zip(pdf["doc_id"], pdf["fp"], pdf["ems"]):
+                rows.append((int(ems), str(did), int(fp)))
+        rows.sort()  # deterministic processing order within the batch
+        for ems, did, fp in rows:
+            for oid, ofp in zip(ids, fps):
+                h = bin(fp ^ ofp).count("1")
+                if h <= max_hamming and oid != did:
+                    a, b = (did, oid) if did < oid else (oid, did)
+                    out.append((a, b, h))
+            ids.append(did)
+            fps.append(fp)
+            ts.append(ems)
+        if ts:
+            horizon = max(ts) - ttl_ms
+            keep = [i for i, t in enumerate(ts) if t >= horizon]
+            keep = keep[-max_bucket:]  # most recent entries win
+            ids = [ids[i] for i in keep]
+            fps = [fps[i] for i in keep]
+            ts = [ts[i] for i in keep]
+        state.update((ids, fps, ts))
+        yield pd.DataFrame(out, columns=["a", "b", "hamming"])
+
+    return blocks.groupBy("bi", "bv").applyInPandasWithState(
+        probe,
+        outputStructType=SIMHASH_PAIR_STREAM_SCHEMA,
+        stateStructType=_SIMHASH_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

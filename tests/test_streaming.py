@@ -166,3 +166,77 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     n = spark.sql("SELECT count(*) c FROM dedup_stream_t").first()["c"]
     assert got == {("alpha text",), ("beta text",), ("gamma text",)}
     assert n == 3  # one survivor per fingerprint, across batches
+
+
+def test_simhash_py_matches_batch_fingerprints(spark, tmp_path):
+    """Row-local streaming fingerprint == distributed batch fingerprint
+    for every document in the real table (bit-for-bit)."""
+    from scrappy_spark.operators import dedup
+    from scrappy_spark.streaming.state_stream import simhash_py
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(batch) == len(docs) > 0
+    for r in docs:
+        assert simhash_py(r["text"]) == batch[r["doc_id"]], r["doc_id"]
+
+
+def test_simhash_pairs_stream_cross_batch(spark, tmp_path):
+    """Near-dup pairs surface ACROSS micro-batches (keyed block state
+    carries over) and match the batch kernel on the same corpus."""
+    import datetime
+
+    from scrappy_spark.operators import dedup
+    from scrappy_spark.streaming.state_stream import (
+        simhash_pairs_stream,
+        simhash_py,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows_b1 = [("d1", "alpha beta gamma delta epsilon zeta", 0),
+               ("d2", "totally different words entirely here now", 1)]
+    rows_b2 = [("d3", "alpha beta gamma delta epsilon zeta", 10),  # dup of d1
+               ("d4", "totally different words entirely here now", 11)]  # dup of d2
+    src = tmp_path / "nd_stream"
+    src.mkdir()
+    for name, rows in (("b1", rows_b1), ("b2", rows_b2)):
+        spark.createDataFrame(
+            [(d, t, t0 + datetime.timedelta(seconds=s)) for d, t, s in rows],
+            "doc_id string, text string, event_time timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        simhash_pairs_stream(stream)
+        .writeStream.format("memory")
+        .queryName("nd_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in spark.sql("SELECT * FROM nd_stream_t").collect()
+    }
+    # batch kernel over the union corpus = the expected pair set
+    fp = spark.createDataFrame(
+        [(d, simhash_py(t)) for d, t, _ in rows_b1 + rows_b2],
+        "doc_id string, simhash long",
+    )
+    want = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_pairs_from(fp).collect()
+    }
+    assert got == want
+    assert ("d1", "d3", 0) in got and ("d2", "d4", 0) in got  # cross-batch
