@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v2: + boilerplate removal, quality gate on the CLEANED token
         # count — the four-operator composition is oracled end-to-end
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
+        # v3: + duplicated-passage removal CHAINED over the boilerplate
+        # rewrite — five nested mirrors, rewrite-over-rewrite composition
+        "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -447,9 +450,15 @@ _BOILERPLATE_SQL = f"""
 
 # mirror of boilerplate.duplicate_passage_clean: shingle positions,
 # df >= 2 marking, consecutive-position runs (pos - row_number), run
-# length gate, coverage explode, ordered rebuild of surviving tokens
-_PASSAGES_SQL = f"""
-            WITH tokd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# length gate, coverage explode, ordered rebuild of surviving tokens.
+# Parameterized over the (doc_id, text) SOURCE so the mirror composes
+# over other rewrites exactly like the Spark kernel
+# (duplicate_passage_clean_from) does — see pipeline_training_corpus_v3.
+
+
+def _passages_sql(src: str) -> str:
+    return f"""
+            WITH tokd AS (SELECT doc_id, {_TOKS} AS toks FROM ({src})),
             pos AS (
               SELECT doc_id, toks,
                      unnest(range(0, len(toks) - {boilerplate.PASSAGE_K} + 1)) AS p
@@ -501,12 +510,14 @@ _PASSAGES_SQL = f"""
               FROM kept GROUP BY doc_id
             ),
             tot AS (SELECT doc_id, len(toks) AS n FROM tokd)
-            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+            SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
                    CAST(t.n - coalesce(a.n_kept, 0) AS INT) AS n_removed
-            FROM documents d
-            JOIN tot t ON t.doc_id = d.doc_id
-            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            FROM tot t
+            LEFT JOIN agg a ON a.doc_id = t.doc_id
         """
+
+
+_PASSAGES_SQL = _passages_sql("SELECT doc_id, text FROM documents")
 
 # the multimodal decode STUB (multimodal._decode_stub) in SQL: the fake
 # codec's metadata is arithmetic over the first 64 payload bytes, and the
@@ -845,6 +856,26 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             WHERE pred_lang = '{pipeline.KEEP_LANG}'
               AND n_tokens_clean >= {pipeline.MIN_TOKENS}
+              AND canonical_id = doc_id
+        """,
+        # v3 composition: the passages mirror runs OVER the boilerplate
+        # mirror's output (rewrite-over-rewrite), then langid + the
+        # recursive components closure gate the result — five mirrors
+        # nested in one statement, same composition as the Spark plan
+        "pipeline_training_corpus_v3": f"""
+            SELECT doc_id, n_tokens_final, pred_lang, n_removed FROM (
+              SELECT p.doc_id,
+                     CAST(len(string_split_regex(trim(p.clean_text), '\\s+'))
+                          AS INT) AS n_tokens_final,
+                     l.pred_lang, p.n_removed, c.canonical_id
+              FROM ({_passages_sql(
+                  f"SELECT doc_id, clean_text AS text FROM ({_BOILERPLATE_SQL})"
+              )}) p
+              JOIN ({_MARKER_LANGID_SQL}) l ON l.doc_id = p.doc_id
+              JOIN ({_COMPONENTS_SQL}) c ON c.doc_id = p.doc_id
+            )
+            WHERE pred_lang = '{pipeline.KEEP_LANG}'
+              AND n_tokens_final >= {pipeline.MIN_TOKENS}
               AND canonical_id = doc_id
         """,
         "text_ngram_langid": f"""

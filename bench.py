@@ -58,6 +58,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
+        "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

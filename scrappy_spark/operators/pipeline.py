@@ -88,3 +88,44 @@ def training_corpus_v2(
         )
         .select("doc_id", "n_tokens_clean", "pred_lang", "n_dropped")
     )
+
+
+def training_corpus_v3(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_lang: str = KEEP_LANG,
+    min_tokens: int = MIN_TOKENS,
+) -> DataFrame:
+    """v2 + CHAINED text rewrites (round 4): boilerplate segments are
+    dropped first, then duplicated passages are removed from the
+    boilerplate-cleaned text (duplicate_passage_clean_from over the
+    rewrite's output — rewrites compose like any other DataFrame), and
+    the quality gate runs on the FINAL token count. Language ID and
+    survivor selection still act on the original text.
+
+    Output: (doc_id, n_tokens_final, pred_lang, n_removed) where
+    n_removed counts passage-removed tokens (post-boilerplate). The
+    oracle nests FIVE mirrors — the passages mirror parameterized over
+    the boilerplate mirror's output — checking that the SQL mirrors
+    compose exactly like the Spark kernels do."""
+    lang = textstats.marker_langid(spark, sf_dir)
+    bp = boilerplate.boilerplate_clean(spark, sf_dir)
+    pp = boilerplate.duplicate_passage_clean_from(
+        bp.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    comp = dedup.minhash_components(spark, sf_dir)
+    n_final = F.size(
+        F.split(F.trim(F.col("clean_text")), r"\s+")
+    ).alias("n_tokens_final")
+    return (
+        pp.select("doc_id", "clean_text", "n_removed")
+        .join(lang, "doc_id")
+        .join(comp, "doc_id")
+        .select("doc_id", n_final, "pred_lang", "n_removed", "canonical_id")
+        .where(
+            (F.col("pred_lang") == keep_lang)
+            & (F.col("n_tokens_final") >= min_tokens)
+            & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .select("doc_id", "n_tokens_final", "pred_lang", "n_removed")
+    )
