@@ -122,3 +122,39 @@ def test_cuckoo_saturation_triggers_growth_rebuild(spark, tmp_path):
         for r in crawler.order_df().orderBy("round", "seq").collect()
     ]
     assert order == golden.order
+
+
+def test_cuckoo_resume_builds_adequately_sized_filter(spark, tmp_path):
+    """Kill-resume over a seen set that has outgrown the static config:
+    the INITIAL post-resume build must size from the actual seen count
+    (review r4) — not the config floor — so the restored filter is
+    usable immediately (no saturated shards), and the resumed crawl
+    stays exact."""
+    cfg = CorpusConfig(n_docs=200)
+    docs = generate_local(cfg)
+    df = generate_df(spark, cfg, partitions=2)
+    seeds = seeds_for(cfg, 2)
+    golden = oracle_crawl(docs, seeds, depth=2)
+    store = str(tmp_path / "store")
+    crawl_cfg = CrawlConfig(
+        depth=2,
+        seen_filter="cuckoo",
+        bloom_min_seen=0,
+        cuckoo_shards=1,
+        cuckoo_buckets=64,  # 256 slots — far below the final seen count
+    )
+    Crawler(spark, df, store, crawl_cfg).run(seeds)
+
+    # fresh instance on the same store = kill-resume; its first
+    # _update_bloom is an initial FULL build over the grown seen set
+    resumed = Crawler(spark, df, store, crawl_cfg)
+    resumed.run(seeds)  # restore; no new work
+    f = resumed._bloom
+    assert f is not None and f.count > 256
+    assert f.saturated_shards == 0
+    assert f.buckets_per_shard > 64
+    order = [
+        (r["seq"], r["uri"], r["depth"])
+        for r in resumed.order_df().orderBy("round", "seq").collect()
+    ]
+    assert order == golden.order
