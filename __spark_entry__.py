@@ -28,6 +28,7 @@ from scrappy_spark.operators import (
     multimodal,
     pipeline,
     relational,
+    repetition,
     similarity,
     textstats,
 )
@@ -117,6 +118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_rolling": textstats.fingerprint_rolling,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
+        # Gopher-style intra-document repetition signals (top-2-gram /
+        # duplicated-3-gram occurrence fractions)
+        "text_repetition": repetition.repetition_stats,
+        # benchmark decontamination: shared-k-gram flag against the
+        # deterministic doc_id%10 benchmark split, broadcast n-gram set
+        "text_decontaminate": repetition.decontaminate,
         # sequence-level dedup: boilerplate segments (df > cap across
         # docs) dropped, documents rebuilt in order (round 4)
         "dedup_boilerplate": boilerplate.boilerplate_clean,
@@ -907,6 +914,57 @@ def _oracle_sql_static() -> dict[str, str]:
                         WHEN s_es > 0 THEN 'es'
                         ELSE 'und' END AS pred_lang
             FROM documents docs LEFT JOIN s ON s.doc_id = docs.doc_id
+        """,
+        "text_repetition": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, {repetition.TOP_N} AS n,
+                     unnest({duck_shingles("toks", repetition.TOP_N)}) AS g
+              FROM tokd WHERE len(toks) >= {repetition.DUP_N}
+              UNION ALL
+              SELECT doc_id, {repetition.DUP_N} AS n,
+                     unnest({duck_shingles("toks", repetition.DUP_N)}) AS g
+              FROM tokd WHERE len(toks) >= {repetition.DUP_N}
+            ), c AS (
+              SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g
+            )
+            SELECT doc_id,
+                   round(max(CASE WHEN n = {repetition.TOP_N} THEN c END)
+                         / sum(CASE WHEN n = {repetition.TOP_N} THEN c ELSE 0 END),
+                         6) AS top_2gram_frac,
+                   round(sum(CASE WHEN n = {repetition.DUP_N} AND c > 1
+                                  THEN c ELSE 0 END)
+                         / sum(CASE WHEN n = {repetition.DUP_N} THEN c ELSE 0 END),
+                         6) AS dup_3gram_frac
+            FROM c GROUP BY doc_id
+        """,
+        "text_decontaminate": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), bench AS (
+              SELECT DISTINCT {DUCK_HASH60.format(s="sh")} AS h FROM (
+                SELECT unnest({duck_shingles("toks", repetition.CONTAM_K)}) AS sh
+                FROM tokd
+                WHERE doc_id % {repetition.BENCH_MOD} = 0
+                  AND len(toks) >= {repetition.CONTAM_K}
+              )
+            ), corpus AS (
+              SELECT doc_id, toks FROM tokd
+              WHERE doc_id % {repetition.BENCH_MOD} <> 0
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, {DUCK_HASH60.format(s="sh")} AS h FROM (
+                  SELECT doc_id,
+                         unnest({duck_shingles("toks", repetition.CONTAM_K)}) AS sh
+                  FROM corpus WHERE len(toks) >= {repetition.CONTAM_K}
+                )
+              ) JOIN bench USING (h)
+            )
+            SELECT c.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS INT) AS contaminated
+            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         """,
         "mm_media_features": _MM_META_CTE
         + " SELECT doc_id, kind, width, height, n_frames FROM m",

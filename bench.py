@@ -30,6 +30,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         multimodal,
         pipeline,
         relational,
+        repetition,
         similarity,
         textstats,
     )
@@ -55,6 +56,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "sim_ann_lsh_topk": similarity.ann_lsh_topk,
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
+        "text_repetition": repetition.repetition_stats,
+        "text_decontaminate": repetition.decontaminate,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
