@@ -29,6 +29,7 @@ from scrappy_spark.operators import (
     pipeline,
     relational,
     repetition,
+    sampling,
     similarity,
     textstats,
 )
@@ -124,6 +125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # benchmark decontamination: shared-k-gram flag against the
         # deterministic doc_id%10 benchmark split, broadcast n-gram set
         "text_decontaminate": repetition.decontaminate,
+        # corpus mixing: skew-immune exact per-source top-K quota
+        # (salted two-level top-K ≡ naive window; see sampling.py)
+        "sample_source_quota": sampling.source_quota,
+        # deterministic per-lang rate sampling — map-only filter
+        "sample_stratified": sampling.stratified_sample,
         # sequence-level dedup: boilerplate segments (df > cap across
         # docs) dropped, documents rebuilt in order (round 4)
         "dedup_boilerplate": boilerplate.boilerplate_clean,
@@ -965,6 +971,29 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
                         AS INT) AS contaminated
             FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        """,
+        "sample_source_quota": f"""
+            SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h, doc_id) AS rk
+              FROM (SELECT doc_id, source,
+                           {DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")} AS h
+                    FROM documents)
+            ) WHERE rk <= {sampling.QUOTA}
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     {DUCK_HASH60.format(
+                         s="concat(lang, ':', CAST(doc_id AS VARCHAR))"
+                     )} % 100 AS bucket,
+                     CASE {" ".join(
+                         f"WHEN lang = '{lang}' THEN {p}"
+                         for lang, p in sorted(sampling.STRATA_PCT.items())
+                     )} ELSE {sampling.DEFAULT_PCT} END AS rate
+              FROM documents
+            ) WHERE bucket < rate
         """,
         "mm_media_features": _MM_META_CTE
         + " SELECT doc_id, kind, width, height, n_frames FROM m",

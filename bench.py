@@ -31,6 +31,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         pipeline,
         relational,
         repetition,
+        sampling,
         similarity,
         textstats,
     )
@@ -58,6 +59,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "text_fingerprint": textstats.fingerprint,
         "text_repetition": repetition.repetition_stats,
         "text_decontaminate": repetition.decontaminate,
+        "sample_source_quota": sampling.source_quota,
+        "sample_stratified": sampling.stratified_sample,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,

@@ -1,0 +1,112 @@
+"""Corpus-mixing operators: per-source quotas and stratified sampling.
+
+The two knobs every production corpus build turns after cleaning:
+
+- ``source_quota``: cap each source's (domain's) contribution at a
+  fixed number of documents, picked by a deterministic priority — no
+  single crawl vertical may dominate the mix.
+- ``stratified_sample``: per-stratum deterministic rate sampling (here
+  keyed on ``lang``) — down-sample over-represented strata, keep the
+  rest, reproducibly (re-running on the same table yields the same
+  sample: the decision is a hash of the row key, not an RNG state).
+
+Both have exact DuckDB mirrors in ``__spark_entry__``.
+
+100 TB shape:
+- source_quota is exact top-K per key WITHOUT a single-reducer window
+  per source: a naive ``row_number() OVER (PARTITION BY source)`` pulls
+  every row of a mega-domain into one task (a billion-row host = one
+  straggler/OOM). Instead: salt each row by its own priority hash,
+  take the local top-K within each (source, salt) cell, then the
+  global top-K over the ≤ SALTS×K survivors per source. Total order on
+  (hash, doc_id) makes the two-level result identical to the naive
+  window (any global top-K row is also top-K within its cell), while
+  the per-task group size is bounded by max(cell, SALTS×K) regardless
+  of domain skew. The oracle runs the naive window — same answer.
+- stratified_sample is a pure map-side filter fused into the scan: no
+  shuffle, no state, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import hash60_col
+
+QUOTA = 10  # driver-entry quota: sources hold 25 docs at test SFs
+SALTS = 16  # skew fan-out for the local top-K stage
+
+# per-lang keep rates in percent (deterministic hash-mod sampling):
+# down-sample the dominant 'en' stratum, keep the rest intact
+STRATA_PCT = {"en": 40, "de": 100, "fr": 100, "es": 100, "zh": 100}
+DEFAULT_PCT = 100
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _priority(doc_id_col: str = "doc_id"):
+    """Deterministic per-document priority (smaller wins). Production
+    would order by a quality score; the hash keeps tests/oracles
+    self-contained while exercising the identical plan."""
+    return hash60_col(F.col(doc_id_col).cast("string"))
+
+
+def source_quota(
+    spark: SparkSession, sf_dir: str, quota: int = QUOTA
+) -> DataFrame:
+    return source_quota_from(_docs(spark, sf_dir), quota=quota)
+
+
+def source_quota_from(docs: DataFrame, quota: int = QUOTA) -> DataFrame:
+    """Keep the ``quota`` highest-priority documents per source.
+
+    Output: ``doc_id``, ``source``, ``rk`` (1-based priority rank within
+    the source). Exact — equals the single-window top-K (see module doc
+    for why it is not executed that way).
+    """
+    d = docs.select("doc_id", "source").withColumn("h", _priority())
+    local = (
+        d.withColumn("salt", (F.col("h") % SALTS).cast("int"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= quota)
+        .drop("rk", "salt")
+    )
+    return (
+        local.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")),
+        )
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample_from(_docs(spark, sf_dir))
+
+
+def stratified_sample_from(
+    docs: DataFrame, strata_pct: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-stratum rate sampling on ``lang``.
+
+    A document survives iff ``hash60(lang || ':' || doc_id) % 100`` is
+    below its stratum's keep-percentage. Output: ``doc_id``, ``lang``.
+    Map-only — the decision needs nothing but the row itself.
+    """
+    pct = strata_pct or STRATA_PCT
+    h = hash60_col(
+        F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))
+    )
+    rate = F.lit(DEFAULT_PCT)
+    for lang, p in sorted(pct.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(p)).otherwise(rate)
+    return docs.filter((h % 100) < rate).select("doc_id", "lang")

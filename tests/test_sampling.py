@@ -1,0 +1,84 @@
+"""Corpus-mixing operators (round 4): the salted two-level top-K must
+equal the naive single-window top-K under heavy source skew, and the
+stratified sampler must stay a map-only filter. Exact DuckDB value
+oracles run in test_driver_contract."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import sampling
+from scrappy_spark.operators.text import hash60_col
+
+
+def _skewed_docs(spark):
+    # one mega-source (400 rows), two small ones — the shape that breaks
+    # a naive per-source window at scale
+    rows = [(i, "mega") for i in range(400)]
+    rows += [(1000 + i, "tiny_a") for i in range(3)]
+    rows += [(2000 + i, "tiny_b") for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_source_quota_equals_naive_window(spark):
+    docs = _skewed_docs(spark)
+    quota = 7
+    got = {
+        (r["doc_id"], r["source"], r["rk"])
+        for r in sampling.source_quota_from(docs, quota=quota).collect()
+    }
+    naive = (
+        docs.withColumn("h", hash60_col(F.col("doc_id").cast("string")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")),
+        )
+        .filter(F.col("rk") <= quota)
+    )
+    want = {
+        (r["doc_id"], r["source"], r["rk"]) for r in naive.collect()
+    }
+    assert got == want
+    by_src = {}
+    for _, src, _rk in got:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src == {"mega": 7, "tiny_a": 3, "tiny_b": 7}
+
+
+def test_source_quota_rank_is_priority_order(spark):
+    """rk is dense 1..n per source in ascending priority-hash order."""
+    docs = _skewed_docs(spark)
+    out = sampling.source_quota_from(docs, quota=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    for src, rs in per.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1)), src
+        hs = [
+            int(
+                __import__("hashlib").md5(str(r["doc_id"]).encode())
+                .hexdigest()[:15],
+                16,
+            )
+            for r in rs
+        ]
+        assert hs == sorted(hs), src
+
+
+def test_stratified_sample_is_map_only_and_deterministic(spark, sf_dir):
+    df = sampling.stratified_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = sorted(r["doc_id"] for r in df.collect())
+    b = sorted(r["doc_id"] for r in sampling.stratified_sample(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    # the en stratum is actually down-sampled, others kept whole
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = df.filter(F.col("lang") == "en").count()
+    assert 0 < kept_en < n_en
+    for lang, p in sampling.STRATA_PCT.items():
+        if p == 100:
+            assert df.filter(F.col("lang") == lang).count() == docs.filter(
+                F.col("lang") == lang
+            ).count()
