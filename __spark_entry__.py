@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v3: + duplicated-passage removal CHAINED over the boilerplate
         # rewrite — five nested mirrors, rewrite-over-rewrite composition
         "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
+        # v4: + benchmark decontamination and the repetition gate on the
+        # original text — seven nested mirrors
+        "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -531,6 +534,59 @@ def _passages_sql(src: str) -> str:
 
 
 _PASSAGES_SQL = _passages_sql("SELECT doc_id, text FROM documents")
+
+_REPETITION_SQL = f"""
+    WITH tokd AS (
+      SELECT doc_id, {{_TOKS}} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, {repetition.TOP_N} AS n,
+             unnest({duck_shingles("toks", repetition.TOP_N)}) AS g
+      FROM tokd WHERE len(toks) >= {repetition.DUP_N}
+      UNION ALL
+      SELECT doc_id, {repetition.DUP_N} AS n,
+             unnest({duck_shingles("toks", repetition.DUP_N)}) AS g
+      FROM tokd WHERE len(toks) >= {repetition.DUP_N}
+    ), c AS (
+      SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g
+    )
+    SELECT doc_id,
+           round(max(CASE WHEN n = {repetition.TOP_N} THEN c END)
+                 / sum(CASE WHEN n = {repetition.TOP_N} THEN c ELSE 0 END),
+                 6) AS top_2gram_frac,
+           round(sum(CASE WHEN n = {repetition.DUP_N} AND c > 1
+                          THEN c ELSE 0 END)
+                 / sum(CASE WHEN n = {repetition.DUP_N} THEN c ELSE 0 END),
+                 6) AS dup_3gram_frac
+    FROM c GROUP BY doc_id
+""".replace("{_TOKS}", _TOKS)
+
+_DECONTAM_SQL = f"""
+    WITH tokd AS (
+      SELECT doc_id, {{_TOKS}} AS toks FROM documents
+    ), bench AS (
+      SELECT DISTINCT {DUCK_HASH60.format(s="sh")} AS h FROM (
+        SELECT unnest({duck_shingles("toks", repetition.CONTAM_K)}) AS sh
+        FROM tokd
+        WHERE doc_id % {repetition.BENCH_MOD} = 0
+          AND len(toks) >= {repetition.CONTAM_K}
+      )
+    ), corpus AS (
+      SELECT doc_id, toks FROM tokd
+      WHERE doc_id % {repetition.BENCH_MOD} <> 0
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, {DUCK_HASH60.format(s="sh")} AS h FROM (
+          SELECT doc_id,
+                 unnest({duck_shingles("toks", repetition.CONTAM_K)}) AS sh
+          FROM corpus WHERE len(toks) >= {repetition.CONTAM_K}
+        )
+      ) JOIN bench USING (h)
+    )
+    SELECT c.doc_id,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                AS INT) AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+""".replace("{_TOKS}", _TOKS)
 
 # the multimodal decode STUB (multimodal._decode_stub) in SQL: the fake
 # codec's metadata is arithmetic over the first 64 payload bytes, and the
@@ -921,56 +977,31 @@ def _oracle_sql_static() -> dict[str, str]:
                         ELSE 'und' END AS pred_lang
             FROM documents docs LEFT JOIN s ON s.doc_id = docs.doc_id
         """,
-        "text_repetition": f"""
-            WITH tokd AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), g AS (
-              SELECT doc_id, {repetition.TOP_N} AS n,
-                     unnest({duck_shingles("toks", repetition.TOP_N)}) AS g
-              FROM tokd WHERE len(toks) >= {repetition.DUP_N}
-              UNION ALL
-              SELECT doc_id, {repetition.DUP_N} AS n,
-                     unnest({duck_shingles("toks", repetition.DUP_N)}) AS g
-              FROM tokd WHERE len(toks) >= {repetition.DUP_N}
-            ), c AS (
-              SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g
+        "text_repetition": _REPETITION_SQL,
+        "text_decontaminate": _DECONTAM_SQL,
+        # v4 composition: v3's five mirrors + the decontamination and
+        # repetition mirrors — seven nested sub-queries, same gate order
+        # as the Spark plan
+        "pipeline_training_corpus_v4": f"""
+            SELECT doc_id, n_tokens_final, pred_lang, top_2gram_frac FROM (
+              SELECT p.doc_id,
+                     CAST(len(string_split_regex(trim(p.clean_text), '\\s+'))
+                          AS INT) AS n_tokens_final,
+                     l.pred_lang, r.top_2gram_frac, c.canonical_id,
+                     dc.contaminated
+              FROM ({_passages_sql(
+                  f"SELECT doc_id, clean_text AS text FROM ({_BOILERPLATE_SQL})"
+              )}) p
+              JOIN ({_MARKER_LANGID_SQL}) l ON l.doc_id = p.doc_id
+              JOIN ({_COMPONENTS_SQL}) c ON c.doc_id = p.doc_id
+              JOIN ({_REPETITION_SQL}) r ON r.doc_id = p.doc_id
+              JOIN ({_DECONTAM_SQL}) dc ON dc.doc_id = p.doc_id
             )
-            SELECT doc_id,
-                   round(max(CASE WHEN n = {repetition.TOP_N} THEN c END)
-                         / sum(CASE WHEN n = {repetition.TOP_N} THEN c ELSE 0 END),
-                         6) AS top_2gram_frac,
-                   round(sum(CASE WHEN n = {repetition.DUP_N} AND c > 1
-                                  THEN c ELSE 0 END)
-                         / sum(CASE WHEN n = {repetition.DUP_N} THEN c ELSE 0 END),
-                         6) AS dup_3gram_frac
-            FROM c GROUP BY doc_id
-        """,
-        "text_decontaminate": f"""
-            WITH tokd AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), bench AS (
-              SELECT DISTINCT {DUCK_HASH60.format(s="sh")} AS h FROM (
-                SELECT unnest({duck_shingles("toks", repetition.CONTAM_K)}) AS sh
-                FROM tokd
-                WHERE doc_id % {repetition.BENCH_MOD} = 0
-                  AND len(toks) >= {repetition.CONTAM_K}
-              )
-            ), corpus AS (
-              SELECT doc_id, toks FROM tokd
-              WHERE doc_id % {repetition.BENCH_MOD} <> 0
-            ), hits AS (
-              SELECT DISTINCT doc_id FROM (
-                SELECT doc_id, {DUCK_HASH60.format(s="sh")} AS h FROM (
-                  SELECT doc_id,
-                         unnest({duck_shingles("toks", repetition.CONTAM_K)}) AS sh
-                  FROM corpus WHERE len(toks) >= {repetition.CONTAM_K}
-                )
-              ) JOIN bench USING (h)
-            )
-            SELECT c.doc_id,
-                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
-                        AS INT) AS contaminated
-            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+            WHERE pred_lang = '{pipeline.KEEP_LANG}'
+              AND n_tokens_final >= {pipeline.MIN_TOKENS}
+              AND canonical_id = doc_id
+              AND contaminated = 0
+              AND top_2gram_frac <= {pipeline.MAX_TOP2_FRAC}
         """,
         "sample_source_quota": f"""
             SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (

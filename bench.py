@@ -65,6 +65,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
         "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
+        "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

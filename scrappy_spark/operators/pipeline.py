@@ -14,10 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import boilerplate, dedup, textstats
+from . import boilerplate, dedup, repetition, textstats
 
 MIN_TOKENS = 20  # drop stubs (the driver corpus' 25th percentile is 32)
 KEEP_LANG = "en"
+# v4 repetition gate: keep docs whose top 2-gram claims at most this
+# fraction of 2-gram occurrences (the corpus' ~93rd percentile — drops
+# the repetitive tail without gutting the corpus)
+MAX_TOP2_FRAC = 0.08
 
 
 def training_corpus(
@@ -128,4 +132,57 @@ def training_corpus_v3(
             & (F.col("doc_id") == F.col("canonical_id"))
         )
         .select("doc_id", "n_tokens_final", "pred_lang", "n_removed")
+    )
+
+
+def training_corpus_v4(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_lang: str = KEEP_LANG,
+    min_tokens: int = MIN_TOKENS,
+    max_top2: float = MAX_TOP2_FRAC,
+) -> DataFrame:
+    """v3 + the round-4 gates: benchmark decontamination and the
+    repetition signal. On top of the chained rewrites, a document must
+    also (4) not share any 8-gram with the benchmark split — and must
+    not BE a benchmark document (the inner join on the decontamination
+    output, which covers only corpus docs, removes eval members from
+    the training set) — and (5) keep its top-2-gram occupancy at or
+    under ``max_top2``. Contamination and repetition act on the
+    ORIGINAL text: what a document shared with an eval set, or how
+    degenerate it was, is a property of the crawled page, not of the
+    rewrite.
+
+    Output: (doc_id, n_tokens_final, pred_lang, top_2gram_frac). The
+    oracle nests SEVEN mirrors — v3's five plus the decontamination and
+    repetition mirrors."""
+    lang = textstats.marker_langid(spark, sf_dir)
+    bp = boilerplate.boilerplate_clean(spark, sf_dir)
+    pp = boilerplate.duplicate_passage_clean_from(
+        bp.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    comp = dedup.minhash_components(spark, sf_dir)
+    rep = repetition.repetition_stats(spark, sf_dir)
+    dc = repetition.decontaminate(spark, sf_dir)
+    n_final = F.size(
+        F.split(F.trim(F.col("clean_text")), r"\s+")
+    ).alias("n_tokens_final")
+    return (
+        pp.select("doc_id", "clean_text")
+        .join(lang, "doc_id")
+        .join(comp, "doc_id")
+        .join(rep.select("doc_id", "top_2gram_frac"), "doc_id")
+        .join(dc, "doc_id")
+        .select(
+            "doc_id", n_final, "pred_lang", "top_2gram_frac",
+            "canonical_id", "contaminated",
+        )
+        .where(
+            (F.col("pred_lang") == keep_lang)
+            & (F.col("n_tokens_final") >= min_tokens)
+            & (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("contaminated") == 0)
+            & (F.col("top_2gram_frac") <= max_top2)
+        )
+        .select("doc_id", "n_tokens_final", "pred_lang", "top_2gram_frac")
     )

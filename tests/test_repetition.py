@@ -2,6 +2,8 @@
 semantics and the broadcast shape of the decontamination probe. The
 exact DuckDB value oracles run in test_driver_contract."""
 
+from pyspark.sql import functions as F
+
 from scrappy_spark.operators import repetition
 
 
@@ -39,6 +41,54 @@ def test_decontaminate_planted_overlap(spark):
         for r in repetition.decontaminate_from(docs, k=3, bench_mod=10).collect()
     }
     assert out == {1: 1, 2: 0, 3: 0}
+
+
+def test_pipeline_v4_gates_discriminate(spark, tmp_path):
+    """Planted corpus where each v4-only gate bites: a contaminated doc
+    and a repetitive doc both pass every v3 gate but drop out of v4; a
+    clean doc survives both; the benchmark member is excluded from v4 by
+    construction."""
+    from scrappy_spark.operators import pipeline
+
+    # the ONLY ≥8-token run shared across documents is the planted
+    # contamination 8-gram between docs 20 and 1 (the passage rewrite
+    # removes longer shared runs, which would shrink docs below the
+    # token gate for the wrong reason); 'the/and/of' markers repeat but
+    # only in runs of one token
+    shared = "zulu yankee xray whiskey victor uniform tango sierra"
+    docs = spark.createDataFrame(
+        [
+            (
+                20,
+                "the quartz and marble of granite basalt slate the pumice "
+                f"and obsidian of shale flint chalk {shared}",
+            ),
+            (
+                1,
+                "the maple and birch of cedar willow aspen the poplar and "
+                f"spruce of alder rowan hazel {shared} ember onyx topaz "
+                "amber jade beryl garnet opal",
+            ),
+            (
+                2,
+                "the copper and bronze of silver nickel cobalt the zinc and "
+                "iron of platinum gold mercury lead tin antimony argon neon "
+                "xenon krypton helium radon",
+            ),
+            (3, "the story and the tale of it" + " the cat" * 30),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    path = str(tmp_path / "sf")
+    docs.write.parquet(path + "/documents.parquet")
+
+    v3 = {r["doc_id"] for r in pipeline.training_corpus_v3(spark, path).collect()}
+    v4 = {r["doc_id"] for r in pipeline.training_corpus_v4(spark, path).collect()}
+    assert v4 <= v3
+    assert 1 in v3 and 1 not in v4  # dropped ONLY by contamination
+    assert 3 in v3 and 3 not in v4  # dropped ONLY by the repetition gate
+    assert 2 in v4  # clean doc survives the full chain
+    assert 20 not in v4  # benchmark member never enters the corpus
 
 
 def test_decontaminate_plan_broadcasts_benchmark(spark):
