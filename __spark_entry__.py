@@ -26,6 +26,7 @@ from scrappy_spark.operators import (
     boilerplate,
     dedup,
     multimodal,
+    packing,
     pipeline,
     relational,
     repetition,
@@ -130,6 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_quota": sampling.source_quota,
         # deterministic per-lang rate sampling — map-only filter
         "sample_stratified": sampling.stratified_sample,
+        # sequence packing: sharded token-stream layout into fixed
+        # SEQ_LEN training windows (per-shard running sum, never a
+        # global single-partition cumsum)
+        "pack_sequences": packing.pack_sequences,
         # sequence-level dedup: boilerplate segments (df > cap across
         # docs) dropped, documents rebuilt in order (round 4)
         "dedup_boilerplate": boilerplate.boilerplate_clean,
@@ -1012,6 +1017,25 @@ def _oracle_sql_static() -> dict[str, str]:
                            {DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")} AS h
                     FROM documents)
             ) WHERE rk <= {sampling.QUOTA}
+        """,
+        "pack_sequences": f"""
+            SELECT doc_id, shard, n_tokens, stream_off,
+                   CAST(stream_off // {packing.SEQ_LEN} AS INT) AS pack_id,
+                   CAST(stream_off % {packing.SEQ_LEN} AS INT) AS pack_off
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                              ORDER BY h, doc_id) - n_tokens
+                          AS BIGINT) AS stream_off
+              FROM (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS INT) AS n_tokens,
+                       {DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")} AS h,
+                       CAST({DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")}
+                            % {packing.NUM_SHARDS} AS INT) AS shard
+                FROM documents
+              )
+            )
         """,
         "sample_stratified": f"""
             SELECT doc_id, lang FROM (

@@ -1,0 +1,83 @@
+"""Sequence packing: lay documents out into fixed-length training
+windows.
+
+The last stage of a training-data pipeline: concatenate the cleaned
+token streams and cut them into SEQ_LEN-token examples (GPT-style
+boundary-agnostic packing — a document may straddle two windows; the
+loader masks or splits at read time). The operator does not tokenize the
+world again: it consumes the per-document token COUNT and computes, for
+every document, where its tokens land — shard, running stream offset,
+pack (window) index, and offset within the pack. That layout table is
+what a writer needs to emit packed shards without ever materializing a
+corpus-wide token array.
+
+100 TB shape: the naive layout is one cumulative sum over a global
+document order — a single-partition window, i.e. the whole corpus
+through one task. Instead the stream is SHARDED up front by a
+deterministic hash of the document id: each shard gets its own
+independent token stream packed in (hash, doc_id) order, so the layout
+is one shuffle keyed by shard and a running-sum window whose state is a
+single counter (Spark evaluates it streaming over the shard's sorted
+rows — the sort spills, the sum does not). Shard count is a knob set to
+saturate the cluster; packs are complete within a shard, which is
+exactly how packed training data is laid out on disk anyway (one writer
+per output file). The DuckDB mirror runs the same windows verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import hash60_col, tokens_col
+
+SEQ_LEN = 256  # tokens per packed training window
+NUM_SHARDS = 8  # independent pack streams (≫ executors in production)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    num_shards: int = NUM_SHARDS,
+) -> DataFrame:
+    return pack_sequences_from(
+        _docs(spark, sf_dir), seq_len=seq_len, num_shards=num_shards
+    )
+
+
+def pack_sequences_from(
+    docs: DataFrame, seq_len: int = SEQ_LEN, num_shards: int = NUM_SHARDS
+) -> DataFrame:
+    """Per-document packed layout.
+
+    Output: ``doc_id``, ``shard``, ``n_tokens``, ``stream_off`` (token
+    offset of the document's first token in its shard's concatenated
+    stream), ``pack_id`` (window index ``stream_off // seq_len`` within
+    the shard), ``pack_off`` (offset within that window). Deterministic:
+    shard and order derive from the document id's hash, so re-running
+    yields the identical layout.
+    """
+    h = hash60_col(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("shard", (F.col("h") % num_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    stream_off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "stream_off"
+    )
+    d = d.select("doc_id", "shard", "n_tokens", stream_off)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "stream_off",
+        F.floor(F.col("stream_off") / seq_len).cast("int").alias("pack_id"),
+        (F.col("stream_off") % seq_len).cast("int").alias("pack_off"),
+    )
