@@ -1020,7 +1020,7 @@ def _oracle_sql_static() -> dict[str, str]:
         """,
         "pack_sequences": f"""
             SELECT doc_id, shard, n_tokens, stream_off,
-                   CAST(stream_off // {packing.SEQ_LEN} AS INT) AS pack_id,
+                   CAST(stream_off // {packing.SEQ_LEN} AS BIGINT) AS pack_id,
                    CAST(stream_off % {packing.SEQ_LEN} AS INT) AS pack_off
             FROM (
               SELECT doc_id, shard, n_tokens,

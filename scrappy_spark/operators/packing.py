@@ -73,11 +73,14 @@ def pack_sequences_from(
         "stream_off"
     )
     d = d.select("doc_id", "shard", "n_tokens", stream_off)
+    # integer division (never float) and a 64-bit pack_id: a shard
+    # stream past 2^31 packs is reachable at full scale with a small
+    # shard count, and offsets stay exact at any magnitude
     return d.select(
         "doc_id",
         "shard",
         "n_tokens",
         "stream_off",
-        F.floor(F.col("stream_off") / seq_len).cast("int").alias("pack_id"),
+        F.expr(f"stream_off DIV {seq_len}").alias("pack_id"),
         (F.col("stream_off") % seq_len).cast("int").alias("pack_off"),
     )
