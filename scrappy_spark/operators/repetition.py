@@ -158,3 +158,48 @@ def decontaminate_from(
             "doc_id", F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("contaminated")
         )
     )
+
+
+def bench_gram_hashes(
+    docs: DataFrame, k: int = CONTAM_K, bench_mod: int = BENCH_MOD
+) -> list[int]:
+    """Collect the benchmark k-gram hash set driver-side. Eval suites
+    are small by definition, so this is a bounded collect (the same
+    contract as the IVF centroid sample) — it exists so the set can ride
+    into a STREAMING plan as a literal, where the batch operator's
+    build-from-the-same-table join cannot."""
+    d = docs.withColumn("toks", tokens_col(F.col("text")))
+    rows = (
+        d.filter((F.col("doc_id") % bench_mod) == 0)
+        .filter(F.size("toks") >= k)
+        .select(
+            F.explode(
+                F.transform(F.expr(shingles_expr("toks", k)), lambda g: hash60_col(g))
+            ).alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["h"] for r in rows)
+
+
+def decontaminate_stream(
+    corpus: DataFrame, bench_hashes: list[int], k: int = CONTAM_K
+) -> DataFrame:
+    """Contamination flag for a STREAMING corpus: per row, hash the
+    document's k-grams and test overlap against the literal benchmark
+    hash array — a pure map-side expression (no join, no shuffle, no
+    state), so it runs unchanged under Structured Streaming and flags
+    each micro-batch's documents exactly as the batch operator would.
+    Documents shorter than k tokens are clean by definition."""
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(F.expr(shingles_expr("toks", k)), lambda g: hash60_col(g)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hit = F.arrays_overlap(
+        grams, F.lit([int(h) for h in bench_hashes]).cast("array<bigint>")
+    )
+    return corpus.withColumn("toks", toks).select(
+        "doc_id", hit.cast("int").alias("contaminated")
+    )

@@ -91,6 +91,70 @@ def test_pipeline_v4_gates_discriminate(spark, tmp_path):
     assert 20 not in v4  # benchmark member never enters the corpus
 
 
+def test_decontaminate_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The map-only streaming flag over micro-batched corpus files must
+    equal the batch operator's join-based flags on the same corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = repetition.bench_gram_hashes(docs)
+    assert len(bench) > 0
+    src = str(tmp_path / "stream_src")
+    corpus = docs.filter((F.col("doc_id") % repetition.BENCH_MOD) != 0)
+    # two files → at least two micro-batches under maxFilesPerTrigger=1
+    corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.parquet(src)
+    corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        repetition.decontaminate_stream(stream, bench)
+        .writeStream.format("memory")
+        .queryName("decontam_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in spark.sql("SELECT * FROM decontam_live").collect()
+    }
+    want = {
+        r["doc_id"]: r["contaminated"]
+        for r in repetition.decontaminate(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(got.values()) > 0  # flags actually fire across batches
+
+
+def test_stratified_sample_works_on_a_stream(spark, tmp_path, sf_dir):
+    """The stratified sampler is stateless, so the same _from operator
+    must run unchanged under Structured Streaming and keep exactly the
+    batch sample."""
+    from scrappy_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "strat_src")
+    docs.select("doc_id", "lang").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, lang string").parquet(src)
+    q = (
+        sampling.stratified_sample_from(stream)
+        .writeStream.format("memory")
+        .queryName("strat_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM strat_live").collect())
+    want = sorted(r["doc_id"] for r in sampling.stratified_sample_from(docs).collect())
+    assert got == want and len(got) > 0
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark):
     """The benchmark n-gram set must reach the corpus probe as a
     broadcast exchange — the corpus side of the semi-join must not
