@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_rolling": textstats.fingerprint_rolling,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
+        # CCNet-shaped unigram-surprisal quality score (exact decimal
+        # sums — order-independent, so the oracle is exact)
+        "text_unigram_logprob": textstats.unigram_logprob,
         # Gopher-style intra-document repetition signals (top-2-gram /
         # duplicated-3-gram occurrence fractions)
         "text_repetition": repetition.repetition_stats,
@@ -981,6 +984,27 @@ def _oracle_sql_static() -> dict[str, str]:
                         WHEN s_es > 0 THEN 'es'
                         ELSE 'und' END AS pred_lang
             FROM documents docs LEFT JOIN s ON s.doc_id = docs.doc_id
+        """,
+        "text_unigram_logprob": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS t FROM tokd
+            ), freq AS (
+              SELECT t, count(*) AS c FROM tok GROUP BY t
+            ), total AS (
+              SELECT sum(c) AS n FROM freq
+            ), lp AS (
+              SELECT t, CAST(round(-ln(c / n), 6) AS DECIMAL(18,6)) AS surprisal
+              FROM freq, total
+            ), agg AS (
+              SELECT doc_id, sum(surprisal) AS s, count(*) AS n_tokens
+              FROM tok JOIN lp USING (t) GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(s AS DOUBLE) AS surprisal_sum,
+                   round(CAST(s AS DOUBLE) / n_tokens, 6) AS mean_surprisal
+            FROM agg
         """,
         "text_repetition": _REPETITION_SQL,
         "text_decontaminate": _DECONTAM_SQL,

@@ -58,6 +58,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "sim_ann_lsh_topk": similarity.ann_lsh_topk,
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
+        "text_unigram_logprob": textstats.unigram_logprob,
         "text_repetition": repetition.repetition_stats,
         "text_decontaminate": repetition.decontaminate,
         "sample_source_quota": sampling.source_quota,

@@ -101,6 +101,55 @@ def fingerprint_rolling(
     return d.select("doc_id", min_h.alias("rolling_fp"))
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped language-model quality score: per document, the
+    total and mean unigram surprisal −ln(count(t)/N) of its tokens
+    under the corpus' own unigram distribution (a high mean marks
+    rare-token-heavy, OOV-ish documents — the same signal CCNet's
+    KenLM perplexity buckets use; the unigram model IS the engine
+    operator, the n-gram LM is model data).
+
+    Exactness: per-token surprisal is rounded to 6 decimals and cast to
+    DECIMAL(18,6) BEFORE the per-document sum, so the aggregate is
+    exact fixed-point arithmetic — order-independent, hence identical
+    in Spark and DuckDB regardless of how either engine schedules the
+    sum. The final columns convert the exact decimal back to double.
+
+    100 TB shape: one explode+groupBy builds the vocab frequency table
+    (partial-agg shuffle keyed by token); the scalar N rides in as a
+    broadcast; the per-doc scoring is the token stream joined to the
+    (corpus-vocab ≪ corpus) frequency table — broadcast when it fits,
+    shuffle-join otherwise — then one groupBy(doc_id)."""
+    d = _docs(spark, sf_dir).withColumn("toks", tokens_col(F.col("text")))
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    lp = (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.round(-F.log(F.col("c") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("surprisal"),
+        )
+    )
+    agg = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("surprisal").alias("s"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    s_dbl = F.col("s").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        s_dbl.alias("surprisal_sum"),
+        F.round(s_dbl / F.col("n_tokens"), 6).alias("mean_surprisal"),
+    )
+
+
 def marker_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID — deterministic argmax with fixed
     priority (en > de > fr > es), 'und' when no marker hits."""

@@ -53,6 +53,28 @@ def test_ngram_langid_runs_and_is_deterministic(spark, sf_dir):
     assert all(r["pred_lang"] in ("en", "de", "fr", "es", "und") for r in a)
 
 
+def test_unigram_logprob_planted_values(spark, tmp_path):
+    """corpus 'a a a b': surprisal(a)=-ln(3/4), surprisal(b)=-ln(1/4);
+    the rare-token doc scores a strictly higher mean, and sums equal
+    the hand-computed per-token surprisals (6-decimal fixed point)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "b")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "sf")
+    docs.write.parquet(path + "/documents.parquet")
+    out = {
+        r["doc_id"]: r for r in textstats.unigram_logprob(spark, path).collect()
+    }
+    sa = round(-math.log(3 / 4), 6)
+    sb = round(-math.log(1 / 4), 6)
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+    assert abs(out[0]["surprisal_sum"] - 3 * sa) < 1e-9
+    assert abs(out[1]["surprisal_sum"] - sb) < 1e-9
+    assert out[1]["mean_surprisal"] > out[0]["mean_surprisal"]
+
+
 SPANS = [
     {"kind": "heading", "text": "Intro", "media_ref": "", "offset": 0},
     {"kind": "text", "text": "hello", "media_ref": "", "offset": 1},
