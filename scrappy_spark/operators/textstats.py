@@ -117,9 +117,19 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one explode+groupBy builds the vocab frequency table
     (partial-agg shuffle keyed by token); the scalar N rides in as a
-    broadcast; the per-doc scoring is the token stream joined to the
-    (corpus-vocab ≪ corpus) frequency table — broadcast when it fits,
-    shuffle-join otherwise — then one groupBy(doc_id)."""
+    broadcast; the per-doc scoring joins the token stream to the
+    (corpus-vocab ≪ corpus) frequency table — deliberately WITHOUT a
+    broadcast hint, so size-based planning/AQE broadcasts a small vocab
+    and falls back to a shuffle join when web-scale vocab outgrows the
+    driver — then one groupBy(doc_id).
+
+    Exactness caveat (measured, monitored): the per-token −ln(c/N) is
+    computed by each engine's own libm, which is ~1-ulp accurate, not
+    correctly rounded; a surprisal within ~1e-15 of a 0.0000005 grid
+    boundary could round differently per engine. The driver corpora sit
+    ≥3e-8 from every boundary (asserted in
+    test_unigram_surprisal_rounding_margin), so the oracle is exact in
+    practice; the fixed-point sum removes every OTHER float hazard."""
     d = _docs(spark, sf_dir).withColumn("toks", tokens_col(F.col("text")))
     tok = d.select("doc_id", F.explode("toks").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("c"))
@@ -134,7 +144,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = (
-        tok.join(F.broadcast(lp), "t")
+        tok.join(lp, "t")
         .groupBy("doc_id")
         .agg(
             F.sum("surprisal").alias("s"),

@@ -2,13 +2,9 @@
 the sharded plan shape. The exact DuckDB value oracle runs in
 test_driver_contract."""
 
-import hashlib
+from conftest import md5_hash60 as _h
 
 from scrappy_spark.operators import packing
-
-
-def _h(doc_id):
-    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
 
 
 def test_pack_layout_is_contiguous_per_shard(spark, sf_dir):

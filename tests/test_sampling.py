@@ -3,6 +3,7 @@ equal the naive single-window top-K under heavy source skew, and the
 stratified sampler must stay a map-only filter. Exact DuckDB value
 oracles run in test_driver_contract."""
 
+from conftest import md5_hash60
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -54,14 +55,7 @@ def test_source_quota_rank_is_priority_order(spark):
     for src, rs in per.items():
         rs.sort(key=lambda r: r["rk"])
         assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1)), src
-        hs = [
-            int(
-                __import__("hashlib").md5(str(r["doc_id"]).encode())
-                .hexdigest()[:15],
-                16,
-            )
-            for r in rs
-        ]
+        hs = [md5_hash60(r["doc_id"]) for r in rs]
         assert hs == sorted(hs), src
 
 

@@ -75,6 +75,28 @@ def test_unigram_logprob_planted_values(spark, tmp_path):
     assert out[1]["mean_surprisal"] > out[0]["mean_surprisal"]
 
 
+def test_unigram_surprisal_rounding_margin():
+    """Guard for the documented libm caveat: every vocab surprisal at
+    both driver SFs must sit well clear of a 0.0000005 rounding-grid
+    boundary, so a ~1-ulp ln() disagreement between the JVM and DuckDB
+    cannot flip round(·, 6) and break the exact oracle. (Measured
+    margin today: ~3.7e-8; threshold an order below.)"""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        rows = duckdb.sql(
+            f"""
+            WITH tok AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM '/root/testdata/{sf}/documents.parquet'
+            ), freq AS (SELECT t, count(*) c FROM tok GROUP BY t)
+            SELECT -ln(c / (SELECT sum(c) FROM freq)) AS s FROM freq
+            """
+        ).fetchall()
+        margin = min(abs((s * 1e6) % 1 - 0.5) for (s,) in rows)
+        assert margin > 1e-9, (sf, margin)
+
+
 SPANS = [
     {"kind": "heading", "text": "Intro", "media_ref": "", "offset": 0},
     {"kind": "text", "text": "hello", "media_ref": "", "offset": 1},
