@@ -245,3 +245,55 @@ def windowed_fetch_rate(
             "fetches",
         )
     )
+
+
+QUOTA_ADMIT_SCHEMA = "doc_id long, source string, rk int"
+_QUOTA_STATE = "admitted int"
+
+
+def source_quota_stream(docs: DataFrame, quota: int = 10) -> DataFrame:
+    """Streaming admission control: admit at most ``quota`` documents
+    per source over the LIFETIME of the stream (the streaming sibling of
+    ``sampling.source_quota``). State per source is a single admitted
+    counter carried across micro-batches — O(1) per key, never a buffer.
+
+    Within a micro-batch, candidates are admitted in the batch
+    operator's exact priority order (ascending hash60(doc_id), then
+    doc_id); across micro-batches admission is necessarily
+    arrival-order — a stream cannot defer to a future higher-priority
+    document. That is the inherent batch/stream semantic difference,
+    and the cross-batch test pins it: with everything in one batch the
+    result equals the batch operator's survivor set.
+
+    Input stream schema: (doc_id long, source string).
+    """
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _h60(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    def admit(key, pdfs, state):
+        (source,) = key
+        (admitted,) = state.get if state.exists else (0,)
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(d) for d in pdf["doc_id"])
+        ids.sort(key=lambda d: (_h60(d), d))
+        out = []
+        for doc_id in ids:
+            if admitted >= quota:
+                break
+            admitted += 1
+            out.append((doc_id, source, admitted))
+        state.update((admitted,))
+        yield pd.DataFrame(out, columns=["doc_id", "source", "rk"])
+
+    return docs.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=QUOTA_ADMIT_SCHEMA,
+        stateStructType=_QUOTA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

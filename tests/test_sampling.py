@@ -59,6 +59,55 @@ def test_source_quota_rank_is_priority_order(spark):
         assert hs == sorted(hs), src
 
 
+def test_source_quota_stream_admission(spark, tmp_path):
+    """Cross-micro-batch quota state: a source with 6 docs in batch 1
+    and 6 more in batch 2 under quota 8 admits 6 then exactly 2 — the 2
+    highest-priority of batch 2 — with ranks continuing 7, 8. A
+    single-batch stream equals the batch operator's survivor set."""
+    from scrappy_spark.streaming.state_stream import source_quota_stream
+
+    b1 = [(i, "mega") for i in range(6)] + [(100, "tiny")]
+    b2 = [(10 + i, "mega") for i in range(6)] + [(101, "tiny")]
+    src = str(tmp_path / "qsrc")
+    spark.createDataFrame(b1, "doc_id long, source string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, "doc_id long, source string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        source_quota_stream(stream, quota=8)
+        .writeStream.format("memory")
+        .queryName("quota_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM quota_live").collect()
+    mega = sorted(
+        ((r["doc_id"], r["rk"]) for r in rows if r["source"] == "mega"),
+        key=lambda x: x[1],
+    )
+    assert len(mega) == 8
+    assert [rk for _, rk in mega] == list(range(1, 9))
+    # batch 1 admitted all six, in the batch operator's priority order
+    b1_ids = [d for d, _ in mega[:6]]
+    assert set(b1_ids) == set(range(6))
+    assert [md5_hash60(d) for d in b1_ids] == sorted(md5_hash60(d) for d in b1_ids)
+    # batch 2 admitted the two highest-priority of its six candidates
+    b2_ids = [d for d, _ in mega[6:]]
+    want_b2 = sorted(range(10, 16), key=lambda d: (md5_hash60(d), d))[:2]
+    assert b2_ids == want_b2
+    # the under-quota source admits everything across both batches
+    tiny = {r["doc_id"] for r in rows if r["source"] == "tiny"}
+    assert tiny == {100, 101}
+
+
 def test_stratified_sample_is_map_only_and_deterministic(spark, sf_dir):
     df = sampling.stratified_sample(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
