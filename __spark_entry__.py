@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SEQ_LEN training windows (per-shard running sum, never a
         # global single-partition cumsum)
         "pack_sequences": packing.pack_sequences,
+        # materialized windows: content+order value-checked through an
+        # md5 fingerprint of each window's ordered tokens
+        "pack_windows": packing.pack_windows,
         # sequence-level dedup: boilerplate segments (df > cap across
         # docs) dropped, documents rebuilt in order (round 4)
         "dedup_boilerplate": boilerplate.boilerplate_clean,
@@ -1060,6 +1063,30 @@ def _oracle_sql_static() -> dict[str, str]:
                 FROM documents
               )
             )
+        """,
+        "pack_windows": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOKS} AS toks,
+                     {DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")} AS h,
+                     CAST({DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")}
+                          % {packing.NUM_SHARDS} AS INT) AS shard
+              FROM documents
+            ), layout AS (
+              SELECT shard, toks,
+                     CAST(sum(len(toks)) OVER (PARTITION BY shard
+                                               ORDER BY h, doc_id)
+                          - len(toks) AS BIGINT) AS stream_off
+              FROM base
+            ), tok AS (
+              SELECT shard,
+                     stream_off + unnest(range(1, len(toks) + 1)) - 1 AS idx,
+                     unnest(toks) AS t
+              FROM layout
+            )
+            SELECT shard, CAST(idx // {packing.SEQ_LEN} AS BIGINT) AS pack_id,
+                   CAST(count(*) AS INT) AS n_toks,
+                   md5(string_agg(t, ' ' ORDER BY idx)) AS window_fp
+            FROM tok GROUP BY shard, idx // {packing.SEQ_LEN}
         """,
         "sample_stratified": f"""
             SELECT doc_id, lang FROM (

@@ -64,6 +64,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "sample_source_quota": sampling.source_quota,
         "sample_stratified": sampling.stratified_sample,
         "pack_sequences": packing.pack_sequences,
+        "pack_windows": packing.pack_windows,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,

@@ -84,3 +84,72 @@ def pack_sequences_from(
         F.expr(f"stream_off DIV {seq_len}").alias("pack_id"),
         (F.col("stream_off") % seq_len).cast("int").alias("pack_off"),
     )
+
+
+def pack_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    num_shards: int = NUM_SHARDS,
+) -> DataFrame:
+    """Materialize the packed windows themselves: every token is mapped
+    to its (shard, pack, slot) cell by the ``pack_sequences`` layout and
+    regrouped into per-window token sequences — what the shard writer
+    actually emits.
+
+    Output: one row per window — ``shard``, ``pack_id``, ``n_toks``
+    (tokens landed in the window; every window is exactly ``seq_len``
+    full except each shard's last), and ``window_fp`` = md5 of the
+    space-joined tokens IN ORDER. The fingerprint stands in for the
+    token array so the oracle value-checks content AND order with a
+    scalar column (the driver compare cannot hash array cells).
+    Determinism: collect_list order is not guaranteed, so tokens are
+    collected as (slot, token) structs and sort_array'd before the join
+    — canonical regardless of task scheduling.
+
+    100 TB shape: the token explode is map-side over the layout join
+    (broadcast of nothing — the layout is derived in the same plan);
+    the only added shuffle is the groupBy on (shard, pack_id), whose
+    group size is bounded by ``seq_len`` tokens — no skew possible by
+    construction.
+    """
+    layout = pack_sequences(
+        spark, sf_dir, seq_len=seq_len, num_shards=num_shards
+    ).select("doc_id", "shard", "stream_off")
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .join(layout, "doc_id")
+        .select(
+            "shard",
+            F.posexplode("toks").alias("pos", "t"),
+            F.col("stream_off"),
+        )
+        .select(
+            "shard",
+            "t",
+            (F.col("stream_off") + F.col("pos")).alias("idx"),
+        )
+        .select(
+            "shard",
+            "t",
+            F.expr(f"idx DIV {seq_len}").alias("pack_id"),
+            (F.col("idx") % seq_len).cast("int").alias("slot"),
+        )
+    )
+    return (
+        toks.groupBy("shard", "pack_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("slot"), F.col("t")))
+            ).alias("cells")
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.size("cells").cast("int").alias("n_toks"),
+            F.md5(
+                F.concat_ws(" ", F.transform("cells", lambda c: c["t"]))
+            ).alias("window_fp"),
+        )
+    )

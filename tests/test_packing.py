@@ -24,6 +24,55 @@ def test_pack_layout_is_contiguous_per_shard(spark, sf_dir):
             off += r["n_tokens"]
 
 
+def test_pack_windows_full_except_last_and_conserving(spark, sf_dir):
+    """Every materialized window except each shard's last holds exactly
+    SEQ_LEN tokens, and the windows conserve the corpus' total token
+    count — nothing dropped, nothing duplicated."""
+    from pyspark.sql import functions as F
+
+    rows = packing.pack_windows(spark, sf_dir).collect()
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r)
+    for rs in per_shard.values():
+        rs.sort(key=lambda r: r["pack_id"])
+        assert [r["pack_id"] for r in rs] == list(range(len(rs)))
+        assert all(r["n_toks"] == packing.SEQ_LEN for r in rs[:-1])
+        assert 0 < rs[-1]["n_toks"] <= packing.SEQ_LEN
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.sum(F.size(F.split(F.trim("text"), r"\s+"))))
+        .first()[0]
+    )
+    assert sum(r["n_toks"] for r in rows) == total
+
+
+def test_pack_windows_planted_fingerprint(spark, tmp_path):
+    """One-shard, two-doc corpus: the window fingerprints equal md5 of
+    the hand-laid-out token stream cut at seq_len."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "sf")
+    docs.write.parquet(path + "/documents.parquet")
+    order = sorted([1, 2], key=lambda d: (_h(d), d))
+    stream = []
+    texts = {1: "a b c", 2: "d e f g"}
+    for d in order:
+        stream.extend(texts[d].split())
+    want = {
+        i: hashlib.md5(" ".join(stream[i * 5 : (i + 1) * 5]).encode()).hexdigest()
+        for i in range((len(stream) + 4) // 5)
+    }
+    got = {
+        r["pack_id"]: r["window_fp"]
+        for r in packing.pack_windows(spark, path, seq_len=5, num_shards=1).collect()
+    }
+    assert got == want
+
+
 def test_pack_plan_shuffles_once_on_shard(spark, sf_dir):
     df = packing.pack_sequences(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
