@@ -104,23 +104,32 @@ def pack_windows(
     token array so the oracle value-checks content AND order with a
     scalar column (the driver compare cannot hash array cells).
     Determinism: collect_list order is not guaranteed, so tokens are
-    collected as (slot, token) structs and sort_array'd before the join
-    — canonical regardless of task scheduling.
+    collected as (slot, token) structs and sort_array'd — canonical
+    regardless of task scheduling.
 
-    100 TB shape: the token explode is map-side over the layout join
-    (broadcast of nothing — the layout is derived in the same plan);
-    the only added shuffle is the groupBy on (shard, pack_id), whose
-    group size is bounded by ``seq_len`` tokens — no skew possible by
-    construction.
+    100 TB shape: the layout is recomputed INLINE carrying the token
+    array through the shard window (joining back to a separate
+    pack_sequences plan would scan and tokenize the corpus twice and
+    shuffle both sides on doc_id — measured and rejected), so the whole
+    operator is ONE scan and ONE exchange (asserted): the shard
+    window's partitioning already co-locates every (shard, pack_id)
+    group, so the regroup adds no shuffle; its group size is bounded by
+    ``seq_len`` tokens — no skew possible by construction.
     """
-    layout = pack_sequences(
-        spark, sf_dir, seq_len=seq_len, num_shards=num_shards
-    ).select("doc_id", "shard", "stream_off")
-    toks = (
+    h = hash60_col(F.col("doc_id").cast("string"))
+    d = (
         _docs(spark, sf_dir)
         .select("doc_id", tokens_col(F.col("text")).alias("toks"))
-        .join(layout, "doc_id")
-        .select(
+        .withColumn("h", h)
+        .withColumn("shard", (F.col("h") % num_shards).cast("int"))
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    d = d.withColumn(
+        "stream_off",
+        F.sum(F.size("toks")).over(w) - F.size("toks"),
+    )
+    toks = (
+        d.select(
             "shard",
             F.posexplode("toks").alias("pos", "t"),
             F.col("stream_off"),

@@ -74,15 +74,13 @@ def md5_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     Uniform-per-coordinate rather than Gaussian — fine for sign-LSH
     (the exact-verify step carries correctness; planes only shape
     recall, which the planted-cluster tests measure)."""
-    import hashlib
+    from .text import hash60_py
 
     c = np.empty((n_tables * n_planes, dim), dtype=np.float64)
     for t in range(n_tables):
         for p in range(n_planes):
             for j in range(dim):
-                h = int(
-                    hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[:15], 16
-                )
+                h = hash60_py(f"{t}:{p}:{j}")
                 c[t * n_planes + p, j] = (h / 2**60) * 2 - 1
     return c
 

@@ -21,6 +21,17 @@ def hash60_col(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def hash60_py(s: str) -> int:
+    """The SAME 60-bit primitive as ``hash60_col``, computed in Python —
+    the single definition every driver-side / pandas-UDF / streaming
+    kernel must use so hash-derived placement (simhash bits, LSH
+    planes, trigram buckets, stream admission priority) stays
+    bit-identical to the JVM expression and the DuckDB oracles."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def shingles_expr(tokens_sql: str, n: int = 3) -> str:
     """Spark SQL string for shingles over a tokens-array expression."""
     parts = ", ".join(f"__t[i+{j}]" for j in range(n))

@@ -197,9 +197,9 @@ def ngram_bucket(tri: str) -> int:
     text.hash60 (conv(substr(md5,1,15),16,10)), so the DuckDB oracle
     reproduces every bucket exactly (never Python hash(): it is
     process-salted)."""
-    import hashlib
+    from .text import hash60_py
 
-    return int(hashlib.md5(tri.encode()).hexdigest()[:15], 16) % NGRAM_BUCKETS
+    return hash60_py(tri) % NGRAM_BUCKETS
 
 
 def ngram_profile_weights() -> dict[str, dict[int, float]]:

@@ -96,13 +96,14 @@ def simhash_py(text: str) -> int:
     same md5-derived hash60, same per-bit majority vote), so the
     streaming near-dup operator below and the batch operator agree on
     fingerprints (tested)."""
-    import hashlib
     import re
+
+    from scrappy_spark.operators.text import hash60_py
 
     toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
     w = [0] * 60
     for t in toks:
-        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        h = hash60_py(t)
         for b in range(60):
             w[b] += 1 if (h >> b) & 1 else -1
     return sum(1 << b for b in range(60) if w[b] > 0)
@@ -251,7 +252,7 @@ QUOTA_ADMIT_SCHEMA = "doc_id long, source string, rk int"
 _QUOTA_STATE = "admitted int"
 
 
-def source_quota_stream(docs: DataFrame, quota: int = 10) -> DataFrame:
+def source_quota_stream(docs: DataFrame, quota: int | None = None) -> DataFrame:
     """Streaming admission control: admit at most ``quota`` documents
     per source over the LIFETIME of the stream (the streaming sibling of
     ``sampling.source_quota``). State per source is a single admitted
@@ -265,14 +266,21 @@ def source_quota_stream(docs: DataFrame, quota: int = 10) -> DataFrame:
     and the cross-batch test pins it: with everything in one batch the
     result equals the batch operator's survivor set.
 
-    Input stream schema: (doc_id long, source string).
+    Input stream schema: (doc_id long, source string). ``quota``
+    defaults to ``sampling.QUOTA`` and the priority key is the shared
+    ``hash60_py`` — the same primitive ``sampling._priority`` compiles
+    to JVM-side — so batch and stream admission cannot drift apart.
     """
-    import hashlib
-
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from scrappy_spark.operators.sampling import QUOTA
+    from scrappy_spark.operators.text import hash60_py
+
+    if quota is None:
+        quota = QUOTA
+
     def _h60(doc_id: int) -> int:
-        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return hash60_py(str(doc_id))
 
     def admit(key, pdfs, state):
         (source,) = key

@@ -39,12 +39,25 @@ def test_pack_windows_full_except_last_and_conserving(spark, sf_dir):
         assert [r["pack_id"] for r in rs] == list(range(len(rs)))
         assert all(r["n_toks"] == packing.SEQ_LEN for r in rs[:-1])
         assert 0 < rs[-1]["n_toks"] <= packing.SEQ_LEN
+    from scrappy_spark.operators.text import tokens_col
+
     total = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.sum(F.size(F.split(F.trim("text"), r"\s+"))))
+        .select(F.sum(F.size(tokens_col(F.col("text")))))
         .first()[0]
     )
     assert sum(r["n_toks"] for r in rows) == total
+
+
+def test_pack_windows_plan_one_scan_one_exchange(spark, sf_dir):
+    """The materializer must not join back to a second layout plan: one
+    corpus scan, and only the shard window's exchange — the
+    (shard, pack_id) regroup reuses the shard partitioning."""
+    df = packing.pack_windows(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert final.count("Exchange hashpartitioning") == 1
 
 
 def test_pack_windows_planted_fingerprint(spark, tmp_path):
