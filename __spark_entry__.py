@@ -30,6 +30,7 @@ from scrappy_spark.operators import (
     pipeline,
     relational,
     repetition,
+    retrieval,
     sampling,
     similarity,
     textstats,
@@ -112,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fully value-oracled since round 4: deterministic centroids +
         # probes embedded as literal VALUES, sequential-fold distances
         "sim_ann_ivf_topk": similarity.ann_ivf_topk,
+        # lexical relevance retrieval: BM25 top-k over derived queries,
+        # exact decimal-sum oracle (same discipline as unigram_logprob)
+        "sim_bm25_topk": retrieval.bm25_topk,
         # text analysis
         "text_token_count": textstats.token_count,
         "text_token_count_bpe": textstats.token_count_bpe,
@@ -987,6 +991,50 @@ def _oracle_sql_static() -> dict[str, str]:
                         WHEN s_es > 0 THEN 'es'
                         ELSE 'und' END AS pred_lang
             FROM documents docs LEFT JOIN s ON s.doc_id = docs.doc_id
+        """,
+        "sim_bm25_topk": f"""
+            WITH d AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), dl AS (
+              SELECT doc_id, toks, len(toks) AS dl FROM d
+            ), stats AS (
+              SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+            ), tf AS (
+              SELECT doc_id, dl, t, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(toks) AS t FROM dl
+              ) GROUP BY doc_id, dl, t
+            ), df_t AS (
+              SELECT t, count(*) AS df FROM tf GROUP BY t
+            ), qterms AS (
+              SELECT DISTINCT doc_id AS q, unnest(toks[1:{retrieval.QUERY_TERMS}]) AS t
+              FROM dl WHERE doc_id % {retrieval.QUERY_MOD} = 0
+            ), scored AS (
+              SELECT q, doc_id, sum(term) AS score FROM (
+                SELECT qterms.q, tf.doc_id,
+                       CAST(round(
+                         ln(1.0 + (stats.n_docs - df_t.df + 0.5)
+                                  / (df_t.df + 0.5))
+                         * (tf.tf * ({retrieval.K1} + 1))
+                         / (tf.tf + {retrieval.K1}
+                            * (1 - {retrieval.B}
+                               + {retrieval.B} * tf.dl
+                                 / (CAST(stats.total_len AS DOUBLE)
+                                    / stats.n_docs))),
+                         6) AS DECIMAL(18,6)) AS term
+                FROM tf
+                JOIN qterms USING (t)
+                JOIN df_t USING (t)
+                CROSS JOIN stats
+              ) GROUP BY q, doc_id
+            )
+            SELECT q, doc_id, CAST(score AS DOUBLE) AS bm25,
+                   CAST(rk AS INT) AS rk
+            FROM (
+              SELECT q, doc_id, score,
+                     row_number() OVER (PARTITION BY q
+                                        ORDER BY score DESC, doc_id) AS rk
+              FROM scored
+            ) WHERE rk <= {retrieval.TOP_K}
         """,
         "text_unigram_logprob": f"""
             WITH tokd AS (

@@ -32,6 +32,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         pipeline,
         relational,
         repetition,
+        retrieval,
         sampling,
         similarity,
         textstats,
@@ -56,6 +57,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_embedding_near": lambda s, d: dedup.embedding_near_pairs(s, d, 0.45),
         "sim_cosine_topk": similarity.cosine_topk,
         "sim_ann_lsh_topk": similarity.ann_lsh_topk,
+        "sim_bm25_topk": retrieval.bm25_topk,
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
         "text_unigram_logprob": textstats.unigram_logprob,
