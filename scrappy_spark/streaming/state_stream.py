@@ -305,3 +305,87 @@ def source_quota_stream(docs: DataFrame, quota: int | None = None) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PACK_STREAM_SCHEMA = (
+    "doc_id long, shard int, n_tokens int, stream_off long, "
+    "pack_id long, pack_off int"
+)
+_PACK_STATE = "next_off long"
+
+
+def pack_stream(
+    docs: DataFrame,
+    seq_len: int | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Streaming sequence-packing layout (the streaming sibling of
+    ``packing.pack_sequences``): each shard's concatenated token stream
+    grows monotonically across micro-batches, with a single next-offset
+    counter as keyed state — O(1) per shard, never a buffer. Within a
+    micro-batch documents are laid out in the batch operator's priority
+    order (hash60, doc_id); across batches the layout is necessarily
+    arrival-order (same inherent stream/batch difference as
+    ``source_quota_stream``, pinned by the test: a single-batch stream
+    reproduces the batch layout exactly).
+
+    Input stream schema: (doc_id long, text string). Tokenization is
+    the engine's whitespace contract (``tokens_col``), applied row-side.
+    """
+    import re
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from scrappy_spark.operators.packing import NUM_SHARDS, SEQ_LEN
+    from scrappy_spark.operators.text import hash60_py
+
+    if seq_len is None:
+        seq_len = SEQ_LEN
+    if num_shards is None:
+        num_shards = NUM_SHARDS
+
+    def layout(key, pdfs, state):
+        (shard,) = key
+        (next_off,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                n = len(re.split(r"\s+", text.strip())) if text.strip() else 0
+                rows.append((int(did), n))
+        rows.sort(key=lambda r: (hash60_py(str(r[0])), r[0]))
+        out = []
+        for did, n in rows:
+            out.append(
+                (
+                    did,
+                    shard,
+                    n,
+                    next_off,
+                    next_off // seq_len,
+                    next_off % seq_len,
+                )
+            )
+            next_off += n
+        state.update((next_off,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "shard", "n_tokens", "stream_off",
+                "pack_id", "pack_off",
+            ],
+        )
+
+    from scrappy_spark.operators.text import hash60_col
+
+    sharded = docs.withColumn(
+        "shard",
+        (hash60_col(F.col("doc_id").cast("string")) % num_shards).cast("int"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        layout,
+        outputStructType=PACK_STREAM_SCHEMA,
+        stateStructType=_PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -86,6 +86,61 @@ def test_pack_windows_planted_fingerprint(spark, tmp_path):
     assert got == want
 
 
+def test_pack_stream_single_batch_equals_batch_and_state_carries(
+    spark, tmp_path, sf_dir
+):
+    """A single-batch stream reproduces the batch layout exactly; with
+    two micro-batches each shard's offsets continue where batch 1 ended
+    (the keyed next-offset state)."""
+    from scrappy_spark.streaming.state_stream import pack_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(src, max_files=None):
+        reader = spark.readStream.schema("doc_id long, text string")
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        name = f"pack_live_{1 if max_files else 0}"
+        q = (
+            pack_stream(reader.parquet(src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    one = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(one)
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["stream_off"], r["pack_id"], r["pack_off"])
+        for r in run(one)
+    }
+    want = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["stream_off"], r["pack_id"], r["pack_off"])
+        for r in packing.pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    two = str(tmp_path / "two")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(two)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(two)
+    rows = run(two, max_files=1)
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r)
+    for rs in per_shard.values():  # contiguous across the batch boundary
+        rs.sort(key=lambda r: r["stream_off"])
+        off = 0
+        for r in rs:
+            assert r["stream_off"] == off
+            off += r["n_tokens"]
+
+
 def test_pack_plan_shuffles_once_on_shard(spark, sf_dir):
     df = packing.pack_sequences(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
