@@ -20,6 +20,10 @@ the query term set is tiny and broadcasts onto the tf table, so the
 only per-query work is over documents actually containing a query term;
 the final top-k windows over (query) — query count ≪ corpus, and k is
 small, so the per-query groups are the candidate lists, not the corpus.
+The corpus parquet is scanned three times (corpus stats, tf, query
+derivation), deliberately: each scan is column-pruned and map-only, no
+aggregate is ever computed twice, and at full scale three cheap scans
+beat persisting a corpus-sized tokenized intermediate.
 """
 
 from __future__ import annotations

@@ -21,6 +21,22 @@ def hash60_col(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def tokens_py(text: str | None) -> list[str] | None:
+    """The SAME whitespace tokenization as ``tokens_col``, computed in
+    Python — the single row-side definition every streaming kernel and
+    pure-python oracle must use. Faithful to the JVM semantics, not to
+    Python idiom: Spark ``trim`` strips ASCII spaces only (not \\n or
+    \\xa0), Java ``\\s`` is the ASCII class, and ``split`` on an empty
+    string yields ``['']`` (so an empty document has dl=1, exactly as
+    ``size(tokens_col(''))`` reports)."""
+    import re
+
+    if text is None:
+        return None
+    t = text.strip(" ")
+    return re.split(r"[ \t\n\x0b\f\r]+", t)
+
+
 def hash60_py(s: str) -> int:
     """The SAME 60-bit primitive as ``hash60_col``, computed in Python —
     the single definition every driver-side / pandas-UDF / streaming

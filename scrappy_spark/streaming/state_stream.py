@@ -96,11 +96,9 @@ def simhash_py(text: str) -> int:
     same md5-derived hash60, same per-bit majority vote), so the
     streaming near-dup operator below and the batch operator agree on
     fingerprints (tested)."""
-    import re
+    from scrappy_spark.operators.text import hash60_py, tokens_py
 
-    from scrappy_spark.operators.text import hash60_py
-
-    toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
+    toks = tokens_py(text) or []
     w = [0] * 60
     for t in toks:
         h = hash60_py(t)
@@ -332,12 +330,10 @@ def pack_stream(
     Input stream schema: (doc_id long, text string). Tokenization is
     the engine's whitespace contract (``tokens_col``), applied row-side.
     """
-    import re
-
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from scrappy_spark.operators.packing import NUM_SHARDS, SEQ_LEN
-    from scrappy_spark.operators.text import hash60_py
+    from scrappy_spark.operators.text import hash60_py, tokens_py
 
     if seq_len is None:
         seq_len = SEQ_LEN
@@ -350,9 +346,7 @@ def pack_stream(
         rows = []
         for pdf in pdfs:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                text = text or ""
-                n = len(re.split(r"\s+", text.strip())) if text.strip() else 0
-                rows.append((int(did), n))
+                rows.append((int(did), len(tokens_py(text or ""))))
         rows.sort(key=lambda r: (hash60_py(str(r[0])), r[0]))
         out = []
         for did, n in rows:

@@ -82,21 +82,30 @@ def test_crawled_corpus_feeds_training_pipeline(spark, tmp_path):
         assert 0.0 <= r["top_2gram_frac"] <= 1.0
         assert 0.0 <= r["dup_3gram_frac"] <= 1.0
 
-    # BM25 over the crawled corpus: ranked, contiguous, self-match first
-    # (a query doc always contains its own query terms)
+    # BM25 over the CLEANED corpus (the chain continues on the rewrite):
+    # ranks contiguous, scores non-increasing, and every query doc
+    # appears among its own candidates (it contains all its query terms)
     hits = {}
-    for r in retrieval.bm25_topk_from(dense).collect():
+    for r in retrieval.bm25_topk_from(cleaned).collect():
         hits.setdefault(r["q"], []).append((r["rk"], r["doc_id"], r["bm25"]))
     assert hits
+    from scrappy_spark.operators.text import tokens_py
+
+    texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
     for q, rows in hits.items():
         rows.sort()
         assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
-        assert rows[0][2] >= rows[-1][2]
+        scores = [s for _, _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+        # every candidate really shares a query term with q's raw text
+        qterms = set(tokens_py(texts[q])[: retrieval.QUERY_TERMS])
+        for _, d, _ in rows:
+            assert qterms & set(tokens_py(texts[d])), (q, d)
 
-    # packed layout conserves the corpus' tokens exactly
-    layout = packing.pack_sequences_from(dense)
+    # packed layout of the cleaned corpus conserves its tokens exactly
+    layout = packing.pack_sequences_from(cleaned)
     total_layout = layout.agg(F.sum("n_tokens")).first()[0]
-    total_corpus = dense.select(
+    total_corpus = cleaned.select(
         F.sum(F.size(tokens_col(F.col("text"))))
     ).first()[0]
     assert total_layout == total_corpus

@@ -4,21 +4,25 @@ respect tf monotonicity. The exact DuckDB value oracle runs in
 test_driver_contract."""
 
 import math
-import re
 from collections import Counter
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 from scrappy_spark.operators import retrieval
+from scrappy_spark.operators.text import tokens_py
+
+
+def _round6(x: float) -> Decimal:
+    """Spark's F.round is HALF_UP; python round() is banker's — mirror
+    the engine."""
+    return Decimal(str(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
 
 
 def _py_bm25_topk(rows, k):
-    """Independent reimplementation: tokenize, tf/df, rounded-decimal
-    term sums, top-k with (score desc, doc_id) ties."""
-    toks = {
-        r["doc_id"]: re.split(r"\s+", r["text"].strip())
-        for r in rows
-        if r["text"] and r["text"].strip()
-    }
+    """Independent reimplementation: the engine's tokenization contract
+    (every doc counts, empty text has dl=1), tf/df, HALF_UP
+    rounded-decimal term sums, membership by shared term (a zero score
+    still occupies a slot), top-k with (score desc, doc_id) ties."""
+    toks = {r["doc_id"]: tokens_py(r["text"]) for r in rows}
     n = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n
     df = Counter()
@@ -35,8 +39,10 @@ def _py_bm25_topk(rows, k):
         scores = {}
         for d, dtf in tf.items():
             s = Decimal(0)
+            matched = False
             for t in qterms:
                 if dtf.get(t):
+                    matched = True
                     idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
                     term = (
                         idf
@@ -51,8 +57,8 @@ def _py_bm25_topk(rows, k):
                             )
                         )
                     )
-                    s += Decimal(str(round(term, 6)))
-            if s:
+                    s += _round6(term)
+            if matched:
                 scores[d] = s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         out[qd] = [(d, float(s), i + 1) for i, (d, s) in enumerate(ranked)]
@@ -78,6 +84,29 @@ def test_bm25_matches_python_oracle(spark, sf_dir):
         ], q
         for (_, a, _), (_, b, _) in zip(got[q], want[q]):
             assert abs(a - b) < 1e-9
+
+
+def test_tokens_py_matches_tokens_col_on_edge_cases(spark):
+    """The row-side python tokenizer must equal the JVM expression on
+    the inputs where python idiom diverges from Java semantics: empty
+    strings, non-space leading whitespace, non-breaking spaces, and
+    trailing whitespace runs."""
+    from pyspark.sql import functions as F
+
+    from scrappy_spark.operators.text import tokens_col
+
+    cases = ["", " ", "\nfoo bar", "a\xa0b", "foo \n", "  x  ", "a  b\tc"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select(
+            "i", tokens_col(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == tokens_py(c), (repr(c), got[i], tokens_py(c))
 
 
 def test_bm25_tf_monotonic(spark, tmp_path):
