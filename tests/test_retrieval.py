@@ -95,7 +95,18 @@ def test_tokens_py_matches_tokens_col_on_edge_cases(spark):
 
     from scrappy_spark.operators.text import tokens_col
 
+    import random
+
     cases = ["", " ", "\nfoo bar", "a\xa0b", "foo \n", "  x  ", "a  b\tc"]
+    # seeded adversarial sweep: strings mixing words with ASCII and
+    # exotic unicode whitespace in every position, checked in ONE batch
+    rng = random.Random(7)
+    alphabet = ["w", "xy", " ", "  ", "\t", "\n", "\r", "\x0b", "\f",
+                "\xa0", " ", "　"]
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(500)
+    ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i long, text string"
     )
