@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_rolling": textstats.fingerprint_rolling,
         "text_marker_langid": textstats.marker_langid,
         "text_ngram_langid": textstats.ngram_langid,
+        # ANALYZE-style one-pass corpus profile (counts, token stats,
+        # exact-duplicate rate)
+        "text_corpus_profile": textstats.corpus_profile,
         # CCNet-shaped unigram-surprisal quality score (exact decimal
         # sums — order-independent, so the oracle is exact)
         "text_unigram_logprob": textstats.unigram_logprob,
@@ -1035,6 +1038,24 @@ def _oracle_sql_static() -> dict[str, str]:
                                         ORDER BY score DESC, doc_id) AS rk
               FROM scored
             ) WHERE rk <= {retrieval.TOP_K}
+        """,
+        "text_corpus_profile": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     len({_TOKS}) AS n_tok,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+              FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(min(n_tok) AS INT) AS min_tokens,
+                   CAST(max(n_tok) AS INT) AS max_tokens,
+                   round(avg(n_tok), 6) AS avg_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts
+            FROM d
         """,
         "text_unigram_logprob": f"""
             WITH tokd AS (

@@ -60,6 +60,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "sim_bm25_topk": retrieval.bm25_topk,
         "text_quality": textstats.quality_score,
         "text_fingerprint": textstats.fingerprint,
+        "text_corpus_profile": textstats.corpus_profile,
         "text_unigram_logprob": textstats.unigram_logprob,
         "text_repetition": repetition.repetition_stats,
         "text_decontaminate": repetition.decontaminate,

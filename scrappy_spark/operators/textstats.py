@@ -101,6 +101,35 @@ def fingerprint_rolling(
     return d.select("doc_id", min_h.alias("rolling_fp"))
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style corpus profile: the single-pass summary a pipeline
+    run consults before choosing shard counts, quotas, and budgets.
+    One row: document count, token totals/extremes, distinct languages
+    and sources, and the exact-duplicate rate (distinct whole-document
+    fingerprints vs rows). All native aggregates — one scan, one
+    partial-agg reduction, no shuffle wider than the final single-row
+    combine."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("n_tok").cast("int").alias("min_tokens"),
+        F.max("n_tok").cast("int").alias("max_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_texts"),
+    )
+
+
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped language-model quality score: per document, the
     total and mean unigram surprisal −ln(count(t)/N) of its tokens
