@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicate-cluster resolution: connected components over the LSH
         # pair graph, canonical survivor per cluster (min doc_id)
         "dedup_minhash_components": dedup.minhash_components,
+        # incremental dedup: NEW batch (doc_id%3==0) vs HISTORY — only
+        # cross-side candidate pairs, the O(delta) daily-ingest shape
+        "dedup_delta_lsh": dedup.delta_lsh_pairs,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         # cluster resolution over the simhash pair graph (the canonical
@@ -778,6 +781,21 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM capped l JOIN capped r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        # same CTEs, asymmetric join: delta (doc_id%3==0) vs history
+        "dedup_delta_lsh": _SIGS_CTE
+        + f""", bands AS ({_BANDS}),
+            capped AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
+            )
+            SELECT DISTINCT l.doc_id AS delta_id, r.doc_id AS history_id
+            FROM capped l JOIN capped r
+              ON l.band = r.band AND l.bucket = r.bucket
+            WHERE l.doc_id % {dedup.DELTA_MOD} = 0
+              AND r.doc_id % {dedup.DELTA_MOD} <> 0
         """,
         # same pair CTEs as dedup_minhash_lsh_pairs, then transitive
         # closure by recursive CTE and group-min = the label-propagation

@@ -47,6 +47,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_minhash_components": dedup.minhash_components,
+        "dedup_delta_lsh": dedup.delta_lsh_pairs,
         "dedup_simhash_components": dedup.simhash_components,
         "dedup_simhash": dedup.simhash_fingerprints,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,

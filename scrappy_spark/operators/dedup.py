@@ -105,6 +105,27 @@ def minhash_lsh_pairs(
     mega-duplicate cluster otherwise materializes |bucket|²/2 pairs in
     one task (pair generation for such clusters belongs to exact dedup,
     which already groups them by full fingerprint in O(n))."""
+    bands = _lsh_bands(spark, sf_dir, max_bucket)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def _lsh_bands(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """Skew-capped (doc_id, band, bucket) rows, materialized once — the
+    shared kernel behind the symmetric (minhash_lsh_pairs) and the
+    asymmetric delta (delta_lsh_pairs) bucket joins."""
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
     # band fan-out as ONE posexplode (band = position) — the signature
@@ -136,16 +157,45 @@ def minhash_lsh_pairs(
         # equivalent with truncated lineage)
         .localCheckpoint()
     )
-    left = bands.alias("l")
-    right = bands.alias("r")
+    return bands
+
+
+DELTA_MOD = 3  # doc_id % DELTA_MOD == 0 plays the NEW (delta) batch
+
+
+def delta_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+    delta_mod: int = DELTA_MOD,
+) -> DataFrame:
+    """Asymmetric (incremental) near-dup candidates: a NEW batch
+    (``doc_id % delta_mod == 0``, the deterministic stand-in for a daily
+    crawl delta) against the HISTORY (everything else). Output
+    (delta_id, history_id), distinct — no delta×delta and no
+    history×history pairs, which is what makes daily ingest O(delta)
+    instead of re-deduplicating the corpus.
+
+    Buckets and the ``max_bucket`` skew cap are computed over the UNION
+    (the same contract as the symmetric operator — a mega-bucket is
+    pathological regardless of which side its members came from). At
+    production scale the history side's band rows are precomputed and
+    stored with the corpus; the join cost is then
+    O(delta bands + matched history rows), never a history self-join.
+    """
+    bands = _lsh_bands(spark, sf_dir, max_bucket)
+    left = bands.filter((F.col("doc_id") % delta_mod) == 0).alias("l")
+    right = bands.filter((F.col("doc_id") % delta_mod) != 0).alias("r")
     return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.bucket") == F.col("r.bucket")),
         )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .select(
+            F.col("l.doc_id").alias("delta_id"),
+            F.col("r.doc_id").alias("history_id"),
+        )
         .distinct()
     )
 

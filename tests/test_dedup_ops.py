@@ -250,6 +250,28 @@ def test_components_chain_graph_converges(spark):
         dedup.components_from_pairs(docs, pairs, max_iter=2).collect()
 
 
+def test_delta_lsh_is_exactly_the_cross_side_pairs(spark, sf_dir):
+    """The asymmetric operator must produce precisely the symmetric
+    candidate pairs that cross the delta/history split — no
+    delta×delta, no history×history, nothing extra (same bands, same
+    bucket cap)."""
+    sym = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    got = {
+        (r["delta_id"], r["history_id"])
+        for r in dedup.delta_lsh_pairs(spark, sf_dir).collect()
+    }
+    want = set()
+    for a, b in sym:
+        for d, h in ((a, b), (b, a)):
+            if d % dedup.DELTA_MOD == 0 and h % dedup.DELTA_MOD != 0:
+                want.add((d, h))
+    assert got == want
+    assert 0 < len(got) < len(sym) * 2  # non-vacuous, strictly filtered
+
+
 def test_training_corpus_composition(spark, sf_dir):
     """The composed pipeline filter must equal the manual composition of
     its three oracle-checked parts, and every gate must actually
