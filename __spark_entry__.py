@@ -916,13 +916,13 @@ def _oracle_sql_static() -> dict[str, str]:
         "text_quality": _QUALITY_SQL,
         "text_fingerprint": """
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                   md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
             FROM documents
         """,
         "text_fingerprint_rolling": f"""
             WITH d AS (
               SELECT doc_id,
-                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                     regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS t
               FROM documents
             )
             SELECT doc_id,
@@ -952,7 +952,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pipeline_training_corpus_v2": f"""
             SELECT doc_id, n_tokens_clean, pred_lang, n_dropped FROM (
               SELECT b.doc_id,
-                     CAST(len(string_split_regex(trim(b.clean_text), '\\s+'))
+                     CAST(len(string_split_regex(trim(b.clean_text), '[ \\t\\n\\x0B\\f\\r]+'))
                           AS INT) AS n_tokens_clean,
                      l.pred_lang, b.n_dropped, c.canonical_id
               FROM ({_BOILERPLATE_SQL}) b
@@ -970,7 +970,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pipeline_training_corpus_v3": f"""
             SELECT doc_id, n_tokens_final, pred_lang, n_removed FROM (
               SELECT p.doc_id,
-                     CAST(len(string_split_regex(trim(p.clean_text), '\\s+'))
+                     CAST(len(string_split_regex(trim(p.clean_text), '[ \\t\\n\\x0B\\f\\r]+'))
                           AS INT) AS n_tokens_final,
                      l.pred_lang, p.n_removed, c.canonical_id
               FROM ({_passages_sql(
@@ -1061,7 +1061,7 @@ def _oracle_sql_static() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id, lang, source,
                      len({_TOKS}) AS n_tok,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
                        AS fp
               FROM documents
             )
@@ -1104,7 +1104,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "pipeline_training_corpus_v4": f"""
             SELECT doc_id, n_tokens_final, pred_lang, top_2gram_frac FROM (
               SELECT p.doc_id,
-                     CAST(len(string_split_regex(trim(p.clean_text), '\\s+'))
+                     CAST(len(string_split_regex(trim(p.clean_text), '[ \\t\\n\\x0B\\f\\r]+'))
                           AS INT) AS n_tokens_final,
                      l.pred_lang, r.top_2gram_frac, c.canonical_id,
                      dc.contaminated

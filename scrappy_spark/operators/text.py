@@ -57,9 +57,24 @@ def shingles_expr(tokens_sql: str, n: int = 3) -> str:
     ).replace("__t", tokens_sql)
 
 
-# DuckDB-side equivalents (format with a column/expr name)
-DUCK_TOKENS = "string_split_regex(trim({col}), '\\s+')"
+# DuckDB-side equivalents (format with a column/expr name).
+# The whitespace class is EXPLICIT ASCII, not '\\s': Java's \\s is
+# [ \\t\\n\\x0B\\f\\r] while RE2's lacks \\x0B — spelling the class out
+# keeps both engines tokenizing identically on every byte.
+DUCK_TOKENS = "string_split_regex(trim({col}), '[ \\t\\n\\x0B\\f\\r]+')"
 DUCK_HASH60 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+# whitespace-normalized lowercase md5 — the exact-duplicate fingerprint
+# shared by textstats.fingerprint, corpus_profile, and their mirrors
+DUCK_FP = (
+    "md5(regexp_replace(lower(trim({col})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+)
+
+
+def norm_fp_col(text: Column) -> Column:
+    """Whole-document exact-duplicate fingerprint: md5 of the
+    whitespace-normalized lowercase text (the Spark side of DUCK_FP)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
 def duck_shingles(tokens_sql: str, n: int = 3) -> str:
