@@ -25,13 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from scrappy_spark.operators import (
     boilerplate,
     dedup,
+    graph,
     multimodal,
     packing,
     pipeline,
+    ranking,
     relational,
     repetition,
     retrieval,
     sampling,
+    scrub,
     similarity,
     textstats,
 )
@@ -169,6 +172,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v4: + benchmark decontamination and the repetition gate on the
         # original text — seven nested mirrors
         "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
+        # link-graph centrality: fixed-iteration PageRank in BIGINT
+        # fixed-point (no float in the loop — bit-identical across
+        # engines) over the deterministic doc outlink graph
+        "graph_pagerank": graph.doc_pagerank,
+        # near-dup cluster-size histogram over the minhash component map
+        # (the dedup-report rollup an operator of record ships with)
+        "dedup_cluster_stats": dedup.minhash_cluster_stats,
+        # CCNet-style quality buckets: exact corpus-wide rank + integer
+        # quantile split WITHOUT a single-reducer window (range shuffle
+        # + partition-offset ranking; see operators/ranking.py)
+        "text_surprisal_buckets": ranking.surprisal_buckets,
+        # PII scrub (emails/IPv4/phones) over the deterministically
+        # augmented corpus — map-only, ASCII-class regex parity
+        "text_pii_scrub": scrub.doc_pii_scrub,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -1095,6 +1112,130 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST(s AS DOUBLE) AS surprisal_sum,
                    round(CAST(s AS DOUBLE) / n_tokens, 6) AS mean_surprisal
             FROM agg
+        """,
+        # fixed-point PageRank: the whole iteration is BIGINT arithmetic
+        # (contribution = exact HALF_UP of rank/out_deg via
+        # (2r+d)//(2d); damping = exact HALF_UP of 85/100*mass), so the
+        # recursive CTE reproduces Spark's loop bit-for-bit. The nodes
+        # CTE dedups explicitly with DISTINCT because inside WITH
+        # RECURSIVE DuckDB treats a bare UNION between CTE arms as the
+        # recursive-union form (measured: it kept duplicates).
+        "graph_pagerank": f"""
+            WITH RECURSIVE
+            docs_n AS (SELECT count(*) AS n_docs FROM documents),
+            expand AS (
+              SELECT doc_id AS src,
+                     unnest(generate_series(1, 1 + doc_id % {graph.LINK_MAXDEG})) AS j
+              FROM documents
+            ),
+            edges AS (
+              SELECT DISTINCT src,
+                     (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs AS dst
+              FROM expand, docs_n n
+              WHERE (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs <> src
+                AND (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs
+                    IN (SELECT doc_id FROM documents)
+            ),
+            deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+              )
+            ),
+            aug AS (
+              SELECT e.src, e.dst, d.out_deg, 1 AS real
+              FROM edges e JOIN deg d USING (src)
+              UNION ALL
+              SELECT node, node, 1, 0 FROM nodes
+            ),
+            pr AS (
+              SELECT 0 AS iter, node,
+                     CAST({graph.SCALE_I} AS BIGINT) AS rank_i
+              FROM nodes
+              UNION ALL
+              SELECT p.iter + 1, a.dst AS node,
+                     {(graph.DAMPING_DEN - graph.DAMPING_NUM) * graph.SCALE_I // graph.DAMPING_DEN}
+                     + (2 * {graph.DAMPING_NUM} * sum(CASE WHEN a.real = 1
+                           THEN (2 * p.rank_i + a.out_deg) // (2 * a.out_deg)
+                           ELSE 0 END) + {graph.DAMPING_DEN})
+                       // (2 * {graph.DAMPING_DEN}) AS rank_i
+              FROM pr p JOIN aug a ON a.src = p.node
+              WHERE p.iter < {graph.ITERATIONS}
+              GROUP BY p.iter, a.dst
+            )
+            SELECT node AS doc_id, rank_i,
+                   CAST(rank_i AS DOUBLE) / {graph.SCALE_I} AS rank
+            FROM pr WHERE iter = {graph.ITERATIONS}
+        """,
+        # cluster-size histogram over the (already-mirrored) minhash
+        # component map
+        "dedup_cluster_stats": f"""
+            SELECT cluster_size, count(*) AS n_clusters FROM (
+              SELECT canonical_id, count(*) AS cluster_size
+              FROM ({_COMPONENTS_SQL}) GROUP BY canonical_id
+            ) GROUP BY cluster_size
+        """,
+        # exact quantile buckets: rank by (mean_surprisal, doc_id) —
+        # a deterministic total order — then integer bucket math; the
+        # oracle may use the single-reducer window the Spark operator
+        # exists to avoid (DuckDB is single-node anyway)
+        "text_surprisal_buckets": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS t FROM tokd
+            ), freq AS (
+              SELECT t, count(*) AS c FROM tok GROUP BY t
+            ), total AS (
+              SELECT sum(c) AS n FROM freq
+            ), lp AS (
+              SELECT t, CAST(round(-ln(c / n), 6) AS DECIMAL(18,6)) AS surprisal
+              FROM freq, total
+            ), agg AS (
+              SELECT doc_id, sum(surprisal) AS s, count(*) AS n_tokens
+              FROM tok JOIN lp USING (t) GROUP BY doc_id
+            ), scored AS (
+              SELECT doc_id,
+                     round(CAST(s AS DOUBLE) / n_tokens, 6) AS mean_surprisal
+              FROM agg
+            ), nn AS (SELECT count(*) AS n_docs FROM scored),
+            rk AS (
+              SELECT doc_id, mean_surprisal,
+                     row_number() OVER (ORDER BY mean_surprisal, doc_id) AS rank
+              FROM scored
+            )
+            SELECT doc_id, mean_surprisal, rank,
+                   ['head','middle','tail']
+                     [CAST(((rank - 1) * {ranking.BUCKETS}) // n_docs AS INT) + 1]
+                     AS bucket
+            FROM rk, nn
+        """,
+        "text_pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.org or 10.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || ' tel +15550'
+                     || CAST(100 + doc_id % 100 AS VARCHAR) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{scrub.EMAIL_RE}')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{scrub.IP_RE}')) AS INT)
+                     AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{scrub.PHONE_RE}')) AS INT)
+                     AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{scrub.EMAIL_RE}', '{scrub.EMAIL_TAG}', 'g'),
+                       '{scrub.IP_RE}', '{scrub.IP_TAG}', 'g'),
+                       '{scrub.PHONE_RE}', '{scrub.PHONE_TAG}', 'g'))
+                     AS scrub_fp
+            FROM aug
         """,
         "text_repetition": _REPETITION_SQL,
         "text_decontaminate": _DECONTAM_SQL,

@@ -27,13 +27,16 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     from scrappy_spark.operators import (
         boilerplate,
         dedup,
+        graph,
         multimodal,
         packing,
         pipeline,
+        ranking,
         relational,
         repetition,
         retrieval,
         sampling,
+        scrub,
         similarity,
         textstats,
     )
@@ -69,6 +72,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "sample_stratified": sampling.stratified_sample,
         "pack_sequences": packing.pack_sequences,
         "pack_windows": packing.pack_windows,
+        "graph_pagerank": graph.doc_pagerank,
+        "dedup_cluster_stats": dedup.minhash_cluster_stats,
+        "text_surprisal_buckets": ranking.surprisal_buckets,
+        "text_pii_scrub": scrub.doc_pii_scrub,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,

@@ -231,6 +231,22 @@ def minhash_components(
     )
 
 
+def minhash_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-report rollup: the histogram of near-dup cluster sizes
+    (cluster_size → n_clusters) over the minhash component map — the
+    one-line summary a dedup run is judged by (how much of the corpus
+    collapses, and into how many clusters of what size). Two keyed
+    aggregations over the node-sized component map; both shuffles carry
+    ≪ corpus rows."""
+    comp = minhash_components(spark, sf_dir)
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
 def components_from_pairs(
     docs: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:

@@ -1,0 +1,170 @@
+"""Link-graph analytics: distributed PageRank with an exact integer
+fixed-point arithmetic contract.
+
+Why it belongs in a crawl engine: the north rule's frontier is a
+window-ranked priority queue; production crawlers (and training-data
+pipelines choosing what to fetch/keep) rank that queue by link-graph
+centrality — OPIC / PageRank over the outlink graph the crawl itself
+discovers. The reference's agent loop has no graph analytics (its queue
+is FIFO, `lib/scrappy/agent/agent.rb` visit loop); this layer is
+pipeline-mandate territory, the same class as dedup/similarity.
+
+Exactness contract — stronger than the decimal-sum discipline the other
+scorers use: the ENTIRE iteration runs in BIGINT fixed-point at scale
+1e-9. Ranks start at 10^9 (1.0); the per-edge contribution
+``(2*rank + out_deg) div (2*out_deg)`` is exact HALF_UP of
+rank/out_deg on the rational itself; the damping step
+``base_i + (2*num*mass + den) div (2*den)`` is exact HALF_UP of
+``num/den * mass``. No float appears anywhere in the loop, so Spark,
+DuckDB, and a pure-Python mirror agree bit-for-bit — no libm, no
+rounding-mode, no summation-order hazard. (An earlier all-double
+variant drifted 1-2 ulps at the 9th decimal between engines' round()
+implementations; integers end that class of bug.) The float `rank`
+output column is a single CAST(rank_i)/1e9 applied identically by both
+engines to identical integers.
+
+Overflow bound: per-node mass is a BIGINT sum of ≤in-degree
+contributions; the damping multiply needs 2*num*mass < 2^63, i.e. mass
+< ~5.4e16 at num=85 — a single node would need ~5e7 max-rank in-edges
+to trip it, and Spark's ANSI mode raises loudly rather than wrapping if
+a pathological graph ever does. Swap SCALE_I down (or the sum to
+DECIMAL(38,0)) for denser graphs.
+
+100 TB shape: edges are persisted once and re-joined per iteration
+(2 shuffles per iteration: rank join keyed by src, contribution groupBy
+keyed by dst); the rank table is node-sized (≪ edges) and is rebuilt
+per iteration behind an eager localCheckpoint that cuts the loop
+lineage — the same kernel discipline as dedup.components_from_pairs.
+No collect, no global window, no cross join; dangling nodes (out_deg 0)
+simply contribute nothing, and nodes with no in-edges are re-seated by
+the left join against the persisted node set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Mirrored literally into the DuckDB oracle. Damping 0.85 is carried as
+# the rational 85/100 — never as a float.
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+ITERATIONS = 10
+SCALE_I = 1_000_000_000  # fixed-point unit: 1.0 == 10^9
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = ITERATIONS,
+    damping_num: int = DAMPING_NUM,
+    damping_den: int = DAMPING_DEN,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)``; returns
+    ``(node, rank_i, rank)`` with ``rank_i`` the exact fixed-point
+    value and ``rank = rank_i / 1e9`` its double rendering.
+
+    Unnormalized fixed-iteration variant: every node starts at 1.0 and
+    updates as ``rank' = (1-d) + d * sum(rank_src/out_deg)`` with the
+    exact integer rounding described in the module docstring — the
+    deterministic form a cross-engine oracle requires (a
+    convergence-threshold stop would make the iteration count
+    float-dependent). Multi-edges are collapsed (distinct) so edge
+    multiplicity cannot silently reweight the graph; self-loops are
+    kept as given by the caller.
+    """
+    base_i = (damping_den - damping_num) * SCALE_I // damping_den
+    if base_i * damping_den != (damping_den - damping_num) * SCALE_I:
+        raise ValueError("damping_den must divide (den-num)*SCALE_I exactly")
+    e = edges.select("src", "dst").distinct().persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edeg = e.join(deg, "src").persist()
+    edeg.count()  # materialize once; every iteration reuses this
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select(
+        "node", F.lit(SCALE_I).cast("bigint").alias("rank_i")
+    ).localCheckpoint()
+    contrib_expr = F.expr("(2 * rank_i + out_deg) div (2 * out_deg)")
+    damp_expr = F.expr(
+        f"{base_i} + (2 * {damping_num} * mass + {damping_den}) "
+        f"div (2 * {damping_den})"
+    )
+    for _ in range(iterations):
+        contrib = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
+        )
+        mass = contrib.groupBy("node").agg(F.sum("c").alias("mass"))
+        old = ranks
+        ranks = (
+            nodes.join(mass, "node", "left")
+            .select(
+                "node",
+                F.coalesce("mass", F.lit(0)).alias("mass"),
+            )
+            .select("node", damp_expr.cast("bigint").alias("rank_i"))
+            .localCheckpoint()
+        )
+        old.unpersist()
+    e.unpersist()
+    edeg.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        "rank_i",
+        (F.col("rank_i").cast("double") / SCALE_I).alias("rank"),
+    )
+
+
+# -------------------------------------------------- driver-contract entry
+
+# Deterministic synthetic outlink graph over the documents table (the
+# same derived-input pattern as retrieval.bm25_topk's doc_id%50 queries):
+# doc s emits edges to (s*31 + 7*j) % N for j = 1..(1+s%4), dropped if
+# the target equals the source or is absent from the corpus. The
+# multiplier/stride make long cycles, the degree term makes skew — a
+# graph where fixed-iteration PR is genuinely iterative.
+LINK_MULT = 31
+LINK_STRIDE = 7
+LINK_MAXDEG = 4
+
+
+def doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.lit(1) + (F.col("doc_id") % LINK_MAXDEG)
+                )
+            ).alias("j"),
+            "n_docs",
+        )
+        .select(
+            "src",
+            (
+                (F.col("src") * LINK_MULT + LINK_STRIDE * F.col("j"))
+                % F.col("n_docs")
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    # keep only targets that are real documents (robust to non-contiguous
+    # doc_id spaces; mirrored by the oracle's IN subquery)
+    return edges.join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    ).select("src", "dst")
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: PageRank over the synthetic document outlink graph,
+    columns (doc_id, rank_i, rank)."""
+    pr = pagerank(doc_link_edges(spark, sf_dir))
+    return pr.select(F.col("node").alias("doc_id"), "rank_i", "rank")

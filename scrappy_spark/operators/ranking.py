@@ -1,0 +1,121 @@
+"""Exact corpus-wide ranking and quantile bucketing without a
+single-reducer window.
+
+The CCNet recipe every LM-data pipeline reuses: score each document
+with a language-model quality signal, rank the whole corpus, and keep/
+route documents by quantile bucket (head/middle/tail). The naive Spark
+spelling — ``row_number() OVER (ORDER BY score)`` — plans an
+``Exchange SinglePartition``: the entire corpus flows through ONE
+reducer, which is exactly the operator shape that dies first at 100 TB.
+
+This module implements the standard distributed exact-rank recipe
+instead:
+
+1. ``repartitionByRange(score, doc_id)`` + ``sortWithinPartitions`` —
+   a range shuffle, so partition p holds a contiguous, sorted slice of
+   the global order (the tie-break column makes the order total, hence
+   deterministic regardless of physical scheduling);
+2. one cheap pass counts rows per partition (P rows to the driver — a
+   partition-count-sized collect, the same bounded pattern as IVF's
+   sampled centroids);
+3. a second pass over the SAME persisted partitions adds
+   ``rank = offset[partition] + local_row_number`` via ``mapInPandas``
+   (Arrow-batched; the persist pins the range boundaries so both
+   passes see identical partitioning — range sampling is otherwise
+   free to re-draw).
+
+Bucket assignment is pure integer math on the rank —
+``bucket = ((rank-1) * k) div N`` — so the oracle mirrors it exactly;
+no float quantile cutoffs exist anywhere (interpolated-percentile
+cutoffs are the other classic cross-engine mismatch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import textstats
+
+BUCKETS = 3
+BUCKET_LABELS = ("head", "middle", "tail")  # low → high surprisal
+
+
+def exact_rank(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Append an exact 1-based global ``rank`` ordered by
+    ``order_cols`` (which must be a total order — include a unique
+    tie-break column) without ever collapsing to one partition.
+
+    Returns the input columns plus ``rank``. The input is persisted for
+    the duration of the two passes and unpersisted before returning;
+    the result is localCheckpoint-ed so callers never re-trigger the
+    range shuffle.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(p, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = parted.drop("_pid").schema.add("rank", "long")
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            off = offsets[int(b["_pid"].iloc[0])]
+            b = b.drop(columns=["_pid"])
+            b["rank"] = range(off + seen + 1, off + seen + 1 + len(b))
+            seen += len(b)
+            yield b
+
+    ranked = parted.mapInPandas(add_rank, schema=out_schema).localCheckpoint()
+    parted.unpersist()
+    return ranked
+
+
+def surprisal_buckets(
+    spark: SparkSession, sf_dir: str, k: int = BUCKETS
+) -> DataFrame:
+    """CCNet-style quality buckets: rank every document by mean unigram
+    surprisal (low = head = fluent/common text, high = tail) and assign
+    quantile bucket ``(rank-1)*k div N``. Columns
+    (doc_id, mean_surprisal, rank, bucket)."""
+    scored = textstats.unigram_logprob(spark, sf_dir).select(
+        "doc_id", "mean_surprisal"
+    )
+    ranked = exact_rank(scored, ["mean_surprisal", "doc_id"])
+    n = ranked.groupBy().agg(F.count("*").alias("n_docs"))
+    labels = F.array(*[F.lit(x) for x in BUCKET_LABELS[:k]])
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "mean_surprisal",
+            "rank",
+            F.expr(f"((rank - 1) * {k}) div n_docs").alias("_b"),
+        )
+        .select(
+            "doc_id",
+            "mean_surprisal",
+            "rank",
+            F.element_at(labels, F.col("_b").cast("int") + 1).alias("bucket"),
+        )
+    )

@@ -1,0 +1,171 @@
+"""PageRank fixed-point kernel, exact distributed ranking, PII scrub."""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import graph, ranking, scrub
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _py_pagerank(edges, iterations=10):
+    """Pure-python mirror of the integer fixed-point contract."""
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    rank = {n: 10**9 for n in nodes}
+    for _ in range(iterations):
+        mass = defaultdict(int)
+        for s, d in edges:
+            mass[d] += (2 * rank[s] + deg[s]) // (2 * deg[s])
+        rank = {
+            n: 150_000_000 + (170 * mass.get(n, 0) + 100) // 200 for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_tiny_graph_exact(spark):
+    # 1→2, 1→3, 2→3, 3→1 plus dangling sink 4 (1→4) and source-only 5→1:
+    # exercises out-degree split, dangling loss, and no-in-edge reseating
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (1, 4), (5, 1)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["rank_i"] for r in graph.pagerank(df).collect()}
+    want = _py_pagerank(edges)
+    assert got == want
+    # node 5 has no in-edges: fixed at the base after iteration 1
+    assert got[5] == 150_000_000
+    # float rendering is exactly rank_i / 1e9
+    row = graph.pagerank(df).where("node = 1").collect()[0]
+    assert row["rank"] == row["rank_i"] / 1e9
+
+
+def test_pagerank_collapses_multi_edges(spark):
+    once = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])
+    dup = once.unionAll(once)
+    a = sorted(graph.pagerank(once).collect())
+    b = sorted(graph.pagerank(dup).collect())
+    assert a == b
+
+
+def test_doc_pagerank_matches_python_mirror(spark, sf_dir):
+    got = {
+        r["doc_id"]: r["rank_i"]
+        for r in graph.doc_pagerank(spark, sf_dir).collect()
+    }
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n, idset = len(ids), set(ids)
+    edges = set()
+    for s in ids:
+        for j in range(1, 2 + s % graph.LINK_MAXDEG):
+            d = (s * graph.LINK_MULT + graph.LINK_STRIDE * j) % n
+            if d != s and d in idset:
+                edges.add((s, d))
+    assert got == _py_pagerank(edges)
+
+
+# ----------------------------------------------------------- exact_rank
+
+
+def test_exact_rank_equals_global_window(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 101).cast("double").alias("score"),
+    )
+    ranked = ranking.exact_rank(df, ["score", "doc_id"], num_partitions=8)
+    naive = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("score", "doc_id"))
+    )
+    assert sorted(ranked.collect()) == sorted(naive.collect())
+    # and the naive spelling is exactly the single-reducer plan this
+    # operator exists to avoid
+    assert "SinglePartition" in naive._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_rank_survives_small_arrow_batches(spark):
+    # multiple Arrow batches per partition must keep the running offset
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        df = spark.range(0, 500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7).alias("score")
+        )
+        ranked = ranking.exact_rank(df, ["score", "doc_id"], num_partitions=4)
+        ranks = sorted(r["rank"] for r in ranked.collect())
+        assert ranks == list(range(1, 501))
+        top = ranked.orderBy("rank").limit(3).collect()
+        assert [r["doc_id"] for r in top] == [0, 7, 14]
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_surprisal_buckets_partition_sizes(spark, sf_dir):
+    got = ranking.surprisal_buckets(spark, sf_dir)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in got.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    assert set(counts) == set(ranking.BUCKET_LABELS)
+    # integer bucketing splits as evenly as arithmetic allows
+    assert max(counts.values()) - min(counts.values()) <= 1
+    ranks = [r["rank"] for r in got.collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
+
+
+# ------------------------------------------------------------ PII scrub
+
+
+def test_scrub_counts_and_redaction(spark):
+    rows = [
+        Row(doc_id=1, text="mail a.b+c@x-y.co.uk now"),
+        Row(doc_id=2, text="at 192.168.0.1 and 10.0.0.255."),
+        Row(doc_id=3, text="call +4915512345678 ok"),
+        Row(doc_id=4, text="clean text, no pii at all"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in scrub.pii_scrub(spark.createDataFrame(rows)).collect()
+    }
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 2, 0)
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 1)
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+    import hashlib
+
+    assert (
+        got[3]["scrub_fp"]
+        == hashlib.md5(b"call <PHONE> ok").hexdigest()
+    )
+    assert (
+        got[2]["scrub_fp"]
+        == hashlib.md5(b"at <IP> and <IP>.").hexdigest()
+    )
+
+
+def test_scrub_is_shuffle_free(spark, sf_dir):
+    plan = (
+        scrub.doc_pii_scrub(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_doc_pii_scrub_nonvacuous(spark, sf_dir):
+    agg = scrub.doc_pii_scrub(spark, sf_dir).agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_ips").alias("i"),
+        F.sum("n_phones").alias("p"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["e"] >= agg["n"] and agg["i"] >= agg["n"] and agg["p"] >= agg["n"]
