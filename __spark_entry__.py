@@ -37,6 +37,7 @@ from scrappy_spark.operators import (
     scrub,
     similarity,
     textstats,
+    timeseries,
 )
 from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
 
@@ -186,6 +187,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII scrub (emails/IPv4/phones) over the deterministically
         # augmented corpus — map-only, ASCII-class regex parity
         "text_pii_scrub": scrub.doc_pii_scrub,
+        # time-series layer over events (operators the built-in Spark
+        # surface lacks, each as a scale-safe composition): as-of join
+        # via union-interleave + last(ignorenulls) — one shuffle per
+        # side, no theta join; gap sessionization in one window pass;
+        # hypertable-style hourly rollup; range join banded into a hash
+        # equi-join on (user_id, hour-bucket)
+        "ts_asof_purchase": timeseries.events_asof_last_purchase,
+        "ts_sessionize": timeseries.events_sessionize,
+        "ts_rollup_hourly": timeseries.events_rollup_hourly,
+        "ts_range_join": timeseries.events_attribution_range_join,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -1236,6 +1247,75 @@ def _oracle_sql_static() -> dict[str, str]:
                        '{scrub.PHONE_RE}', '{scrub.PHONE_TAG}', 'g'))
                      AS scrub_fp
             FROM aug
+        """,
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle; the
+        # Spark union-interleave recipe must reproduce its
+        # greatest-ts-<=-probe inclusive semantics, with the build side
+        # deduped to one row per (user_id, ts) by max event_id on both
+        # sides (arg_max == Spark's max(struct(event_id, value)))
+        "ts_asof_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS p_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+                   COALESCE(p.ts, TIMESTAMP '1970-01-01 00:00:00')
+                     AS last_purchase_ts,
+                   COALESCE(p.p_value, -1.0) AS last_purchase_value
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        # sessionization: epoch_us == Spark's unix_micros under the
+        # UTC-pinned session; the money sum is snapped to DECIMAL(18,2)
+        # before aggregation (order-independent exact) and rendered to
+        # double identically by both engines
+        "ts_sessionize": f"""
+            WITH o AS (
+              SELECT event_id, user_id, ts, value,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(CASE WHEN prev IS NULL
+                                   OR epoch_us(ts) - prev
+                                      > {timeseries.SESSION_GAP_US}
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                          AS BIGINT) AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "ts_rollup_hourly": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        # range join: the oracle keeps the inequality form the banded
+        # Spark plan exists to avoid — same rows, BETWEEN inclusive on
+        # both ends
+        "ts_range_join": """
+            WITH wins AS (
+              SELECT event_id AS win_id, user_id, ts AS w_start,
+                     ts + INTERVAL 2 HOUR AS w_end
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT w.win_id, e.event_id, e.user_id, e.ts, e.event_type
+            FROM wins w JOIN events e
+              ON e.user_id = w.user_id
+             AND e.ts >= w.w_start AND e.ts <= w.w_end
         """,
         "text_repetition": _REPETITION_SQL,
         "text_decontaminate": _DECONTAM_SQL,

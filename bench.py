@@ -39,6 +39,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         scrub,
         similarity,
         textstats,
+        timeseries,
     )
 
     qs = {
@@ -76,6 +77,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_cluster_stats": dedup.minhash_cluster_stats,
         "text_surprisal_buckets": ranking.surprisal_buckets,
         "text_pii_scrub": scrub.doc_pii_scrub,
+        "ts_asof_purchase": timeseries.events_asof_last_purchase,
+        "ts_sessionize": timeseries.events_sessionize,
+        "ts_rollup_hourly": timeseries.events_rollup_hourly,
+        "ts_range_join": timeseries.events_attribution_range_join,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,

@@ -1,0 +1,186 @@
+"""As-of join, sessionization, time-bucket rollup, banded range join."""
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from scrappy_spark.operators import timeseries as ts_ops
+
+
+def _t(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, m, s, us)
+
+
+# ------------------------------------------------------------ asof_join
+
+
+def test_asof_join_tiny_exact(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(0), tag="a"),   # before any build row -> null
+            Row(k=1, ts=_t(5), tag="b"),   # equal ts -> inclusive match p5
+            Row(k=1, ts=_t(7), tag="c"),   # between -> p5
+            Row(k=1, ts=_t(20), tag="d"),  # after both -> p10
+            Row(k=2, ts=_t(9), tag="e"),   # other key, no build rows -> null
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_t(5), v=50.0), Row(k=1, ts=_t(10), v=100.0)]
+    )
+    got = {
+        r["tag"]: (r["pv"], r["pts"])
+        for r in ts_ops.asof_join(
+            left, right, on="k", ts="ts", right_cols={"pv": "v", "pts": "ts"}
+        ).collect()
+    }
+    assert got == {
+        "a": (None, None),
+        "b": (50.0, _t(5)),
+        "c": (50.0, _t(5)),
+        "d": (100.0, _t(10)),
+        "e": (None, None),
+    }
+
+
+def test_asof_join_plan_has_no_theta_join(spark, sf_dir):
+    plan = (
+        ts_ops.events_asof_last_purchase(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_asof_join_matches_naive_per_user(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    # naive python mirror with the same (user_id, ts) build dedup
+    purchases = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            key = (r["user_id"], r["ts"])
+            cur = purchases.get(key)
+            cand = (r["event_id"], r["value"])
+            purchases[key] = max(cur, cand) if cur else cand
+    by_user = {}
+    for (u, t), (_, v) in purchases.items():
+        by_user.setdefault(u, []).append((t, v))
+    for lst in by_user.values():
+        lst.sort()
+    sentinel = (dt.datetime(1970, 1, 1), -1.0)  # driver-entry no-match marker
+    want = {}
+    for r in ev:
+        best = sentinel
+        for t, v in by_user.get(r["user_id"], []):
+            if t <= r["ts"]:
+                best = (t, v)
+            else:
+                break
+        want[r["event_id"]] = best
+    got = {
+        r["event_id"]: (r["last_purchase_ts"], r["last_purchase_value"])
+        for r in ts_ops.events_asof_last_purchase(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v != sentinel for v in got.values())  # non-vacuous
+
+
+# ----------------------------------------------------------- sessionize
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        Row(user_id=1, event_id=0, ts=_t(0)),
+        Row(user_id=1, event_id=1, ts=_t(30)),          # gap == 30m: same session
+        Row(user_id=1, event_id=2, ts=_t(59, us=1)),    # 29m59.000001s later: same
+        Row(user_id=2, event_id=3, ts=_t(0)),
+        Row(user_id=2, event_id=4, ts=_t(30, 0, 1)),    # 30m + 1us: NEW session
+    ]
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in ts_ops.sessionize(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_sessionize_rollup_exact_decimal(spark, sf_dir):
+    out = ts_ops.events_sessionize(spark, sf_dir)
+    rows = out.collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    total = sum(Decimal(str(round(r["value"], 2))) for r in ev)
+    # sum_value is the exact decimal rendered to double per session; the
+    # cross-session float re-sum here is the only inexact step
+    assert abs(sum(r["sum_value"] for r in rows) - float(total)) < 1e-6
+    assert sum(r["n_events"] for r in rows) == len(ev)
+    assert any(r["n_events"] > 1 for r in rows)  # bursts exist in testdata
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+# -------------------------------------------------------------- rollup
+
+
+def test_rollup_hourly_conserves_and_buckets(spark, sf_dir):
+    out = ts_ops.events_rollup_hourly(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in out) == ev.count()
+    assert all(
+        r["bucket"].minute == 0 and r["bucket"].second == 0 for r in out
+    )
+    # spot-check one bucket against a direct filter
+    pick = max(out, key=lambda r: r["n_events"])
+    lo = pick["bucket"]
+    hi = lo + dt.timedelta(hours=1)
+    direct = (
+        ev.where(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(hi))
+            & (F.col("event_type") == pick["event_type"])
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("u"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (direct["n"], direct["u"]) == (pick["n_events"], pick["n_users"])
+    assert (direct["mn"], direct["mx"]) == (pick["min_value"], pick["max_value"])
+
+
+# ----------------------------------------------------------- range join
+
+
+def test_range_join_equals_naive_inequality(spark, sf_dir):
+    got = sorted(
+        (r["win_id"], r["event_id"])
+        for r in ts_ops.events_attribution_range_join(spark, sf_dir).collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    wins = [
+        (r["event_id"], r["user_id"], r["ts"], r["ts"] + dt.timedelta(hours=2))
+        for r in ev
+        if r["event_type"] == "signup"
+    ]
+    want = sorted(
+        (wid, r["event_id"])
+        for wid, u, lo, hi in wins
+        for r in ev
+        if r["user_id"] == u and lo <= r["ts"] <= hi
+    )
+    assert got == want
+    # every signup matches at least itself (inclusive lower bound)
+    assert len(got) >= len(wins) > 0
+
+
+def test_range_join_plan_is_hash_equi_join(spark, sf_dir):
+    plan = (
+        ts_ops.events_attribution_range_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
