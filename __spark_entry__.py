@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII scrub (emails/IPv4/phones) over the deterministically
         # augmented corpus — map-only, ASCII-class regex parity
         "text_pii_scrub": scrub.doc_pii_scrub,
+        # exact discrete corpus quantiles via the distributed exact-rank
+        # recipe (integral target ranks — no interpolation hazard)
+        "text_token_quantiles": ranking.token_count_quantiles,
+        # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
+        "text_heavy_hitters": ranking.heavy_hitters,
         # time-series layer over events (operators the built-in Spark
         # surface lacks, each as a scale-safe composition): as-of join
         # via union-interleave + last(ignorenulls) — one shuffle per
@@ -1247,6 +1252,43 @@ def _oracle_sql_static() -> dict[str, str]:
                        '{scrub.PHONE_RE}', '{scrub.PHONE_TAG}', 'g'))
                      AS scrub_fp
             FROM aug
+        """,
+        # exact quantiles: the oracle recomputes the same integral
+        # target ranks ceil(q*N) over the same (n_tokens, doc_id) total
+        # order; DuckDB may use the single-reducer window the Spark
+        # operator exists to avoid
+        "text_token_quantiles": f"""
+            WITH counts AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens
+              FROM documents
+            ), nn AS (SELECT count(*) AS n FROM counts),
+            rk AS (
+              SELECT n_tokens,
+                     row_number() OVER (ORDER BY n_tokens, doc_id) AS rank
+              FROM counts
+            ),
+            targets(quantile, num, den) AS (
+              VALUES {", ".join(f"('{q}', {num}, {den})" for q, num, den in ranking.QUANTILES)}
+            )
+            SELECT t.quantile,
+                   CAST((t.num * nn.n + t.den - 1) // t.den AS BIGINT)
+                     AS target_rank,
+                   rk.n_tokens
+            FROM targets t CROSS JOIN nn
+            JOIN rk ON rk.rank = (t.num * nn.n + t.den - 1) // t.den
+        """,
+        # heavy hitters: (count desc, token asc) is a total order so the
+        # top-k set and ranks are engine-independent
+        "text_heavy_hitters": f"""
+            WITH tokd AS (SELECT {_TOKS} AS toks FROM documents),
+            tok AS (SELECT unnest(toks) AS token FROM tokd),
+            c AS (
+              SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token
+            )
+            SELECT token, n_occurrences,
+                   CAST(row_number() OVER
+                        (ORDER BY n_occurrences DESC, token) AS INT) AS rk
+            FROM c ORDER BY n_occurrences DESC, token LIMIT {ranking.HEAVY_K}
         """,
         # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle; the
         # Spark union-interleave recipe must reproduce its

@@ -77,6 +77,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_cluster_stats": dedup.minhash_cluster_stats,
         "text_surprisal_buckets": ranking.surprisal_buckets,
         "text_pii_scrub": scrub.doc_pii_scrub,
+        "text_token_quantiles": ranking.token_count_quantiles,
+        "text_heavy_hitters": ranking.heavy_hitters,
         "ts_asof_purchase": timeseries.events_asof_last_purchase,
         "ts_sessionize": timeseries.events_sessionize,
         "ts_rollup_hourly": timeseries.events_rollup_hourly,

@@ -43,6 +43,12 @@ from . import textstats
 BUCKETS = 3
 BUCKET_LABELS = ("head", "middle", "tail")  # low → high surprisal
 
+# exact discrete quantiles as rationals — the target rank is the pure
+# integer ceil(num/den * N), so both engines compute it identically
+QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+HEAVY_K = 50
+
 
 def exact_rank(
     df: DataFrame, order_cols: list[str], num_partitions: int | None = None
@@ -119,3 +125,61 @@ def surprisal_buckets(
             F.element_at(labels, F.col("_b").cast("int") + 1).alias("bucket"),
         )
     )
+
+
+def token_count_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete corpus quantiles (p50/p90/p99 of per-document
+    token counts) without a single-reducer sort: the same
+    ``exact_rank`` range-shuffle recipe, then a broadcast join of the
+    three target ranks. The quantile definition is purely integral —
+    target rank = ceil(q·N) on the (n_tokens, doc_id) total order — so
+    the DuckDB mirror is the identical integer expression (no
+    interpolated-percentile cross-engine hazard, the classic failure
+    mode of approx_percentile-style oracles). Columns (quantile,
+    target_rank, n_tokens).
+
+    Scale shape: one range Exchange + one bounded partition-count
+    collect (inside exact_rank) + a 3-row broadcast join. The count()
+    action is a partial-agg count, not a materialization.
+    """
+    scored = textstats.token_count(spark, sf_dir)
+    ranked = exact_rank(scored, ["n_tokens", "doc_id"])
+    n = ranked.count()
+    targets = spark.createDataFrame(
+        [(label, (num * n + den - 1) // den) for label, num, den in QUANTILES],
+        "quantile string, target_rank long",
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked["rank"] == targets["target_rank"]
+        )
+        .select("quantile", "target_rank", "n_tokens")
+    )
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str, k: int = HEAVY_K) -> DataFrame:
+    """Exact corpus-wide top-k tokens (count desc, token asc — a total
+    order, so ties cannot flap between engines). Columns (token,
+    n_occurrences, rk).
+
+    Scale shape: explode → two-phase hash aggregate (map-side partial
+    combine collapses the token stream to the vocabulary before the
+    one Exchange) → ``TakeOrderedAndProject`` for the top-k: every
+    partition keeps only its k best, the driver merges P·k rows —
+    never a global sort, never an Exchange SinglePartition (plan
+    test pins this). The rk column is assigned driver-free by ranking
+    the already-k-sized result with a tiny window."""
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.withColumn("rk", F.row_number().over(w))

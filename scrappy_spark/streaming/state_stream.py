@@ -383,3 +383,65 @@ def pack_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONIZE_STREAM_SCHEMA = (
+    "event_id long, user_id long, ts_us long, session_idx long"
+)
+_SESSION_STATE = "last_ts_us long, session_idx long"
+
+
+def sessionize_stream(events: DataFrame, gap_us: int | None = None) -> DataFrame:
+    """Streaming gap sessionization — the streaming sibling of
+    ``timeseries.sessionize`` with the same strict-``>`` gap contract
+    (a gap of exactly ``gap_us`` stays in the session; +1 µs starts a
+    new one). State per user is (last event time, session counter) —
+    O(1) per key, carried across micro-batches, never a buffer.
+
+    Within a micro-batch events are processed in the batch operator's
+    exact (ts, event_id) order; across micro-batches the order is
+    arrival order — the same inherent stream/batch difference
+    ``source_quota_stream`` documents. When the stream delivers events
+    in timestamp order (e.g. time-partitioned ingest files, the normal
+    production shape), stream output equals the batch operator
+    bit-for-bit, and the test pins exactly that: a two-batch split at
+    the time midpoint reproduces the batch session map.
+
+    Input stream schema: (event_id long, user_id long, ts
+    timestamp_ntz). Output renders ts as epoch microseconds
+    (``ts_us``) so no timezone coercion can sit between the stream and
+    batch sides of the equality test.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from scrappy_spark.operators.timeseries import SESSION_GAP_US
+
+    if gap_us is None:
+        gap_us = SESSION_GAP_US
+
+    def assign(key, pdfs, state):
+        (user_id,) = key
+        last, idx = state.get if state.exists else (-1, 0)
+        rows = []
+        for pdf in pdfs:
+            for eid, t in zip(pdf["event_id"], pdf["ts"]):
+                rows.append((int(eid), t.value // 1000))  # ns -> µs
+        rows.sort(key=lambda r: (r[1], r[0]))
+        out = []
+        for eid, us in rows:
+            if idx == 0 or us - last > gap_us:
+                idx += 1
+            last = us
+            out.append((eid, int(user_id), us, idx))
+        state.update((last, idx))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "ts_us", "session_idx"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType=SESSIONIZE_STREAM_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

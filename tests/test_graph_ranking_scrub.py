@@ -169,3 +169,53 @@ def test_doc_pii_scrub_nonvacuous(spark, sf_dir):
         F.count("*").alias("n"),
     ).collect()[0]
     assert agg["e"] >= agg["n"] and agg["i"] >= agg["n"] and agg["p"] >= agg["n"]
+
+
+# ----------------------------------------------- quantiles / heavy hitters
+
+
+def test_token_quantiles_match_python_mirror(spark, sf_dir):
+    from scrappy_spark.operators import textstats
+
+    counts = sorted(
+        (r["n_tokens"], r["doc_id"])
+        for r in textstats.token_count(spark, sf_dir).collect()
+    )
+    n = len(counts)
+    want = {
+        q: (
+            (num * n + den - 1) // den,
+            counts[(num * n + den - 1) // den - 1][0],
+        )
+        for q, num, den in ranking.QUANTILES
+    }
+    got = {
+        r["quantile"]: (r["target_rank"], r["n_tokens"])
+        for r in ranking.token_count_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_match_counter(spark, sf_dir):
+    from collections import Counter
+
+    from scrappy_spark.operators.text import tokens_py
+
+    c = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        c.update(tokens_py(r["text"]) or [])
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: ranking.HEAVY_K]
+    rows = sorted(ranking.heavy_hitters(spark, sf_dir).collect(), key=lambda r: r["rk"])
+    got = [(r["token"], r["n_occurrences"]) for r in rows]
+    assert got == want
+    assert [r["rk"] for r in rows] == list(range(1, len(want) + 1))
+
+
+def test_heavy_hitters_plan_is_take_ordered(spark, sf_dir):
+    plan = (
+        ranking.heavy_hitters(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan

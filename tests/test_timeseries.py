@@ -184,3 +184,60 @@ def test_range_join_plan_is_hash_equi_join(spark, sf_dir):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------- streaming sessions
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Single-batch stream == batch sessionize; a two-micro-batch split
+    at the time midpoint (arrival order == timestamp order) also equals
+    batch — the keyed (last_ts, session_idx) state carries across the
+    boundary."""
+    from scrappy_spark.streaming.state_stream import sessionize_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = {
+        r["event_id"]: (
+            r["session_idx"],
+            int(r["ts"].timestamp() * 1_000_000),
+        )
+        for r in ts_ops.sessionize(ev.withColumn("value", F.lit(0.0)))
+        .select("event_id", "session_idx", "ts")
+        .collect()
+    }
+
+    def run(src, max_files=None):
+        reader = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp_ntz"
+        )
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        name = f"sess_live_{1 if max_files else 0}"
+        q = (
+            sessionize_stream(reader.parquet(src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["event_id"]: (r["session_idx"], r["ts_us"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    one = str(tmp_path / "one")
+    ev.coalesce(1).write.parquet(one)
+    assert run(one) == batch
+
+    mid = ev.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).collect()[0][0]
+    two = str(tmp_path / "two")
+    early = ev.where(F.unix_micros(F.col("ts").cast("timestamp")) <= mid)
+    late = ev.where(F.unix_micros(F.col("ts").cast("timestamp")) > mid)
+    early.coalesce(1).write.parquet(two)
+    late.coalesce(1).write.mode("append").parquet(two)
+    assert run(two, max_files=1) == batch
