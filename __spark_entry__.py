@@ -36,6 +36,7 @@ from scrappy_spark.operators import (
     sampling,
     scrub,
     similarity,
+    sketch,
     textstats,
     timeseries,
 )
@@ -202,6 +203,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sessionize": timeseries.events_sessionize,
         "ts_rollup_hourly": timeseries.events_rollup_hourly,
         "ts_range_join": timeseries.events_attribution_range_join,
+        # signup→purchase funnel: one keyed aggregation over the range
+        # join's output
+        "ts_funnel": timeseries.events_funnel,
+        # KMV cardinality sketch: the distinct-count estimator that
+        # (unlike HLL) is a pure function of the mirrored hash60, so
+        # the estimate itself is value-oracled
+        "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -1358,6 +1366,42 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM wins w JOIN events e
               ON e.user_id = w.user_id
              AND e.ts >= w.w_start AND e.ts <= w.w_end
+        """,
+        "ts_funnel": """
+            WITH wins AS (
+              SELECT event_id AS win_id, user_id, ts AS w_start,
+                     ts + INTERVAL 2 HOUR AS w_end
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT w.win_id, e.user_id,
+                   count(*) AS n_events_in_window,
+                   CAST(max(CASE WHEN e.event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS INT) AS converted
+            FROM wins w JOIN events e
+              ON e.user_id = w.user_id
+             AND e.ts >= w.w_start AND e.ts <= w.w_end
+            GROUP BY w.win_id, e.user_id
+        """,
+        # KMV sketch: the k smallest distinct hash60 values are a
+        # deterministic set, so kth-min and the (k-1)*2^60/h_k estimate
+        # are engine-independent; 255.0 * 2^60 is exact in double and
+        # the single division rounds identically
+        "sketch_distinct_tokens": f"""
+            WITH tokd AS (SELECT {_TOKS} AS toks FROM documents),
+            tok AS (SELECT unnest(toks) AS t FROM tokd),
+            h AS (SELECT DISTINCT {DUCK_HASH60.format(s='t')} AS h FROM tok),
+            mh AS (SELECT h FROM h ORDER BY h LIMIT {sketch.KMV_K}),
+            agg AS (
+              SELECT count(*) AS n_kept, max(h) AS kth_min_hash FROM mh
+            ),
+            ex AS (SELECT count(*) AS exact_distinct FROM h)
+            SELECT {sketch.KMV_K} AS k, kth_min_hash,
+                   CASE WHEN n_kept < {sketch.KMV_K}
+                        THEN CAST(n_kept AS DOUBLE)
+                        ELSE {float(sketch.KMV_K - 1)} * {sketch.HASH_SPACE}
+                             / kth_min_hash END AS est_distinct,
+                   exact_distinct
+            FROM agg, ex
         """,
         "text_repetition": _REPETITION_SQL,
         "text_decontaminate": _DECONTAM_SQL,

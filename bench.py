@@ -38,6 +38,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         sampling,
         scrub,
         similarity,
+        sketch,
         textstats,
         timeseries,
     )
@@ -83,6 +84,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "ts_sessionize": timeseries.events_sessionize,
         "ts_rollup_hourly": timeseries.events_rollup_hourly,
         "ts_range_join": timeseries.events_attribution_range_join,
+        "ts_funnel": timeseries.events_funnel,
+        "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
         "mm_media_features": multimodal.media_features,
         "pipeline_training_corpus": pipeline.training_corpus,
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,

@@ -266,3 +266,19 @@ def events_attribution_range_join(
         .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")))
         .select("win_id", "event_id", "user_id", "ts", "event_type")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: signup→purchase funnel — for each attribution
+    window (a signup and the 2 hours after it), how many same-user
+    events fell inside and whether any was a purchase. A pure
+    composition over the banded range join: one extra keyed aggregation
+    whose group size is bounded by the window's event capacity. Columns
+    (win_id, user_id, n_events_in_window, converted)."""
+    rj = events_attribution_range_join(spark, sf_dir)
+    return rj.groupBy("win_id", "user_id").agg(
+        F.count("*").alias("n_events_in_window"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )

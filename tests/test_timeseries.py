@@ -241,3 +241,30 @@ def test_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
     early.coalesce(1).write.parquet(two)
     late.coalesce(1).write.mode("append").parquet(two)
     assert run(two, max_files=1) == batch
+
+
+# --------------------------------------------------------------- funnel
+
+
+def test_funnel_matches_naive(spark, sf_dir):
+    import datetime as dt2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    want = {}
+    for w in ev:
+        if w["event_type"] != "signup":
+            continue
+        lo, hi = w["ts"], w["ts"] + dt2.timedelta(hours=2)
+        n, conv = 0, 0
+        for r in ev:
+            if r["user_id"] == w["user_id"] and lo <= r["ts"] <= hi:
+                n += 1
+                if r["event_type"] == "purchase":
+                    conv = 1
+        want[w["event_id"]] = (n, conv)
+    got = {
+        r["win_id"]: (r["n_events_in_window"], r["converted"])
+        for r in ts_ops.events_funnel(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(c for _, c in got.values())  # some conversions exist
