@@ -62,6 +62,16 @@ def exact_rank(
     the result is localCheckpoint-ed so callers never re-trigger the
     range shuffle.
     """
+    ranked, _ = exact_rank_with_total(df, order_cols, num_partitions)
+    return ranked
+
+
+def exact_rank_with_total(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """``exact_rank`` plus the total row count, which the offset pass
+    computes anyway — callers that need N (quantile targets, bucket
+    splits) must not pay a second count() action for it."""
     p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(p, *order_cols)
@@ -94,7 +104,7 @@ def exact_rank(
 
     ranked = parted.mapInPandas(add_rank, schema=out_schema).localCheckpoint()
     parted.unpersist()
-    return ranked
+    return ranked, acc
 
 
 def surprisal_buckets(
@@ -107,16 +117,14 @@ def surprisal_buckets(
     scored = textstats.unigram_logprob(spark, sf_dir).select(
         "doc_id", "mean_surprisal"
     )
-    ranked = exact_rank(scored, ["mean_surprisal", "doc_id"])
-    n = ranked.groupBy().agg(F.count("*").alias("n_docs"))
+    ranked, n_docs = exact_rank_with_total(scored, ["mean_surprisal", "doc_id"])
     labels = F.array(*[F.lit(x) for x in BUCKET_LABELS[:k]])
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .select(
+        ranked.select(
             "doc_id",
             "mean_surprisal",
             "rank",
-            F.expr(f"((rank - 1) * {k}) div n_docs").alias("_b"),
+            F.expr(f"((rank - 1) * {k}) div {n_docs}").alias("_b"),
         )
         .select(
             "doc_id",
@@ -143,8 +151,7 @@ def token_count_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     action is a partial-agg count, not a materialization.
     """
     scored = textstats.token_count(spark, sf_dir)
-    ranked = exact_rank(scored, ["n_tokens", "doc_id"])
-    n = ranked.count()
+    ranked, n = exact_rank_with_total(scored, ["n_tokens", "doc_id"])
     targets = spark.createDataFrame(
         [(label, (num * n + den - 1) // den) for label, num, den in QUANTILES],
         "quantile string, target_rank long",
