@@ -26,9 +26,12 @@ engines to identical integers.
 Overflow bound: per-node mass is a BIGINT sum of ≤in-degree
 contributions; the damping multiply needs 2*num*mass < 2^63, i.e. mass
 < ~5.4e16 at num=85 — a single node would need ~5e7 max-rank in-edges
-to trip it, and Spark's ANSI mode raises loudly rather than wrapping if
-a pathological graph ever does. Swap SCALE_I down (or the sum to
-DECIMAL(38,0)) for denser graphs.
+to trip it. The engine does NOT run in ANSI mode (session.py leaves
+Spark's default), so bigint overflow would WRAP silently; since ranks
+and contributions are non-negative by construction, a wrap necessarily
+surfaces as a negative rank_i, and ``pagerank`` checks for one after
+every iteration and raises loudly. Swap SCALE_I down (or the sum to
+DECIMAL(38,0)) for graphs dense enough to trip the guard.
 
 100 TB shape: edges are persisted once and re-joined per iteration
 (2 shuffles per iteration: rank join keyed by src, contribution groupBy
@@ -99,7 +102,6 @@ def pagerank(
             .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
         )
         mass = contrib.groupBy("node").agg(F.sum("c").alias("mass"))
-        old = ranks
         ranks = (
             nodes.join(mass, "node", "left")
             .select(
@@ -109,7 +111,17 @@ def pagerank(
             .select("node", damp_expr.cast("bigint").alias("rank_i"))
             .localCheckpoint()
         )
-        old.unpersist()
+        # overflow guard: every quantity in the loop is non-negative, so
+        # a silent bigint wrap (ANSI is off) must show up as a negative
+        # rank — fail loudly instead of emitting corrupt ranks. The
+        # previous iteration's checkpoint is released by the JVM's
+        # ContextCleaner once the reference drops; DataFrame.unpersist()
+        # would be a no-op on localCheckpoint RDDs.
+        if ranks.where(F.col("rank_i") < 0).limit(1).count():
+            raise RuntimeError(
+                "pagerank: bigint overflow (negative rank) — reduce "
+                "SCALE_I or aggregate mass in DECIMAL(38,0)"
+            )
     e.unpersist()
     edeg.unpersist()
     nodes.unpersist()

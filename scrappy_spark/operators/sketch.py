@@ -67,7 +67,7 @@ def kmv_min_hashes(df: DataFrame, col: Column, k: int = KMV_K) -> DataFrame:
     return survivors.distinct().orderBy("h").limit(k)
 
 
-def kmv_estimate(spark: SparkSession, min_hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_estimate(min_hashes: DataFrame, k: int = KMV_K) -> DataFrame:
     """One row (k, kth_min_hash, est_distinct) from a sketch. If fewer
     than k distinct values exist the sketch IS the distinct set and the
     estimate is the exact count (the standard small-cardinality
@@ -92,6 +92,6 @@ def distinct_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_distinct, exact_distinct)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
-    sketch = kmv_estimate(spark, kmv_min_hashes(toks, F.col("t")))
+    sketch = kmv_estimate(kmv_min_hashes(toks, F.col("t")))
     exact = toks.agg(F.countDistinct("t").alias("exact_distinct"))
     return sketch.crossJoin(F.broadcast(exact))

@@ -78,23 +78,27 @@ def asof_join(
     """
     lcols = left.columns
     row_t = left.select(F.struct(*lcols).alias("_row")).schema["_row"].dataType
+    # the payload travels as ONE struct so the forward fill is atomic:
+    # filling each output column independently would back-fill a NULL
+    # field of the matched build row from an OLDER build row — a torn
+    # row that exists on no input row and diverges from ASOF semantics
+    payload = F.struct(
+        *[F.col(src).alias(out) for out, src in right_cols.items()]
+    )
     build = right.select(
         F.col(on).alias(on),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),  # sorts before probes at equal ts → inclusive
         F.lit(None).cast(row_t).alias("_row"),
-        *[F.col(src).alias(out) for out, src in right_cols.items()],
+        payload.alias("_payload"),
     )
-    out_types = {f.name: f.dataType for f in build.schema.fields}
+    payload_t = build.schema["_payload"].dataType
     probe = left.select(
         F.col(on),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_row"),
-        *[
-            F.lit(None).cast(out_types[out]).alias(out)
-            for out in right_cols
-        ],
+        F.lit(None).cast(payload_t).alias("_payload"),
     )
     w = (
         Window.partitionBy(on)
@@ -104,10 +108,11 @@ def asof_join(
     filled = probe.unionByName(build).select(
         "_side",
         "_row",
-        *[F.last(out, ignorenulls=True).over(w).alias(out) for out in right_cols],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
     return filled.where(F.col("_side") == 1).select(
-        *[F.col("_row")[c].alias(c) for c in lcols], *right_cols
+        *[F.col("_row")[c].alias(c) for c in lcols],
+        *[F.col("_payload")[out].alias(out) for out in right_cols],
     )
 
 

@@ -18,9 +18,12 @@ from pyspark.sql import functions as F
 
 
 def order_stream(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Streaming view of the crawl-order table (one row per pop)."""
+    """Streaming view of the crawl-order table (one row per pop) —
+    schema shared with the writer so the two cannot drift."""
+    from ..frontier.crawler import ORDER_SCHEMA
+
     return (
-        spark.readStream.schema("seq long, uri string, depth int, round int")
+        spark.readStream.schema(ORDER_SCHEMA)
         .option("basePath", f"{store_dir}/order")
         .parquet(f"{store_dir}/order/round=*")
     )
@@ -114,7 +117,7 @@ _SIMHASH_BUCKET_STATE = "ids array<string>, fps array<long>, ts array<long>"
 def simhash_pairs_stream(
     docs: DataFrame,
     max_hamming: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
     ttl_ms: int = 3_600_000,
 ) -> DataFrame:
     """Streaming near-duplicate pair detection (round 4): the streaming
@@ -142,7 +145,13 @@ def simhash_pairs_stream(
         SIMHASH_BLOCK_BITS,
         SIMHASH_BLOCK_MASK,
         SIMHASH_BLOCKS,
+        SIMHASH_MAX_BUCKET,
     )
+
+    # default to the batch operator's cap so retuning dedup.py cannot
+    # silently drift the stream's skew contract away from the batch one
+    if max_bucket is None:
+        max_bucket = SIMHASH_MAX_BUCKET
 
     @F.pandas_udf("long")
     def fp_of(text: pd.Series) -> pd.Series:
@@ -150,7 +159,12 @@ def simhash_pairs_stream(
 
     blocks = (
         docs.withColumn("fp", fp_of(F.col("text")))
-        .withColumn("ems", (F.col("event_time").cast("double") * 1000).cast("long"))
+        # exact integer event-time millis — the double*1000 spelling can
+        # truncate 1 ms low on non-representable fractional seconds, and
+        # ems feeds the TTL horizon and the deterministic sort key
+        .withColumn(
+            "ems", F.unix_millis(F.col("event_time").cast("timestamp"))
+        )
         .select(
             "doc_id",
             "fp",

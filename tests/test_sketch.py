@@ -44,8 +44,6 @@ def test_kmv_partitioning_invariant(spark):
 
 def test_kmv_small_cardinality_is_exact(spark):
     df = spark.createDataFrame([Row(v=i % 10) for i in range(1000)])
-    got = sketch.kmv_estimate(
-        spark, sketch.kmv_min_hashes(df, F.col("v"))
-    ).collect()[0]
+    got = sketch.kmv_estimate(sketch.kmv_min_hashes(df, F.col("v"))).collect()[0]
     assert got["est_distinct"] == 10.0
     assert got["kth_min_hash"] == max(sorted({hash60_py(str(i)) for i in range(10)}))

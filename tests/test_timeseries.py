@@ -268,3 +268,20 @@ def test_funnel_matches_naive(spark, sf_dir):
     }
     assert got == want
     assert any(c for _, c in got.values())  # some conversions exist
+
+
+def test_asof_join_null_payload_field_not_torn(spark):
+    """A NULL field in the matched build row must stay NULL — not be
+    back-filled from an older build row (the payload travels as one
+    struct precisely to keep the fill atomic)."""
+    left = spark.createDataFrame([Row(k=1, ts=_t(3), tag="x")])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(1), a=5.0, b=9.0),
+            Row(k=1, ts=_t(2), a=7.0, b=None),
+        ]
+    )
+    row = ts_ops.asof_join(
+        left, right, on="k", ts="ts", right_cols={"pa": "a", "pb": "b"}
+    ).collect()[0]
+    assert (row["pa"], row["pb"]) == (7.0, None)
