@@ -459,3 +459,31 @@ def sessionize_stream(events: DataFrame, gap_us: int | None = None) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rollup_stream(events: DataFrame) -> DataFrame:
+    """Streaming continuous aggregate — the hypertable story's other
+    half: ``timeseries.events_rollup_hourly`` fed incrementally from a
+    stream. Same bucket expression (``date_trunc('hour')``) and the
+    same DECIMAL(18,2)-snapped exact money sum as the batch operator,
+    so a finite stream's final state equals the batch rollup exactly
+    (pinned by the stream-vs-batch test in complete output mode).
+
+    ``n_users`` is intentionally absent: exact COUNT(DISTINCT) is not
+    expressible as incremental streaming state without keeping the
+    distinct set per group — callers that need it stream the KMV sketch
+    instead (`operators.sketch`), which IS mergeable state. Columns
+    (bucket, event_type, n_events, sum_value, min_value, max_value).
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

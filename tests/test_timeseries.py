@@ -285,3 +285,43 @@ def test_asof_join_null_payload_field_not_torn(spark):
         left, right, on="k", ts="ts", right_cols={"pa": "a", "pb": "b"}
     ).collect()[0]
     assert (row["pa"], row["pb"]) == (7.0, None)
+
+
+def test_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
+    """A finite stream's complete-mode continuous aggregate equals the
+    batch hourly rollup on the shared columns (n_users is batch-only —
+    exact distinct counts are not incremental streaming state)."""
+    from scrappy_spark.streaming.state_stream import rollup_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "roll")
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    reader = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double"
+    ).option("maxFilesPerTrigger", 1)
+    q = (
+        rollup_stream(reader.parquet(src))
+        .writeStream.format("memory")
+        .queryName("roll_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in spark.sql("SELECT * FROM roll_live").collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in ts_ops.events_rollup_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
