@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact discrete corpus quantiles via the distributed exact-rank
         # recipe (integral target ranks — no interpolation hazard)
         "text_token_quantiles": ranking.token_count_quantiles,
+        # grouped (per-lang) quantiles — the keyed-window easy case
+        "text_lang_quantiles": ranking.lang_token_quantiles,
+        # temperature-flattened multilingual resampling (share^(1/2)
+        # quotas + exact per-lang top-k by hash)
+        "sample_temperature": sampling.temperature_sample,
         # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
         "text_heavy_hitters": ranking.heavy_hitters,
         # time-series layer over events (operators the built-in Spark
@@ -1260,6 +1265,60 @@ def _oracle_sql_static() -> dict[str, str]:
                        '{scrub.PHONE_RE}', '{scrub.PHONE_TAG}', 'g'))
                      AS scrub_fp
             FROM aug
+        """,
+        # temperature resampling: quota arithmetic mirrored step for
+        # step — round(sqrt(share),6) snapped to DECIMAL(18,6), exact
+        # decimal weight total, identical double division and HALF_UP
+        # quota rounding; selection is pure integer ranking on the
+        # mirrored hash60
+        "sample_temperature": f"""
+            WITH counts AS (
+              SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT sum(c) AS n FROM counts),
+            wq AS (
+              SELECT lang,
+                     CAST(round(sqrt(c / CAST(n AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS w
+              FROM counts, tot
+            ),
+            ws AS (SELECT sum(w) AS tw FROM wq),
+            quotas AS (
+              SELECT lang,
+                     CAST(round((n // {sampling.TEMP_KEEP_DEN})
+                                * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+                          AS INT) AS lang_quota
+              FROM wq, ws, tot
+            )
+            SELECT doc_id, lang, CAST(rk AS INT) AS rk, lang_quota FROM (
+              SELECT d.doc_id, d.lang, q.lang_quota,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY
+                       {DUCK_HASH60.format(s="CAST(d.doc_id AS VARCHAR)")},
+                       d.doc_id) AS rk
+              FROM documents d JOIN quotas q USING (lang)
+            ) WHERE rk <= lang_quota
+        """,
+        # grouped quantiles: per-lang window (the scale-safe case) with
+        # the same integral ceil(q*c) targets
+        "text_lang_quantiles": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens
+              FROM documents
+            ),
+            rk AS (
+              SELECT lang, n_tokens,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_tokens, doc_id) AS rank,
+                     count(*) OVER (PARTITION BY lang) AS c
+              FROM scored
+            ),
+            targets(quantile, num, den) AS (
+              VALUES {", ".join(f"('{q}', {num}, {den})" for q, num, den in ranking.QUANTILES)}
+            )
+            SELECT lang, quantile, CAST(rank AS INT) AS target_rank, n_tokens
+            FROM rk CROSS JOIN targets
+            WHERE rank = (num * c + den - 1) // den
         """,
         # exact quantiles: the oracle recomputes the same integral
         # target ranks ceil(q*N) over the same (n_tokens, doc_id) total

@@ -72,6 +72,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "text_decontaminate": repetition.decontaminate,
         "sample_source_quota": sampling.source_quota,
         "sample_stratified": sampling.stratified_sample,
+        "sample_temperature": sampling.temperature_sample,
+        "text_lang_quantiles": ranking.lang_token_quantiles,
         "pack_sequences": packing.pack_sequences,
         "pack_windows": packing.pack_windows,
         "graph_pagerank": graph.doc_pagerank,

@@ -190,3 +190,46 @@ def heavy_hitters(spark: SparkSession, sf_dir: str, k: int = HEAVY_K) -> DataFra
     )
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return counts.withColumn("rk", F.row_number().over(w))
+
+
+def lang_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact discrete quantiles of token counts — the
+    grouped counterpart of ``token_count_quantiles``. Grouped quantiles
+    are the EASY case at scale: a window partitioned by the group key
+    shuffles once and sorts per group (no single-reducer hazard — that
+    only exists for the global order, which exact_rank handles).
+    Columns (lang, quantile, target_rank, n_tokens)."""
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "n_tokens",
+        F.row_number()
+        .over(w.orderBy("n_tokens", "doc_id"))
+        .alias("rank"),
+        F.count("*").over(w).alias("c"),
+    )
+    targets = spark.createDataFrame(
+        [(q, num, den) for q, num, den in QUANTILES],
+        "quantile string, num int, den int",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(targets))
+        .where(
+            F.col("rank")
+            == F.expr("(num * c + den - 1) div den").cast("long")
+        )
+        .select(
+            "lang",
+            "quantile",
+            F.col("rank").alias("target_rank"),
+            "n_tokens",
+        )
+    )

@@ -110,3 +110,87 @@ def stratified_sample_from(
     for lang, p in sorted(pct.items()):
         rate = F.when(F.col("lang") == lang, F.lit(p)).otherwise(rate)
     return docs.filter((h % 100) < rate).select("doc_id", "lang")
+
+
+# temperature exponent 1/T as a rational; T=2 is the standard
+# multilingual-mix flattening (sample ∝ share^(1/2))
+TEMP_EXP_DEN = 2
+TEMP_KEEP_DEN = 2  # resample to n div 2 documents overall
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample_from(_docs(spark, sf_dir))
+
+
+def temperature_sample_from(docs: DataFrame) -> DataFrame:
+    """Temperature-flattened resampling — the multilingual training-mix
+    knob (XLM-R-style): per-language keep quotas ∝ share^(1/2), so
+    over-represented languages are down-weighted and the tail is
+    up-weighted relative to proportional sampling, then an exact
+    deterministic top-k per language by document hash.
+
+    Exactness: the quota arithmetic runs identically in both engines —
+    per-lang weight = round(sqrt(c/n), 6) snapped to DECIMAL(18,6),
+    the weight TOTAL is an exact decimal sum (order-free), shares and
+    quotas divide/round the identical doubles. Selection is then pure
+    integer ranking on (hash60, doc_id).
+
+    100 TB shape: the quota table is #langs rows computed from a keyed
+    count (one partial-agg shuffle) and broadcast; selection reuses the
+    salted two-level top-K kernel (see module doc) so a mega-language
+    never serializes through one window task.
+
+    Output: (doc_id, lang, rk, lang_quota).
+    """
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    all_w = Window.partitionBy()  # #langs rows — single tiny partition
+    w_dec = F.round(F.sqrt(F.col("c") / F.sum("c").over(all_w)), 6).cast(
+        "decimal(18,6)"
+    )
+    quotas = (
+        counts.withColumn("w", w_dec)
+        .withColumn(
+            "share",
+            F.col("w").cast("double")
+            / F.sum("w").over(all_w).cast("double"),
+        )
+        .withColumn(
+            "lang_quota",
+            F.round(
+                (F.sum("c").over(all_w).cast("bigint") / TEMP_KEEP_DEN).cast(
+                    "bigint"
+                )
+                * F.col("share"),
+                0,
+            ).cast("int"),
+        )
+        .select("lang", "lang_quota")
+    )
+    d = (
+        docs.select("doc_id", "lang")
+        .withColumn("h", _priority())
+        .join(F.broadcast(quotas), "lang")
+    )
+    local = (
+        d.withColumn("salt", (F.col("h") % SALTS).cast("int"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang", "salt").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= F.col("lang_quota"))
+        .drop("rk", "salt")
+    )
+    return (
+        local.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("h", "doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= F.col("lang_quota"))
+        .select(
+            "doc_id", "lang", F.col("rk").cast("int").alias("rk"), "lang_quota"
+        )
+    )

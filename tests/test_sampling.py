@@ -125,3 +125,78 @@ def test_stratified_sample_is_map_only_and_deterministic(spark, sf_dir):
             assert df.filter(F.col("lang") == lang).count() == docs.filter(
                 F.col("lang") == lang
             ).count()
+
+
+# ------------------------------------------------- temperature sampling
+
+
+def test_temperature_sample_quotas_and_selection(spark, sf_dir):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from scrappy_spark.operators import sampling
+    from scrappy_spark.operators.text import hash60_py
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = len(docs)
+    counts = {}
+    for r in docs:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    # python mirror of the engine arithmetic: round(sqrt(share), 6)
+    # HALF_UP, exact decimal total, identical double division
+    w = {
+        lang: Decimal(str(math.sqrt(c / n))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        for lang, c in counts.items()
+    }
+    tw = float(sum(w.values()))
+    quotas = {
+        lang: int(
+            Decimal(str((n // sampling.TEMP_KEEP_DEN) * (float(wl) / tw)))
+            .quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+        for lang, wl in w.items()
+    }
+    per_lang = {}
+    for r in docs:
+        per_lang.setdefault(r["lang"], []).append(
+            (hash60_py(str(r["doc_id"])), r["doc_id"])
+        )
+    want = set()
+    for lang, rows in per_lang.items():
+        for rk, (_, did) in enumerate(sorted(rows)[: quotas[lang]], 1):
+            want.add((did, lang, rk, quotas[lang]))
+    got = {
+        (r["doc_id"], r["lang"], r["rk"], r["lang_quota"])
+        for r in sampling.temperature_sample(spark, sf_dir).collect()
+    }
+    assert got == want
+    # flattening: the dominant lang keeps a SMALLER fraction than a tail lang
+    big = max(counts, key=counts.get)
+    small = min(counts, key=counts.get)
+    assert quotas[big] / counts[big] < quotas[small] / counts[small]
+
+
+def test_lang_quantiles_match_python_mirror(spark, sf_dir):
+    from scrappy_spark.operators import ranking
+    from scrappy_spark.operators.text import tokens_py
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    per_lang = {}
+    for r in docs:
+        per_lang.setdefault(r["lang"], []).append(
+            (len(tokens_py(r["text"]) or []), r["doc_id"])
+        )
+    want = set()
+    for lang, rows in per_lang.items():
+        rows.sort()
+        c = len(rows)
+        for q, num, den in ranking.QUANTILES:
+            t = (num * c + den - 1) // den
+            want.add((lang, q, t, rows[t - 1][0]))
+    got = {
+        (r["lang"], r["quantile"], r["target_rank"], r["n_tokens"])
+        for r in ranking.lang_token_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
