@@ -23,15 +23,15 @@ implementations; integers end that class of bug.) The float `rank`
 output column is a single CAST(rank_i)/1e9 applied identically by both
 engines to identical integers.
 
-Overflow bound: per-node mass is a BIGINT sum of ≤in-degree
-contributions; the damping multiply needs 2*num*mass < 2^63, i.e. mass
-< ~5.4e16 at num=85 — a single node would need ~5e7 max-rank in-edges
-to trip it. The engine does NOT run in ANSI mode (session.py leaves
-Spark's default), so bigint overflow would WRAP silently; since ranks
-and contributions are non-negative by construction, a wrap necessarily
-surfaces as a negative rank_i, and ``pagerank`` checks for one after
-every iteration and raises loudly. Swap SCALE_I down (or the sum to
-DECIMAL(38,0)) for graphs dense enough to trip the guard.
+Overflow discipline: every multi-term intermediate (the mass sum and
+the damping multiply) runs in DECIMAL(38,0) — matching the DuckDB
+oracle's HUGEINT aggregation and un-overflowable for any physical
+graph. The only remaining wrap point is the silent bigint conversion
+of the per-node quotients (the engine does NOT run ANSI; session.py
+leaves Spark's default), which is excluded up front by a one-time
+precondition: 2*(base + n_nodes*SCALE_I) < 2^63, i.e. ~4.6e9 nodes at
+SCALE_I = 1e9. Larger graphs get a loud ValueError telling the caller
+to lower SCALE_I, never silently corrupt ranks.
 
 100 TB shape: edges are persisted once and re-joined per iteration
 (2 shuffles per iteration: rank join keyed by src, contribution groupBy
@@ -88,10 +88,36 @@ def pagerank(
         .distinct()
         .persist()
     )
+    # overflow precondition, checked ONCE (node-sized count, cheap):
+    # every intermediate runs in DECIMAL(38,0) — un-overflowable for any
+    # physical graph — so the only wrap point left is Spark's silent
+    # bigint conversion of the per-node `div` results. Ranks are bounded
+    # by base + d*(total mass) <= base + n*SCALE_I, and the expressions
+    # double that bound, so requiring 2*(base + n*SCALE_I) < 2^63
+    # guarantees every bigint in the loop is exact. At SCALE_I = 1e9
+    # that admits ~4.6e9 nodes; beyond it, lower SCALE_I — and this
+    # check tells the caller so instead of wrapping silently (ANSI is
+    # off; an earlier negative-rank guard was unsound anyway, since a
+    # double wrap past 2^64 lands back on a positive value).
+    n_nodes = nodes.count()
+    if 2 * (base_i + n_nodes * SCALE_I) >= 2**63:
+        e.unpersist()
+        edeg.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes at SCALE_I={SCALE_I} can exceed "
+            "int64 rank bounds — lower SCALE_I"
+        )
     ranks = nodes.select(
         "node", F.lit(SCALE_I).cast("bigint").alias("rank_i")
     ).localCheckpoint()
-    contrib_expr = F.expr("(2 * rank_i + out_deg) div (2 * out_deg)")
+    # DECIMAL(38,0) intermediates: the sum matches the DuckDB oracle's
+    # HUGEINT aggregation semantics and cannot wrap; `div` on decimals
+    # returns the exact integral quotient as bigint (in range by the
+    # precondition above)
+    contrib_expr = F.expr(
+        "(2 * CAST(rank_i AS DECIMAL(38,0)) + out_deg) div (2 * out_deg)"
+    )
     damp_expr = F.expr(
         f"{base_i} + (2 * {damping_num} * mass + {damping_den}) "
         f"div (2 * {damping_den})"
@@ -101,27 +127,23 @@ def pagerank(
             edeg.join(ranks, edeg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
         )
-        mass = contrib.groupBy("node").agg(F.sum("c").alias("mass"))
+        mass = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("mass")
+        )
+        # the previous iteration's checkpoint is released by the JVM's
+        # ContextCleaner once the reference drops (DataFrame.unpersist()
+        # is a no-op on localCheckpoint RDDs)
         ranks = (
             nodes.join(mass, "node", "left")
             .select(
                 "node",
-                F.coalesce("mass", F.lit(0)).alias("mass"),
+                F.coalesce(
+                    "mass", F.lit(0).cast("decimal(38,0)")
+                ).alias("mass"),
             )
             .select("node", damp_expr.cast("bigint").alias("rank_i"))
             .localCheckpoint()
         )
-        # overflow guard: every quantity in the loop is non-negative, so
-        # a silent bigint wrap (ANSI is off) must show up as a negative
-        # rank — fail loudly instead of emitting corrupt ranks. The
-        # previous iteration's checkpoint is released by the JVM's
-        # ContextCleaner once the reference drops; DataFrame.unpersist()
-        # would be a no-op on localCheckpoint RDDs.
-        if ranks.where(F.col("rank_i") < 0).limit(1).count():
-            raise RuntimeError(
-                "pagerank: bigint overflow (negative rank) — reduce "
-                "SCALE_I or aggregate mass in DECIMAL(38,0)"
-            )
     e.unpersist()
     edeg.unpersist()
     nodes.unpersist()

@@ -194,42 +194,107 @@ def heavy_hitters(spark: SparkSession, sf_dir: str, k: int = HEAVY_K) -> DataFra
 
 def lang_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact discrete quantiles of token counts — the
-    grouped counterpart of ``token_count_quantiles``. Grouped quantiles
-    are the EASY case at scale: a window partitioned by the group key
-    shuffles once and sorts per group (no single-reducer hazard — that
-    only exists for the global order, which exact_rank handles).
-    Columns (lang, quantile, target_rank, n_tokens)."""
-    from pyspark.sql import Window
-
+    grouped counterpart of ``token_count_quantiles``, built on the
+    grouped exact-rank recipe so a dominant language spans many range
+    partitions instead of serializing through one keyed-window task
+    (#languages is driver-bounded, the recipe's precondition).
+    Targets are the same integral ceil(q·c) per group. Columns
+    (lang, quantile, target_rank, n_tokens)."""
     from .text import tokens_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = docs.select(
         "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tokens")
     )
-    w = Window.partitionBy("lang")
-    ranked = scored.select(
-        "lang",
-        "n_tokens",
-        F.row_number()
-        .over(w.orderBy("n_tokens", "doc_id"))
-        .alias("rank"),
-        F.count("*").over(w).alias("c"),
+    ranked, totals = grouped_exact_rank_with_totals(
+        scored, ["lang"], ["n_tokens", "doc_id"]
     )
     targets = spark.createDataFrame(
-        [(q, num, den) for q, num, den in QUANTILES],
-        "quantile string, num int, den int",
+        [
+            (lang, q, (num * c + den - 1) // den)
+            for (lang,), c in totals.items()
+            for q, num, den in QUANTILES
+        ],
+        "lang string, quantile string, target_rank long",
     )
     return (
-        ranked.crossJoin(F.broadcast(targets))
-        .where(
-            F.col("rank")
-            == F.expr("(num * c + den - 1) div den").cast("long")
+        ranked.join(
+            F.broadcast(targets),
+            (ranked["lang"] == targets["lang"])
+            & (ranked["rank"] == targets["target_rank"]),
         )
         .select(
-            "lang",
+            ranked["lang"],
             "quantile",
-            F.col("rank").alias("target_rank"),
+            F.col("target_rank").cast("int").alias("target_rank"),
             "n_tokens",
         )
     )
+
+
+def grouped_exact_rank_with_totals(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Exact 1-based rank WITHIN each group, plus per-group totals —
+    the grouped generalization of ``exact_rank``. A plain
+    ``row_number() OVER (PARTITION BY group)`` serializes each group
+    through one task, which is fine for many small groups but is the
+    straggler/OOM shape when one group holds most of the corpus (a
+    dominant language, a mega-domain). Here the range shuffle runs on
+    (group, order) jointly, so a huge group spans MANY contiguous
+    partitions and no task ever holds more than a partition's worth of
+    it; ranks are stitched with per-(partition, group) offsets.
+
+    Driver-side state is the (partitions × distinct groups) count
+    table — callers must have a driver-bounded group cardinality
+    (languages, sources after quotas, shard ids …). For unbounded group
+    keys use the keyed window: with many small groups it is the right
+    plan, and with unbounded LARGE groups no exact per-group total
+    order is cheap.
+
+    Returns (ranked df with a ``rank`` column, {group key tuple →
+    group size}). Order columns must total-order rows within a group.
+    """
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    allc = [*group_cols, *order_cols]
+    parted = (
+        df.repartitionByRange(p, *allc)
+        .sortWithinPartitions(*allc)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    rows = (
+        parted.groupBy("_pid", *group_cols)
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    totals: dict = {}
+    offsets: dict = {}
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in group_cols)
+        offsets[(r["_pid"], key)] = totals.get(key, 0)
+        totals[key] = totals.get(key, 0) + r["cnt"]
+
+    out_schema = parted.drop("_pid").schema.add("rank", "long")
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            pid = int(b["_pid"].iloc[0])
+            b = b.drop(columns=["_pid"])
+            ranks = []
+            for key in zip(*[b[c] for c in group_cols]):
+                s = seen.get(key, 0) + 1
+                seen[key] = s
+                ranks.append(offsets[(pid, key)] + s)
+            b["rank"] = ranks
+            yield b
+
+    ranked = parted.mapInPandas(add_rank, schema=out_schema).localCheckpoint()
+    parted.unpersist()
+    return ranked, totals

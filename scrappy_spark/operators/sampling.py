@@ -133,12 +133,22 @@ def temperature_sample_from(docs: DataFrame) -> DataFrame:
     per-lang weight = round(sqrt(c/n), 6) snapped to DECIMAL(18,6),
     the weight TOTAL is an exact decimal sum (order-free), shares and
     quotas divide/round the identical doubles. Selection is then pure
-    integer ranking on (hash60, doc_id).
+    integer ranking on (hash60, doc_id). One residual cross-engine
+    hazard, same class as the documented libm-ln caveat in
+    textstats.unigram_logprob: Spark's round(double, 6) rounds the
+    shortest decimal rendering HALF_UP while DuckDB rounds the binary
+    product — a sqrt landing within ~1 ulp of a .xxxxxx5 boundary
+    could snap differently. A margin-guard test pins that no weight at
+    the test SFs sits near the boundary; real deployments with
+    adversarial shares would round to 5 decimals and re-check.
 
     100 TB shape: the quota table is #langs rows computed from a keyed
-    count (one partial-agg shuffle) and broadcast; selection reuses the
-    salted two-level top-K kernel (see module doc) so a mega-language
-    never serializes through one window task.
+    count (one partial-agg shuffle) and broadcast; selection uses the
+    grouped exact-rank recipe (ranking.grouped_exact_rank_with_totals)
+    — quotas here are proportional to language size, which makes the
+    salted two-level kernel's local stage a no-op for dominant
+    languages (cell size c/SALTS < quota), so that kernel is
+    deliberately NOT used.
 
     Output: (doc_id, lang, rk, lang_quota).
     """
@@ -166,31 +176,27 @@ def temperature_sample_from(docs: DataFrame) -> DataFrame:
         )
         .select("lang", "lang_quota")
     )
+    from .ranking import grouped_exact_rank_with_totals
+
     d = (
         docs.select("doc_id", "lang")
         .withColumn("h", _priority())
         .join(F.broadcast(quotas), "lang")
     )
-    local = (
-        d.withColumn("salt", (F.col("h") % SALTS).cast("int"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("lang", "salt").orderBy("h", "doc_id")
-            ),
-        )
-        .filter(F.col("rk") <= F.col("lang_quota"))
-        .drop("rk", "salt")
-    )
+    # quota ∝ language size, so the salted two-level top-K kernel offers
+    # NO skew protection here (a per-salt cell holds c/SALTS rows — less
+    # than the quota whenever the keep fraction exceeds 1/SALTS, making
+    # the local stage a no-op for dominant languages). Selection instead
+    # uses the grouped exact-rank recipe: a mega-language spans many
+    # range partitions and no task ever sorts more than one partition
+    # of it.
+    ranked, _ = grouped_exact_rank_with_totals(d, ["lang"], ["h", "doc_id"])
     return (
-        local.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("lang").orderBy("h", "doc_id")
-            ),
-        )
-        .filter(F.col("rk") <= F.col("lang_quota"))
+        ranked.filter(F.col("rank") <= F.col("lang_quota"))
         .select(
-            "doc_id", "lang", F.col("rk").cast("int").alias("rk"), "lang_quota"
+            "doc_id",
+            "lang",
+            F.col("rank").cast("int").alias("rk"),
+            "lang_quota",
         )
     )

@@ -142,8 +142,15 @@ def sessionize(
 
 def _cents(col: F.Column) -> F.Column:
     """The order-independent exact money aggregate input: snap the
-    2-decimal-grid double to DECIMAL(18,2) before any sum."""
+    2-decimal-grid double to DECIMAL(18,2) before any sum. Shared with
+    streaming.rollup_stream — the stream==batch equality depends on
+    this being the SAME expression, not a lookalike."""
     return F.round(col, 2).cast("decimal(18,2)")
+
+
+def hour_bucket(ts_col: str = "ts") -> F.Column:
+    """The rollup's time-bucket expression, shared batch/stream."""
+    return F.date_trunc("hour", ts_col)
 
 
 # ------------------------------------------------------ driver entries
@@ -213,9 +220,7 @@ def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_users, sum_value, min_value, max_value)."""
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(
-            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
-        ).agg(
+        ev.groupBy(hour_bucket().alias("bucket"), "event_type").agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.sum(_cents(F.col("value"))).cast("double").alias("sum_value"),

@@ -475,14 +475,12 @@ def rollup_stream(events: DataFrame) -> DataFrame:
     instead (`operators.sketch`), which IS mergeable state. Columns
     (bucket, event_type, n_events, sum_value, min_value, max_value).
     """
+    from ..operators.timeseries import _cents, hour_bucket
+
     return (
-        events.groupBy(
-            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
-        ).agg(
+        events.groupBy(hour_bucket().alias("bucket"), "event_type").agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            F.sum(_cents(F.col("value"))).cast("double").alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )

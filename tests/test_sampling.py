@@ -200,3 +200,25 @@ def test_lang_quantiles_match_python_mirror(spark, sf_dir):
         for r in ranking.lang_token_quantiles(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_temperature_weight_rounding_margin():
+    """The Spark/DuckDB round(double, 6) boundary divergence (decimal-
+    string HALF_UP vs binary rounding) can only trigger when a weight
+    sqrt sits within ~1 ulp of a .xxxxxx5 boundary — pin that no lang
+    share at ANY test SF is anywhere near it (the same guard pattern as
+    unigram_logprob's libm-ln margin test)."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = con.execute(
+            "SELECT count(*) FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet' GROUP BY lang"
+        ).fetchall()
+        n = sum(c for (c,) in rows)
+        for (c,) in rows:
+            frac = (math.sqrt(c / n) * 1e6) % 1.0
+            assert abs(frac - 0.5) > 1e-3, (sf, c, frac)
