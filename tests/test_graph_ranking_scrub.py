@@ -219,3 +219,64 @@ def test_heavy_hitters_plan_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrdered" in plan
+
+
+# ------------------------------------------------------------ edge cases
+
+
+def test_exact_rank_empty_input(spark):
+    df = spark.range(0).select(F.col("id").alias("doc_id"), F.col("id").alias("s"))
+    ranked = ranking.exact_rank(df, ["s", "doc_id"], num_partitions=4)
+    assert ranked.count() == 0
+
+
+def test_grouped_exact_rank_single_and_empty_groups(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=3), Row(g="a", v=1), Row(g="b", v=2)]
+    )
+    ranked, totals = ranking.grouped_exact_rank_with_totals(
+        df, ["g"], ["v"], num_partitions=4
+    )
+    got = {(r["g"], r["v"]): r["rank"] for r in ranked.collect()}
+    assert got == {("a", 1): 1, ("a", 3): 2, ("b", 2): 1}
+    assert totals == {("a",): 2, ("b",): 1}
+
+
+def test_grouped_exact_rank_mega_group_spans_partitions(spark):
+    """The recipe's reason to exist: one group holding ~all rows is
+    ranked correctly while being spread over many range partitions."""
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 1000 == 0, "tail").otherwise("mega").alias("g"),
+        ((F.col("id") * 37) % 50021).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    ranked, totals = ranking.grouped_exact_rank_with_totals(
+        df, ["g"], ["v", "tb"], num_partitions=16
+    )
+    parted = ranked.where("g = 'mega'").select(
+        F.spark_partition_id().alias("p")
+    )
+    # ranks are a permutation of 1..size within each group
+    for g, size in ((("mega",), 19_980), (("tail",), 20)):
+        assert totals[g] == size
+        ranks = sorted(
+            r["rank"] for r in ranked.where(F.col("g") == g[0]).collect()
+        )
+        assert ranks == list(range(1, size + 1))
+
+
+def test_pagerank_precondition_raises_loudly(spark, monkeypatch):
+    from pyspark.sql import Row
+
+    from scrappy_spark.operators import graph as g
+
+    # divisible by damping_den (so the divisibility check passes) and
+    # big enough that 2 nodes already exceed the int64 rank bound
+    monkeypatch.setattr(g, "SCALE_I", 5 * 10**18)
+    df = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower SCALE_I"):
+        g.pagerank(df)
