@@ -89,7 +89,12 @@ class CrawlConfig:
     repartition_by_host: bool = False
     host_salt_k: int = 1  # >1 splits hot hosts across k politeness sub-queues
     politeness_delay_ms: int = 0  # recorded in manifests; honored by live fetchers
-    robots: tuple[tuple[str, str], ...] = ()  # (host, disallow_path_prefix)
+    robots: tuple[tuple, ...] = ()  # (host, path_prefix) legacy disallow
+    # 2-tuples or (host, path_prefix, allow) 3-tuples; RFC 9309 longest-
+    # match, tie → Allow (spec + parser: frontier/robots.py)
+    host_budgets: tuple[tuple[str, int], ...] = ()  # per-host budget
+    # overrides (robots.py delays_to_budgets); shadow per_host_budget —
+    # with no base budget, unlisted hosts pop whole-frontier
     redirects: tuple[tuple[str, str], ...] = ()  # (requested_uri, final_uri), F-16
     # priority queue (north rule: window-ranked SQL over frontier
     # snapshots). A SQL expression evaluated over the frontier columns
@@ -352,27 +357,23 @@ class Crawler:
         return per
 
     def _robots_filter(self, df: DataFrame, uri_col: str) -> DataFrame:
-        """Robots disallow gate: drop rows whose (authority, path) matches
-        any broadcast rule — authority = full host[:port] (the reference
+        """Robots gate: drop rows whose (authority, path) is disallowed
+        under the config rules — authority = full host[:port] (the reference
         keys robots state on the full authority, fragment.rb; a URI on an
         explicit non-default port is a DIFFERENT authority), path =
-        authority-relative part, '/' if empty. Same spec as
-        oracle.robots_disallowed; never enqueued when disallowed."""
+        authority-relative part, '/' if empty. RFC 9309 longest-match with
+        Allow overrides, same spec as oracle.robots_disallowed; never
+        enqueued when disallowed. Config rules are a literal-array
+        expression (robots.disallow_expr) — pure codegen, no join; a
+        web-scale rules TABLE goes through robots.gate instead."""
         if not self.cfg.robots:
             return df
-        rules = F.broadcast(
-            self.spark.createDataFrame(
-                list(self.cfg.robots), "r_host string, r_prefix string"
-            )
-        )
+        from .robots import disallow_expr
+
         path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
         path = F.when(path == "", "/").otherwise(path)
         authority = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
-        return df.join(
-            rules,
-            (authority == F.col("r_host")) & path.startswith(F.col("r_prefix")),
-            "left_anti",
-        )
+        return df.where(~disallow_expr(authority, path, self.cfg.robots))
 
     def _with_hash(self, items: DataFrame) -> DataFrame:
         return items.withColumn(
@@ -536,13 +537,30 @@ class Crawler:
             if cfg.priority_expr
             else [F.col("seq").asc()]
         )
-        if cfg.per_host_budget is not None:
+        if cfg.per_host_budget is not None or cfg.host_budgets:
             w = Window.partitionBy("host").orderBy(*order_cols)
+            # effective budget = host override (crawl-delay translation)
+            # else base; no base → unlisted hosts effectively unbudgeted.
+            # The override map is a literal expression — stays in codegen.
+            base = F.lit(
+                cfg.per_host_budget
+                if cfg.per_host_budget is not None
+                else (1 << 62)
+            )
+            if cfg.host_budgets:
+                bmap = F.create_map(
+                    *[F.lit(x) for hb in cfg.host_budgets for x in hb]
+                )
+                limit = F.coalesce(
+                    F.try_element_at(bmap, F.col("host")).cast("long"), base
+                )
+            else:
+                limit = base
             # cache the ranked snapshot once: popped, kept, and the order
             # delta are all cheap filters over it
             ranked = frontier.withColumn("rk", F.row_number().over(w)).persist()
-            popped = ranked.where(F.col("rk") <= cfg.per_host_budget).drop("rk")
-            kept = ranked.where(F.col("rk") > cfg.per_host_budget).drop("rk")
+            popped = ranked.where(F.col("rk") <= limit).drop("rk")
+            kept = ranked.where(F.col("rk") > limit).drop("rk")
         else:
             # budgetless: the whole snapshot pops this round, so priority
             # has no selection effect (it matters only under a budget);
@@ -835,7 +853,8 @@ class Crawler:
             "per_host_budget": self.cfg.per_host_budget,
             "politeness_delay_ms": self.cfg.politeness_delay_ms,
             "host_salt_k": self.cfg.host_salt_k,
-            "robots": list(self.cfg.robots),
+            "robots": [list(r) for r in self.cfg.robots],
+            "host_budgets": [list(hb) for hb in self.cfg.host_budgets],
         }
 
     # ------------------------------------------------------------ readers

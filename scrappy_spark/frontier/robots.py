@@ -1,0 +1,315 @@
+"""robots.txt layer — parse, select, and enforce crawl rules at scale.
+
+The reference fetches unconditionally (`blind_agent.rb:12-31` has no robots
+handling); the north rule names "politeness, robots" as first-class frontier
+concerns, so this layer implements the standard itself: an RFC 9309-subset
+robots.txt parser over the interleaved-spans documents table, per-agent group
+selection, a longest-match allow/disallow gate, and a deterministic
+crawl-delay → per-host-budget translation that plugs into the crawler's
+window-ranked politeness pop (F-2/F-11, `crawler.py`).
+
+Everything is native Spark SQL expressions — split / posexplode / regexp /
+window / groupBy; no per-row Python anywhere (input_hint mandate). Parsing is
+embarrassingly parallel per host (a robots.txt is tiny), so the windows below
+partition by host and never see skew: at 10^10-URL scale the robots table is
+~one row per authority (millions of rows, bytes each), a broadcast-sized dim
+next to the frontier.
+
+Supported subset (documented here, mirrored exactly by the DuckDB oracle in
+`__spark_entry__.py` and the pure-Python spec used by `oracle.py`):
+
+  * line structure: LF or CRLF; ``#`` starts a comment (stripped first);
+    fields are trimmed of spaces/tabs
+  * directives (case-insensitive names): ``User-agent``, ``Allow``,
+    ``Disallow``, ``Crawl-delay``; anything else (or a line with no colon)
+    is ignored
+  * a *group* is a run of consecutive ``User-agent`` lines plus the rule
+    lines that follow; a ``User-agent`` line that follows a rule line starts
+    a NEW group (RFC 9309 §2.2.1); rules before any ``User-agent`` line are
+    invalid and dropped
+  * agent selection per host: the groups naming ``agent`` exactly
+    (case-insensitive) when any exist, else the ``*`` groups — the RFC's
+    most-specific-group rule restricted to exact-token match
+  * Allow/Disallow values are literal path prefixes: values must start with
+    ``/``; empty values are dropped (an empty ``Disallow:`` means
+    allow-everything, RFC 9309 §2.2.2); values containing ``*`` or ``$``
+    (RFC wildcards) are dropped conservatively rather than matched literally
+  * ``Crawl-delay`` (non-standard, ubiquitous): numeric seconds; the MIN
+    across the selected groups wins
+  * matching (the gate): among the host's rules whose prefix prefixes the
+    URI path, the LONGEST wins; on a length tie Allow wins; no match ⇒
+    allowed (RFC 9309 §2.2.2)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_AGENT = "scrappy"
+_DIRECTIVES = ("user-agent", "allow", "disallow", "crawl-delay")
+# explicit space/tab trim on BOTH sides (Spark trim() and DuckDB trim() only
+# strip spaces — tabs are legal robots.txt whitespace)
+_TRIM_RE = r"^[ \t]+|[ \t]+$"
+_NUM_RE = r"^[0-9]+(\.[0-9]+)?$"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python spec (no Spark) — the oracle side of the gate. oracle.py
+# imports these; this module must therefore never import oracle/crawler.
+# ---------------------------------------------------------------------------
+
+def normalize_rules(rules) -> list[tuple[str, str, bool]]:
+    """Accept legacy 2-tuples ``(host, prefix)`` (= disallow) and 3-tuples
+    ``(host, prefix, allow)``; return uniform 3-tuples."""
+    out = []
+    for r in rules or ():
+        if len(r) == 2:
+            out.append((r[0], r[1], False))
+        else:
+            out.append((r[0], r[1], bool(r[2])))
+    return out
+
+
+def disallowed_py(host: str, path: str, rules) -> bool:
+    """Longest-match gate, pure-Python spec. Tie → allow wins (True > False
+    in the tuple max). No matching rule → allowed."""
+    matches = [
+        (len(p), a)
+        for h, p, a in normalize_rules(rules)
+        if h == host and path.startswith(p)
+    ]
+    return bool(matches) and not max(matches)[1]
+
+
+# ---------------------------------------------------------------------------
+# parsing (native expressions only)
+# ---------------------------------------------------------------------------
+
+def robots_texts_from_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → (host, text) for the ``/robots.txt`` documents.
+
+    The interleaved-spans table is the web (input_hint); a robots.txt is a
+    document whose text spans are its lines/blocks, concatenated in offset
+    order. Media/link spans inside a robots doc are ignored.
+    """
+    ordered = F.array_sort(
+        F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+        # array_sort on struct sorts by fields in order (kind first) — sort
+        # by offset explicitly via a comparator
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return docs.where(F.col("doc_id").endswith("/robots.txt")).select(
+        F.regexp_extract("doc_id", r"^[^:]+://([^/]*)", 1).alias("host"),
+        F.concat_ws(
+            "\n", F.transform(ordered, lambda s: s["text"])
+        ).alias("text"),
+    )
+
+
+def _selected_directives(texts: DataFrame, agent: str) -> DataFrame:
+    """(host, text) → the directive rows of the groups selected for
+    ``agent``: (host, d, v) with d ∈ {allow, disallow, crawl-delay}.
+
+    Group structure via two windows over the directive lines of each host:
+    a User-agent line NOT preceded by another User-agent line starts a group
+    (lag), group id = running count of group starts (sum), then group→UA-set
+    aggregation and the exact-agent-else-star selection. All window
+    partitions are single-host robots files — bounded and skew-free.
+    """
+    agent_lc = agent.lower()
+    lines = texts.select(
+        "host",
+        F.posexplode(
+            F.split(F.regexp_replace("text", "\r", ""), "\n")
+        ).alias("pos", "raw"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("raw", r"#.*$", ""), _TRIM_RE, ""
+    )
+    dirs = (
+        lines.select(
+            "host",
+            "pos",
+            F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)[ \t]*:", 1)).alias("d"),
+            F.regexp_replace(
+                F.regexp_extract(clean, r"^[A-Za-z-]+[ \t]*:(.*)$", 1),
+                _TRIM_RE,
+                "",
+            ).alias("v"),
+        )
+        .where(F.col("d").isin(*_DIRECTIVES))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    g = dirs.withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                (F.col("d") == "user-agent")
+                & (F.coalesce(F.lag("d").over(w), F.lit("")) != "user-agent"),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    uas = (
+        g.where(F.col("d") == "user-agent")
+        .groupBy("host", "gid")
+        .agg(
+            F.max((F.lower("v") == agent_lc).cast("int")).alias("has_agent"),
+            F.max((F.col("v") == "*").cast("int")).alias("has_star"),
+        )
+    )
+    host_exact = uas.groupBy("host").agg(
+        F.max("has_agent").alias("any_exact")
+    )
+    return (
+        g.where((F.col("d") != "user-agent") & (F.col("gid") >= 1))
+        .join(uas, ["host", "gid"])
+        .join(host_exact, "host")
+        .where(
+            F.when(F.col("any_exact") == 1, F.col("has_agent") == 1).otherwise(
+                F.col("has_star") == 1
+            )
+        )
+        .select("host", "d", "v")
+    )
+
+
+def parse_robots(texts: DataFrame, agent: str = DEFAULT_AGENT) -> DataFrame:
+    """(host, text) → distinct (host, allow:boolean, prefix) rules selected
+    for ``agent``. Values are validated per the module contract (must start
+    with '/', no RFC wildcards)."""
+    sel = _selected_directives(texts, agent)
+    return (
+        sel.where(
+            F.col("d").isin("allow", "disallow")
+            & F.col("v").startswith("/")
+            & ~F.col("v").contains("*")
+            & ~F.col("v").contains("$")
+        )
+        .select(
+            "host",
+            (F.col("d") == "allow").alias("allow"),
+            F.col("v").alias("prefix"),
+        )
+        .distinct()
+    )
+
+
+def parse_crawl_delays(texts: DataFrame, agent: str = DEFAULT_AGENT) -> DataFrame:
+    """(host, text) → (host, crawl_delay:double), min across selected
+    groups, numeric values only."""
+    sel = _selected_directives(texts, agent)
+    return (
+        sel.where((F.col("d") == "crawl-delay") & F.col("v").rlike(_NUM_RE))
+        .groupBy("host")
+        .agg(F.min(F.col("v").cast("double")).alias("crawl_delay"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the gate (expression — zero joins, zero shuffles)
+# ---------------------------------------------------------------------------
+
+def disallow_expr(authority: Column, path: Column, rules) -> Column:
+    """Boolean column: is (authority, path) disallowed under ``rules``
+    (normalized 3-tuples)? Longest-match, tie→allow, no-match→allowed —
+    identical to :func:`disallowed_py`.
+
+    Built as a literal rule array + ``filter``/``transform``/``array_max``,
+    so the whole gate stays inside whole-stage codegen: no join, no
+    broadcast variable, no shuffle. Config rule lists are small (they come
+    from seeds/robots of the crawl's own host set); for a web-scale rules
+    TABLE use the per-host grouped join in :func:`gate` instead.
+    """
+    norm = normalize_rules(rules)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(h).alias("h"), F.lit(p).alias("p"), F.lit(a).alias("a")
+            )
+            for h, p, a in norm
+        ]
+    )
+    matches = F.filter(
+        arr, lambda r: (authority == r["h"]) & path.startswith(r["p"])
+    )
+    # lexicographic struct max: longer prefix wins, tie → allow=true wins
+    best = F.array_max(
+        F.transform(
+            matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a"))
+        )
+    )
+    return best.isNotNull() & ~best["a"]
+
+
+def gate(df: DataFrame, uri_col: str, rules_df: DataFrame) -> DataFrame:
+    """Scale path: drop rows of ``df`` whose ``uri_col`` is disallowed by a
+    rules TABLE (host, allow, prefix) too large for a literal array.
+
+    One broadcast-able aggregation groups each host's rules into an array,
+    an equi-join on authority attaches it (hash-partition-friendly, no
+    theta-join), and the same longest-match expression decides. Hosts with
+    no rules pass through (left join, null array ⇒ allowed).
+    """
+    per_host = F.broadcast(
+        rules_df.groupBy(F.col("host").alias("_r_host")).agg(
+            F.collect_list(
+                F.struct(F.col("prefix").alias("p"), F.col("allow").alias("a"))
+            ).alias("_r_rules")
+        )
+    )
+    authority = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
+    path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    matches = F.filter(
+        F.col("_r_rules"), lambda r: path.startswith(r["p"])
+    )
+    best = F.array_max(
+        F.transform(
+            matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a"))
+        )
+    )
+    return (
+        df.join(per_host, authority == F.col("_r_host"), "left")
+        .where(F.col("_r_rules").isNull() | best.isNull() | best["a"])
+        .drop("_r_host", "_r_rules")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver helpers — feed parse output into CrawlConfig
+# ---------------------------------------------------------------------------
+
+def rules_tuples(rules_df: DataFrame) -> tuple[tuple[str, str, bool], ...]:
+    """Collect a parsed rules DataFrame into the CrawlConfig.robots shape
+    (sorted for determinism). Rules are config-scale here — one crawl's
+    host set — so the collect is bounded by design."""
+    rows = rules_df.select("host", "prefix", "allow").collect()
+    return tuple(sorted((r["host"], r["prefix"], bool(r["allow"])) for r in rows))
+
+
+def delays_to_budgets(
+    delays_df: DataFrame,
+    round_seconds: float = 60.0,
+    base_budget: int | None = None,
+) -> tuple[tuple[str, int], ...]:
+    """Crawl-delay → per-host per-round budget, deterministically.
+
+    A level-synchronized round models ``round_seconds`` of wall clock; a
+    delay of d seconds admits ⌊round_seconds/d⌋ fetches per round. The
+    floor is 1 (liveness: a host with a huge delay still progresses one
+    URL per round — documented divergence from wall-clock enforcement,
+    which live fetchers additionally honor via politeness_delay_ms). A
+    ``base_budget`` caps the translated budgets.
+    """
+    rows = delays_df.select("host", "crawl_delay").collect()
+    out = []
+    for r in rows:
+        b = max(1, int(round_seconds // float(r["crawl_delay"])))
+        if base_budget is not None:
+            b = min(b, base_budget)
+        out.append((r["host"], b))
+    return tuple(sorted(out))

@@ -37,18 +37,24 @@ class CrawlResult:
     rounds: int = 0
 
 
-def robots_disallowed(uri: str, robots: list[tuple[str, str]] | None) -> bool:
-    """Robots rule = (host, path_prefix) disallow; path = everything after
-    the authority ('/' if empty). A disallowed URI is never enqueued."""
+def robots_disallowed(uri: str, robots) -> bool:
+    """Robots rule = (host, path_prefix) 2-tuple (legacy, = disallow) or
+    (host, path_prefix, allow) 3-tuple; path = everything after the
+    authority ('/' if empty). RFC 9309 longest-match: among the host's
+    rules whose prefix prefixes the path the longest wins, length tie →
+    Allow wins, no match → allowed. A disallowed URI is never enqueued.
+    Spec shared with the Spark gate (frontier/robots.py:disallowed_py)."""
     if not robots:
         return False
     import re
+
+    from .frontier.robots import disallowed_py
 
     m = re.match(r"^[^:]+://([^/]*)(.*)$", uri)
     if not m:
         return False
     host, path = m.group(1), m.group(2) or "/"
-    return any(h == host and path.startswith(p) for h, p in robots)
+    return disallowed_py(host, path, robots)
 
 
 def oracle_crawl(
@@ -58,8 +64,9 @@ def oracle_crawl(
     per_host_budget: int | None = None,
     max_rounds: int | None = None,
     extract=semantics.link_triples,
-    robots: list[tuple[str, str]] | None = None,
+    robots: list[tuple] | None = None,
     redirects: dict[str, str] | None = None,
+    host_budgets: dict[str, int] | None = None,
 ) -> CrawlResult:
     res = CrawlResult()
     cache: dict[str, list[semantics.Triple]] = {}
@@ -105,7 +112,8 @@ def oracle_crawl(
                 queue.append((uri, d, next_seq))
                 next_seq += 1
 
-    if per_host_budget is None:
+    overrides = dict(host_budgets or {})
+    if per_host_budget is None and not overrides:
         while queue:
             uri, d, seq = queue.popleft()
             push_unless_done(process(uri, d, seq))
@@ -113,6 +121,8 @@ def oracle_crawl(
             if max_rounds is not None and res.rounds >= max_rounds and queue:
                 break
     else:
+        # per-host overrides (crawl-delay translation, robots.py) shadow the
+        # base budget; with no base, unlisted hosts pop whole-frontier
         while queue:
             res.rounds += 1
             taken_per_host: dict[str, int] = {}
@@ -120,7 +130,8 @@ def oracle_crawl(
             kept: deque[tuple[str, int, int]] = deque()
             for uri, d, seq in queue:  # queue is already in seq order
                 h = host_of(uri)
-                if taken_per_host.get(h, 0) < per_host_budget:
+                limit = overrides.get(h, per_host_budget)
+                if limit is None or taken_per_host.get(h, 0) < limit:
                     taken_per_host[h] = taken_per_host.get(h, 0) + 1
                     popped.append((uri, d, seq))
                 else:
