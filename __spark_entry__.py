@@ -40,6 +40,7 @@ from scrappy_spark.operators import (
     textstats,
     timeseries,
 )
+from scrappy_spark.frontier import robots as robots_mod
 from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
 
 # ----------------------------------------------------------------- entry
@@ -225,6 +226,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": lambda s, d: multimodal.sample_frames(
             multimodal.synth_media(s, d)
         ).select("doc_id", "frame_idx", "t_offset"),
+        # robots.txt layer (frontier/robots.py): native-expression RFC-9309-
+        # subset parser over a deterministic synthetic robots corpus derived
+        # from the documents table, and the longest-match allow/disallow
+        # gate — parser AND gate value-oracled against a full SQL mirror
+        "robots_parse": robots_mod.parse_rules_query,
+        "robots_crawl_delays": robots_mod.crawl_delays_query,
+        "robots_gate": robots_mod.gate_query,
     }
 
 
@@ -675,6 +683,91 @@ WITH hsum AS (
          CAST(CASE WHEN kind <> 'audio' THEN 16 + (h * 7) % 768 ELSE 0 END AS INT) AS height,
          CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + h % 300 END AS INT) AS n_frames
   FROM hsum
+)
+"""
+
+
+# robots.txt layer (frontier/robots.py): full DuckDB mirror of the synthetic
+# corpus construction AND the RFC-9309-subset parser — line split/positions,
+# comment strip, tab-aware trim, directive extraction, UA-run group
+# segmentation (two window passes where Spark nests lag inside sum), exact-
+# agent-else-star selection, and value validation. Ends at a `sel` CTE
+# (selected directive rows) + a `rules` CTE (validated allow/disallow rows).
+_ROBOTS_CTE = r"""
+WITH lines_src AS (
+  SELECT source AS host, doc_id,
+    CASE (doc_id // 20) % 8
+      WHEN 0 THEN 'User-agent: ' || CASE doc_id % 3 WHEN 0 THEN '*'
+                    WHEN 1 THEN 'scrappy' ELSE 'otherbot' END
+      WHEN 1 THEN 'Disallow: /p' || (doc_id % 7)
+      WHEN 2 THEN 'Allow: /p' || (doc_id % 7) || '/ok'
+      WHEN 3 THEN 'Crawl-delay: ' || (1 + doc_id % 5)
+      WHEN 4 THEN 'User-Agent: ' || CASE doc_id % 2 WHEN 0 THEN 'SCRAPPY'
+                    ELSE '*' END
+      WHEN 5 THEN 'Disallow: bad' || (doc_id % 7)
+      WHEN 6 THEN '# c'
+      ELSE 'Disallow: /w*'
+    END AS line
+  FROM documents
+),
+texts AS (
+  SELECT host, string_agg(line, chr(10) ORDER BY doc_id) AS text
+  FROM lines_src GROUP BY host
+),
+rawlines AS (
+  SELECT host,
+         generate_subscripts(string_split(replace(text, chr(13), ''),
+                                          chr(10)), 1) AS pos,
+         unnest(string_split(replace(text, chr(13), ''), chr(10))) AS raw
+  FROM texts
+),
+dirs AS (
+  SELECT host, pos,
+    lower(regexp_extract(clean, '^([A-Za-z-]+)[ \t]*:', 1)) AS d,
+    regexp_replace(regexp_extract(clean, '^[A-Za-z-]+[ \t]*:(.*)$', 1),
+                   '^[ \t]+|[ \t]+$', '', 'g') AS v
+  FROM (SELECT host, pos,
+               regexp_replace(regexp_replace(raw, '#.*$', ''),
+                              '^[ \t]+|[ \t]+$', '', 'g') AS clean
+        FROM rawlines)
+  WHERE lower(regexp_extract(clean, '^([A-Za-z-]+)[ \t]*:', 1))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+starts AS (
+  SELECT host, pos, d, v,
+    CASE WHEN d = 'user-agent'
+              AND coalesce(lag(d) OVER (PARTITION BY host ORDER BY pos), '')
+                  <> 'user-agent'
+         THEN 1 ELSE 0 END AS is_start
+  FROM dirs
+),
+g AS (
+  SELECT host, pos, d, v,
+    sum(is_start) OVER (PARTITION BY host ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS gid
+  FROM starts
+),
+uas AS (
+  SELECT host, gid,
+    max(CASE WHEN lower(v) = 'scrappy' THEN 1 ELSE 0 END) AS has_agent,
+    max(CASE WHEN v = '*' THEN 1 ELSE 0 END) AS has_star
+  FROM g WHERE d = 'user-agent' GROUP BY host, gid
+),
+host_exact AS (SELECT host, max(has_agent) AS any_exact FROM uas GROUP BY host),
+sel AS (
+  SELECT g.host, g.d, g.v
+  FROM g JOIN uas ON g.host = uas.host AND g.gid = uas.gid
+         JOIN host_exact he ON g.host = he.host
+  WHERE g.d <> 'user-agent' AND g.gid >= 1
+    AND CASE WHEN he.any_exact = 1 THEN uas.has_agent = 1
+             ELSE uas.has_star = 1 END
+),
+rules AS (
+  SELECT DISTINCT host, (d = 'allow') AS allow, v AS prefix
+  FROM sel
+  WHERE d IN ('allow', 'disallow') AND starts_with(v, '/')
+    AND NOT contains(v, '*') AND NOT contains(v, '$')
 )
 """
 
@@ -1576,5 +1669,45 @@ def _oracle_sql_static() -> dict[str, str]:
               SELECT doc_id, unnest(range(0, n_frames, 30)) AS frame_idx
               FROM m WHERE kind = 'video'
             )
+        """,
+        "robots_parse": _ROBOTS_CTE
+        + " SELECT host, allow, prefix FROM rules",
+        "robots_crawl_delays": _ROBOTS_CTE
+        + r"""
+            SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+            FROM sel
+            WHERE d = 'crawl-delay'
+              AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
+            GROUP BY host
+        """,
+        "robots_gate": _ROBOTS_CTE
+        + """,
+            uris AS (
+              SELECT 'http://' || source || path AS uri,
+                     source AS host, path
+              FROM (
+                SELECT source, doc_id,
+                  CASE doc_id % 3
+                    WHEN 0 THEN '/p' || (doc_id % 7) || '/x' || doc_id
+                    WHEN 1 THEN '/p' || (doc_id % 7) || '/ok/y' || doc_id
+                    ELSE '/q' || doc_id
+                  END AS path
+                FROM documents
+              )
+            ),
+            cand AS (
+              SELECT u.uri, r.prefix, r.allow
+              FROM uris u LEFT JOIN rules r
+                ON r.host = u.host AND starts_with(u.path, r.prefix)
+            ),
+            best AS (
+              SELECT uri, prefix, allow,
+                     row_number() OVER (PARTITION BY uri
+                                        ORDER BY len(prefix) DESC,
+                                                 allow DESC) AS rn
+              FROM cand
+            )
+            SELECT uri FROM best
+            WHERE rn = 1 AND (prefix IS NULL OR allow)
         """,
     }

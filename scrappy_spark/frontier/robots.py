@@ -280,6 +280,92 @@ def gate(df: DataFrame, uri_col: str, rules_df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# driver-contract queries: a synthetic robots corpus derived
+# DETERMINISTICALLY from the documents table (doc_id, source), so the parser
+# and the gate are value-oracled against a full DuckDB mirror of the same
+# construction + parse (oracle strings live in __spark_entry__.py). Line
+# type cycles with floor(doc_id/20) % 8 — doc_ids within a source are
+# congruent mod 20 in the generator, so a doc_id % 8 selector would give
+# each host only two line types; the /20 divisor walks all eight.
+# ---------------------------------------------------------------------------
+
+def synth_robots_texts(spark, sf_dir: str) -> DataFrame:
+    """(host, text) robots corpus: host = source, one directive line per
+    document (ordered by doc_id), covering grouping (consecutive UA lines,
+    UA-after-rule group breaks), agent/star/other selection, case folding,
+    comments, invalid values, RFC wildcards, and crawl-delays."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    t = F.floor(d / 20) % 8
+    dig = (d % 7).cast("string")
+    line = (
+        F.when(
+            t == 0,
+            F.concat(
+                F.lit("User-agent: "),
+                F.when(d % 3 == 0, F.lit("*"))
+                .when(d % 3 == 1, F.lit("scrappy"))
+                .otherwise(F.lit("otherbot")),
+            ),
+        )
+        .when(t == 1, F.concat(F.lit("Disallow: /p"), dig))
+        .when(t == 2, F.concat(F.lit("Allow: /p"), dig, F.lit("/ok")))
+        .when(
+            t == 3,
+            F.concat(F.lit("Crawl-delay: "), (1 + d % 5).cast("string")),
+        )
+        .when(
+            t == 4,
+            F.concat(
+                F.lit("User-Agent: "),
+                F.when(d % 2 == 0, F.lit("SCRAPPY")).otherwise(F.lit("*")),
+            ),
+        )
+        .when(t == 5, F.concat(F.lit("Disallow: bad"), dig))
+        .when(t == 6, F.lit("# c"))
+        .otherwise(F.lit("Disallow: /w*"))
+    )
+    lines = docs.select(F.col("source").alias("host"), "doc_id", line.alias("line"))
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "line")))
+    return lines.groupBy("host").agg(
+        F.concat_ws("\n", F.transform(ordered, lambda x: x["line"])).alias("text")
+    )
+
+
+def parse_rules_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: parse the synthetic corpus for agent 'scrappy' →
+    (host, allow, prefix)."""
+    return parse_robots(synth_robots_texts(spark, sf_dir), agent=DEFAULT_AGENT)
+
+
+def crawl_delays_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: (host, crawl_delay) minima for agent 'scrappy'."""
+    return parse_crawl_delays(
+        synth_robots_texts(spark, sf_dir), agent=DEFAULT_AGENT
+    )
+
+
+def gate_query(spark, sf_dir: str) -> DataFrame:
+    """Driver entry: longest-match gate over synthetic URIs (one per
+    document; paths hit disallowed prefixes, Allow-override subtrees, and
+    unruled paths) against the parsed rules table → allowed (uri) rows."""
+    rules = parse_robots(synth_robots_texts(spark, sf_dir), agent=DEFAULT_AGENT)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    dig = (d % 7).cast("string")
+    ds = d.cast("string")
+    path = (
+        F.when(d % 3 == 0, F.concat(F.lit("/p"), dig, F.lit("/x"), ds))
+        .when(d % 3 == 1, F.concat(F.lit("/p"), dig, F.lit("/ok/y"), ds))
+        .otherwise(F.concat(F.lit("/q"), ds))
+    )
+    uris = docs.select(
+        F.concat(F.lit("http://"), F.col("source"), path).alias("uri")
+    )
+    return gate(uris, "uri", rules)
+
+
+# ---------------------------------------------------------------------------
 # driver helpers — feed parse output into CrawlConfig
 # ---------------------------------------------------------------------------
 
