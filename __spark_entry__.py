@@ -41,6 +41,7 @@ from scrappy_spark.operators import (
     timeseries,
 )
 from scrappy_spark.frontier import robots as robots_mod
+from scrappy_spark.frontier import sitemaps as sitemaps_mod
 from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
 
 # ----------------------------------------------------------------- entry
@@ -233,6 +234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": robots_mod.parse_rules_query,
         "robots_crawl_delays": robots_mod.crawl_delays_query,
         "robots_gate": robots_mod.gate_query,
+        # sitemap layer (frontier/sitemaps.py): sitemaps.org-subset parse
+        # (loc/lastmod, same-host location constraint), recency-filtered
+        # seed derivation, and one-level sitemapindex expansion via an
+        # equi-join on the child URL — all over a deterministic synthetic
+        # corpus mirrored in SQL
+        "sitemap_parse": sitemaps_mod.parse_query,
+        "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
+        "sitemap_index_expand": sitemaps_mod.index_expand_query,
     }
 
 
@@ -768,6 +777,52 @@ rules AS (
   FROM sel
   WHERE d IN ('allow', 'disallow') AND starts_with(v, '/')
     AND NOT contains(v, '*') AND NOT contains(v, '$')
+)
+"""
+
+
+# sitemap layer (frontier/sitemaps.py): DuckDB mirror of the synthetic
+# sitemap corpus construction AND the sitemaps.org-subset parse — <url>
+# block extraction ((?s) non-greedy, same RE2-compatible patterns), loc /
+# optional-lastmod extraction with whitespace tolerance, the absolute-URL +
+# same-host location constraint. Ends at a `valid` CTE of (host, loc,
+# lastmod) entries; `texts` holds the per-host sitemap documents.
+_SITEMAP_CTE = r"""
+WITH blocks AS (
+  SELECT source AS host, doc_id,
+    '<url>' || chr(10) || '  <loc> http://' ||
+    CASE WHEN doc_id % 11 = 0 THEN 'evil.example.com' ELSE source END ||
+    '/p' || (doc_id % 7) || '/x' || doc_id || ' </loc>' || chr(10) ||
+    CASE WHEN doc_id % 5 = 0 THEN ''
+         ELSE '  <lastmod>2026-01-' ||
+              lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+              '</lastmod>' || chr(10) END ||
+    '</url>' AS block
+  FROM documents
+),
+texts AS (
+  SELECT host,
+         '<urlset>' || chr(10) ||
+         string_agg(block, chr(10) ORDER BY doc_id) ||
+         chr(10) || '</urlset>' AS text
+  FROM blocks GROUP BY host
+),
+ub AS (
+  SELECT host,
+         unnest(regexp_extract_all(text, '(?s)<url>(.*?)</url>', 1)) AS block
+  FROM texts
+),
+parsed AS (
+  SELECT host,
+    regexp_extract(block, '<loc>\s*([^<\s]+)\s*</loc>', 1) AS loc,
+    nullif(regexp_extract(block, '<lastmod>\s*([^<\s]+)\s*</lastmod>', 1),
+           '') AS lastmod
+  FROM ub
+),
+valid AS (
+  SELECT host, loc, lastmod FROM parsed
+  WHERE (starts_with(loc, 'http://') OR starts_with(loc, 'https://'))
+    AND regexp_extract(loc, '^[^:]+://([^/]*)', 1) = host
 )
 """
 
@@ -1709,5 +1764,64 @@ def _oracle_sql_static() -> dict[str, str]:
             )
             SELECT uri FROM best
             WHERE rn = 1 AND (prefix IS NULL OR allow)
+        """,
+        "sitemap_parse": _SITEMAP_CTE
+        + " SELECT host, loc, lastmod FROM valid",
+        "sitemap_recent_seeds": _SITEMAP_CTE
+        + """
+            SELECT DISTINCT loc AS uri, lastmod FROM valid
+            WHERE lastmod >= '2026-01-15'
+        """,
+        "sitemap_index_expand": _SITEMAP_CTE
+        + r""",
+            idx AS (
+              SELECT host,
+                     '<sitemapindex>' || chr(10) ||
+                     '<sitemap><loc>http://' || host ||
+                     '/sitemap.xml</loc></sitemap>' || chr(10) ||
+                     '<sitemap><loc>http://evil.example.com/sitemap.xml' ||
+                     '</loc></sitemap>' || chr(10) || '</sitemapindex>'
+                     AS text
+              FROM texts
+            ),
+            ch AS (
+              SELECT host,
+                     regexp_extract(
+                       unnest(regexp_extract_all(
+                         text, '(?s)<sitemap>(.*?)</sitemap>', 1)),
+                       '<loc>\s*([^<\s]+)\s*</loc>', 1) AS child
+              FROM idx
+            ),
+            chv AS (
+              SELECT host, child FROM ch
+              WHERE child <> ''
+                AND regexp_extract(child, '^[^:]+://([^/]*)', 1) = host
+            ),
+            child_docs AS (
+              SELECT 'http://' || host || '/sitemap.xml' AS doc_id, text
+              FROM texts
+            ),
+            resolved AS (
+              SELECT c.host, d.text
+              FROM chv c JOIN child_docs d ON c.child = d.doc_id
+            ),
+            ub2 AS (
+              SELECT host,
+                     unnest(regexp_extract_all(
+                       text, '(?s)<url>(.*?)</url>', 1)) AS block
+              FROM resolved
+            ),
+            parsed2 AS (
+              SELECT host,
+                regexp_extract(block, '<loc>\s*([^<\s]+)\s*</loc>', 1) AS loc,
+                nullif(regexp_extract(
+                  block, '<lastmod>\s*([^<\s]+)\s*</lastmod>', 1), '')
+                  AS lastmod
+              FROM ub2
+            )
+            SELECT host, loc, lastmod FROM parsed2
+            WHERE (starts_with(loc, 'http://')
+                   OR starts_with(loc, 'https://'))
+              AND regexp_extract(loc, '^[^:]+://([^/]*)', 1) = host
         """,
     }

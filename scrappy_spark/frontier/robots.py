@@ -86,13 +86,11 @@ def disallowed_py(host: str, path: str, rules) -> bool:
 # parsing (native expressions only)
 # ---------------------------------------------------------------------------
 
-def robots_texts_from_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, spans) → (host, text) for the ``/robots.txt`` documents.
-
-    The interleaved-spans table is the web (input_hint); a robots.txt is a
-    document whose text spans are its lines/blocks, concatenated in offset
-    order. Media/link spans inside a robots doc are ignored.
-    """
+def span_text_expr() -> Column:
+    """Expression: a spans-web document's plain text — its ``text`` spans
+    concatenated in offset order ('\\n'-joined), media/link spans ignored.
+    Shared by the robots and sitemap layers (any per-document control file
+    living IN the interleaved-spans web)."""
     ordered = F.array_sort(
         F.filter("spans", lambda s: s["kind"] == F.lit("text")),
         # array_sort on struct sorts by fields in order (kind first) — sort
@@ -101,11 +99,19 @@ def robots_texts_from_spans(docs: DataFrame) -> DataFrame:
         .when(a["offset"] > b["offset"], 1)
         .otherwise(0),
     )
+    return F.concat_ws("\n", F.transform(ordered, lambda s: s["text"]))
+
+
+def robots_texts_from_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → (host, text) for the ``/robots.txt`` documents.
+
+    The interleaved-spans table is the web (input_hint); a robots.txt is a
+    document whose text spans are its lines/blocks, concatenated in offset
+    order. Media/link spans inside a robots doc are ignored.
+    """
     return docs.where(F.col("doc_id").endswith("/robots.txt")).select(
         F.regexp_extract("doc_id", r"^[^:]+://([^/]*)", 1).alias("host"),
-        F.concat_ws(
-            "\n", F.transform(ordered, lambda s: s["text"])
-        ).alias("text"),
+        span_text_expr().alias("text"),
     )
 
 
