@@ -40,6 +40,7 @@ from scrappy_spark.operators import (
     textstats,
     timeseries,
 )
+from scrappy_spark.frontier import redirects as redirects_mod
 from scrappy_spark.frontier import robots as robots_mod
 from scrappy_spark.frontier import sitemaps as sitemaps_mod
 from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
@@ -242,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": sitemaps_mod.parse_query,
         "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
         "sitemap_index_expand": sitemaps_mod.index_expand_query,
+        # redirect-chain resolution (frontier/redirects.py): pointer-jumping
+        # collapse of multi-hop redirect maps (log-diameter equi-joins,
+        # fail-loud on cycles) — synthetic chains up to 15 hops, recursive-
+        # CTE walk as the oracle
+        "url_redirect_resolve": redirects_mod.resolve_query,
     }
 
 
@@ -1823,5 +1829,21 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE (starts_with(loc, 'http://')
                    OR starts_with(loc, 'https://'))
               AND regexp_extract(loc, '^[^:]+://([^/]*)', 1) = host
+        """,
+        "url_redirect_resolve": """
+            WITH RECURSIVE edges AS (
+              SELECT 'http://r.example.com/' || doc_id AS src,
+                     'http://r.example.com/' || (doc_id - 1) AS dst
+              FROM documents WHERE doc_id % 16 <> 0
+            ),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.cur = e.src
+            )
+            SELECT w.src, w.cur AS final_uri, CAST(w.hops AS INT) AS hops
+            FROM walk w
+            WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
         """,
     }
