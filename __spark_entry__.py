@@ -71,6 +71,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-operator SQL analogues (SURVEY.md §2)
+        # F-2/F-11: the REAL window-ranked pop kernel (crawler.ranked_pop)
+        # over a synthetic frontier — priority + base budget + overrides
+        "f2_ranked_pop": relational.f2_ranked_pop,
         "f3_seen_antijoin": relational.f3_seen_antijoin,
         "f4_firstwins_dedup": relational.f4_firstwins_dedup,
         "f13_union_distinct": relational.f13_union_distinct,
@@ -843,6 +846,22 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_static() -> dict[str, str]:
     return {
+        "f2_ranked_pop": """
+            WITH frontier AS (
+              SELECT 'http://' || source || '/f' || doc_id AS uri,
+                     source AS host, doc_id AS seq,
+                     CAST(doc_id % 4 AS INT) AS depth
+              FROM documents
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY depth ASC, seq ASC) AS rk
+              FROM frontier
+            )
+            SELECT uri, host, CAST(seq AS BIGINT) AS seq, depth FROM ranked
+            WHERE rk <= CASE host WHEN 'src0' THEN 1
+                                  WHEN 'src1' THEN 5 ELSE 3 END
+        """,
         "f3_seen_antijoin": """
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o

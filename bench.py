@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    from scrappy_spark.frontier import redirects, robots, sitemaps
     from scrappy_spark.operators import (
         boilerplate,
         dedup,
@@ -93,6 +94,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
         "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
         "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
+        "robots_parse": robots.parse_rules_query,
+        "robots_gate": robots.gate_query,
+        "sitemap_recent_seeds": sitemaps.recent_seeds_query,
+        "url_redirect_resolve": redirects.resolve_query,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

@@ -103,6 +103,51 @@ class CrawlConfig:
     priority_expr: str | None = None
 
 
+def ranked_pop(
+    frontier: DataFrame,
+    per_host_budget: int | None,
+    host_budgets: tuple[tuple[str, int], ...] = (),
+    priority_expr: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Window-ranked politeness pop over a frontier snapshot — the north
+    rule's "priority queue realized as window-ranked SQL over frontier
+    snapshots", standalone so it is both the crawl loop's pop (F-2/F-11,
+    `Crawler._round`) and a value-oracled driver entry (`f2_ranked_pop`).
+
+    Rank key = (priority_expr ASC, seq ASC) within each host partition
+    (pure FIFO when priority_expr is None); a row pops iff its rank ≤ the
+    host's effective budget — a literal-map override (`host_budgets`,
+    robots Crawl-delay translation) else the base, with no base meaning
+    unbudgeted. Both the window and the budget map are codegen expressions:
+    the only shuffle is the hash partition on host, and hot-host skew is
+    the caller's salted-repartition concern (CrawlConfig.host_salt_k).
+
+    Returns (ranked, popped, kept); callers that materialize more than one
+    of them should persist `ranked` (one snapshot cache serves all
+    filters).
+    """
+    order_cols = (
+        [F.expr(priority_expr).asc(), F.col("seq").asc()]
+        if priority_expr
+        else [F.col("seq").asc()]
+    )
+    w = Window.partitionBy("host").orderBy(*order_cols)
+    # effective budget = host override (crawl-delay translation) else
+    # base; no base → unlisted hosts effectively unbudgeted
+    base = F.lit(per_host_budget if per_host_budget is not None else (1 << 62))
+    if host_budgets:
+        bmap = F.create_map(*[F.lit(x) for hb in host_budgets for x in hb])
+        limit = F.coalesce(
+            F.try_element_at(bmap, F.col("host")).cast("long"), base
+        )
+    else:
+        limit = base
+    ranked = frontier.withColumn("rk", F.row_number().over(w))
+    popped = ranked.where(F.col("rk") <= limit).drop("rk")
+    kept = ranked.where(F.col("rk") > limit).drop("rk")
+    return ranked, popped, kept
+
+
 def _make_resolve_udf():
     """Relative-href resolution (fragment.rb:128-135) — Arrow-batched;
     urljoin is the one genuinely-Python step (no Spark builtin). Built
@@ -532,35 +577,16 @@ class Crawler:
         # -- pop selection (F-2, F-11): window-ranked priority queue.
         # Rank key = (priority_expr, seq); per-host partitioning caps each
         # host at the politeness budget. FIFO = no priority, no budget.
-        order_cols = (
-            [F.expr(cfg.priority_expr).asc(), F.col("seq").asc()]
-            if cfg.priority_expr
-            else [F.col("seq").asc()]
-        )
         if cfg.per_host_budget is not None or cfg.host_budgets:
-            w = Window.partitionBy("host").orderBy(*order_cols)
-            # effective budget = host override (crawl-delay translation)
-            # else base; no base → unlisted hosts effectively unbudgeted.
-            # The override map is a literal expression — stays in codegen.
-            base = F.lit(
-                cfg.per_host_budget
-                if cfg.per_host_budget is not None
-                else (1 << 62)
+            ranked, popped, kept = ranked_pop(
+                frontier,
+                cfg.per_host_budget,
+                cfg.host_budgets,
+                cfg.priority_expr,
             )
-            if cfg.host_budgets:
-                bmap = F.create_map(
-                    *[F.lit(x) for hb in cfg.host_budgets for x in hb]
-                )
-                limit = F.coalesce(
-                    F.try_element_at(bmap, F.col("host")).cast("long"), base
-                )
-            else:
-                limit = base
             # cache the ranked snapshot once: popped, kept, and the order
             # delta are all cheap filters over it
-            ranked = frontier.withColumn("rk", F.row_number().over(w)).persist()
-            popped = ranked.where(F.col("rk") <= limit).drop("rk")
-            kept = ranked.where(F.col("rk") > limit).drop("rk")
+            ranked.persist()
         else:
             # budgetless: the whole snapshot pops this round, so priority
             # has no selection effect (it matters only under a budget);

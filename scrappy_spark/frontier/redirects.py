@@ -32,25 +32,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve_chains(
-    edges: DataFrame, max_hops: int = 32, _materialize=None
-) -> DataFrame:
+def resolve_chains(edges: DataFrame, max_hops: int = 32) -> DataFrame:
     """(src, dst) single-hop redirect edges → (src, final_uri, hops) for
     EVERY src, where final_uri has no outgoing edge and hops counts the
     edges walked. Raises on cycles / chains longer than ``max_hops``.
 
     Precondition (raised on violation, not silently mangled): at most one
-    outgoing edge per src — a src with two targets has no well-defined
-    final. The check is one aggregate over the edge table.
+    DISTINCT target per src — a src with two different targets has no
+    well-defined final. Exact-duplicate rows (the same 3xx observed twice
+    in a fetch log) are fine: edges are de-duplicated first, which also
+    keeps the pointer-jumping join fan-out at 1.
     """
-    dup = edges.groupBy("src").count().where(F.col("count") > 1)
+    edges = edges.select("src", "dst").distinct().persist()
+    dup = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
     if dup.limit(1).count() > 0:
+        edges.unpersist()
         raise ValueError(
-            "resolve_chains: src with multiple outgoing redirect edges — "
+            "resolve_chains: src with multiple distinct redirect targets — "
             "final target undefined"
         )
 
-    # m: src -> (cur, hops), initially the raw edges (hops=1)
+    # m: src -> (cur, hops), initially the deduped edges (hops=1)
     m = edges.select("src", F.col("dst").alias("cur"), F.lit(1).alias("hops"))
     iters = max(1, (max_hops - 1).bit_length())  # 2^iters >= max_hops
     for _ in range(iters):
@@ -59,6 +65,7 @@ def resolve_chains(
             F.col("cur").alias("j_cur"),
             F.col("hops").alias("j_hops"),
         )
+        old = m
         m = (
             m.join(jump, m["cur"] == jump["j_src"], "left")
             .select(
@@ -68,6 +75,9 @@ def resolve_chains(
             )
             .localCheckpoint(eager=True)
         )
+        # the superseded doubling is dead once the new one materializes —
+        # free its blocks (same discipline as components_from_pairs)
+        old.unpersist()
 
     # convergence check: after the doublings no cur may still have an
     # outgoing edge; survivors mean a cycle or an over-cap chain
@@ -76,10 +86,12 @@ def resolve_chains(
     n_bad = unresolved.limit(1).count()
     if n_bad > 0:
         sample = [r["src"] for r in unresolved.select("src").limit(3).collect()]
+        edges.unpersist()
         raise RuntimeError(
             f"resolve_chains: unresolved after {iters} doublings "
             f"(cycle or chain > {max_hops} hops); e.g. src={sample}"
         )
+    edges.unpersist()
     return m.select("src", F.col("cur").alias("final_uri"), "hops")
 
 

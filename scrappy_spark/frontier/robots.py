@@ -108,10 +108,26 @@ def robots_texts_from_spans(docs: DataFrame) -> DataFrame:
     The interleaved-spans table is the web (input_hint); a robots.txt is a
     document whose text spans are its lines/blocks, concatenated in offset
     order. Media/link spans inside a robots doc are ignored.
+
+    Robots.txt is only defined at the authority root, so the filter anchors
+    the path (``scheme://authority/robots.txt`` exactly — a page that merely
+    ENDS with /robots.txt is not a robots file); if one host still yields
+    several robots documents (http:// and https:// variants), ONE is chosen
+    deterministically (min doc_id) — interleaving two documents through the
+    parser's per-host windows would scramble group segmentation.
     """
-    return docs.where(F.col("doc_id").endswith("/robots.txt")).select(
+    cand = docs.where(
+        F.col("doc_id").rlike(r"^[^:/]+://[^/]+/robots\.txt$")
+    ).select(
         F.regexp_extract("doc_id", r"^[^:]+://([^/]*)", 1).alias("host"),
+        "doc_id",
         span_text_expr().alias("text"),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("host", "text")
     )
 
 
@@ -396,12 +412,23 @@ def delays_to_budgets(
     URL per round — documented divergence from wall-clock enforcement,
     which live fetchers additionally honor via politeness_delay_ms). A
     ``base_budget`` caps the translated budgets.
+
+    ``Crawl-delay: 0`` (valid, means "no delay") translates to NO override
+    — the base budget applies. Keys are normalized to the frontier's
+    ``host`` column form (port stripped, ``urlnorm.host_of``) — the parser
+    keys on the full authority, but budget overrides attach to the pop's
+    host partitioning; if two authorities of one host carry different
+    delays the SMALLEST budget wins (most conservative).
     """
     rows = delays_df.select("host", "crawl_delay").collect()
-    out = []
+    out: dict[str, int] = {}
     for r in rows:
-        b = max(1, int(round_seconds // float(r["crawl_delay"])))
+        d = float(r["crawl_delay"])
+        if d <= 0:
+            continue  # no delay -> unbudgeted (base applies)
+        b = max(1, int(round_seconds // d))
         if base_budget is not None:
             b = min(b, base_budget)
-        out.append((r["host"], b))
-    return tuple(sorted(out))
+        host = r["host"].split(":", 1)[0]
+        out[host] = min(b, out.get(host, b))
+    return tuple(sorted(out.items()))

@@ -21,6 +21,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def f2_ranked_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-2/F-11 window-ranked politeness pop (map_reduce.rb:17-30 pop +
+    the north rule's budgeted priority queue), exercising the REAL kernel
+    (frontier.crawler.ranked_pop): a synthetic frontier snapshot derived
+    from documents (uri/host/seq/depth), ranked by priority_expr='depth'
+    (shallow-first) then seq, base budget 3 with per-host literal-map
+    overrides (src0→1, src1→5). Returns the popped rows."""
+    from ..frontier.crawler import ranked_pop
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("http://"), "source", F.lit("/f"), d.cast("string")).alias(
+            "uri"
+        ),
+        F.col("source").alias("host"),
+        d.alias("seq"),
+        (d % 4).cast("int").alias("depth"),
+    )
+    _, popped, _ = ranked_pop(
+        frontier, 3, (("src0", 1), ("src1", 5)), priority_expr="depth"
+    )
+    return popped
+
+
 def f3_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-3 seen-set dedup (map_reduce.rb:40-42) ↔ left-anti join:
     customers with no 'F'-status order. The "seen" side is a filtered

@@ -56,9 +56,17 @@ def test_long_chain_needs_doubling(spark):
     assert got["u0"] == ("u15", 15)
 
 
-def test_multi_out_edge_raises(spark):
-    with pytest.raises(ValueError, match="multiple outgoing"):
+def test_multi_target_raises_but_duplicate_rows_ok(spark):
+    with pytest.raises(ValueError, match="multiple distinct"):
         RD.resolve_chains(_edges(spark, [("a", "b"), ("a", "c")]))
+    # the same observed 3xx twice is NOT a violation (fetch-log reality)
+    got = {
+        r["src"]: (r["final_uri"], r["hops"])
+        for r in RD.resolve_chains(
+            _edges(spark, [("a", "b"), ("a", "b"), ("b", "c")])
+        ).collect()
+    }
+    assert got == {"a": ("c", 2), "b": ("c", 1)}
 
 
 def test_cycle_raises(spark):

@@ -108,6 +108,21 @@ def test_texts_from_spans(spark):
     assert [(r["prefix"], r["allow"]) for r in rules] == [("/x", False)]
 
 
+def test_texts_from_spans_root_anchor_and_one_per_host(spark):
+    span = lambda t: [{"kind": "text", "text": t, "media_ref": "", "offset": 0}]
+    docs = {
+        # NOT robots files: robots.txt below the root
+        "http://a.example.com/blog/robots.txt": span("Disallow: /decoy"),
+        # two genuine robots docs for one host (http + https) -> the
+        # min-doc_id one wins deterministically, never an interleaving
+        "http://b.example.com/robots.txt": span("User-agent: *\nDisallow: /h"),
+        "https://b.example.com/robots.txt": span("User-agent: *\nDisallow: /s"),
+    }
+    df = spark.createDataFrame(list(docs.items()), DOCUMENTS_SCHEMA)
+    got = {r["host"]: r["text"] for r in R.robots_texts_from_spans(df).collect()}
+    assert got == {"b.example.com": "User-agent: *\nDisallow: /h"}
+
+
 def test_longest_match_spec():
     rules = [
         ("h.example.com", "/p", False),
@@ -165,6 +180,16 @@ def test_delays_to_budgets_and_rules_tuples(spark):
         ("a", 4),
         ("b", 4),
         ("c", 1),
+    )
+    # Crawl-delay: 0 = "no delay" -> NO override (base applies), not a
+    # ZeroDivisionError; port-bearing authorities normalize to the
+    # frontier's port-stripped host, smallest budget winning on collision
+    edge = spark.createDataFrame(
+        [("z", 0.0), ("p.example.com:8080", 5.0), ("p.example.com", 2.0)],
+        "host string, crawl_delay double",
+    )
+    assert R.delays_to_budgets(edge, round_seconds=10.0) == (
+        ("p.example.com", 2),  # min(10//5=2, 10//2=5)
     )
     rules = spark.createDataFrame(
         [("h", True, "/ok"), ("h", False, "/")],
