@@ -175,6 +175,12 @@ def _selected_directives(texts: DataFrame, agent: str) -> DataFrame:
             ).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+    # g fans out THREE ways below (rule rows, per-group UA sets, per-host
+    # exact-agent flags) — materialize the split/regex/window subtree once
+    # instead of compiling it into every branch (3 scans + 5 exchanges
+    # measured without this; the persist-before-fan-out discipline from
+    # the banded-dedup layer). localCheckpoint also cuts the lineage.
+    g = g.localCheckpoint(eager=True)
     uas = (
         g.where(F.col("d") == "user-agent")
         .groupBy("host", "gid")
