@@ -184,6 +184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point (no float in the loop — bit-identical across
         # engines) over the deterministic doc outlink graph
         "graph_pagerank": graph.doc_pagerank,
+        # centrality-prioritized frontier pop: exact fixed-point PageRank
+        # joins the frontier, the REAL ranked_pop kernel orders each
+        # host's queue by descending rank — "crawl important pages first"
+        "frontier_pagerank_pop": graph.pagerank_prioritized_pop,
         # near-dup cluster-size histogram over the minhash component map
         # (the dedup-report rollup an operator of record ships with)
         "dedup_cluster_stats": dedup.minhash_cluster_stats,
@@ -836,6 +840,54 @@ valid AS (
 """
 
 
+# BIGINT fixed-point PageRank mirror (operators/graph.py) — the recursive
+# CTE body shared by graph_pagerank and the centrality-prioritized pop
+_PAGERANK_CTES = f"""
+            WITH RECURSIVE
+            docs_n AS (SELECT count(*) AS n_docs FROM documents),
+            expand AS (
+              SELECT doc_id AS src,
+                     unnest(generate_series(1, 1 + doc_id % {graph.LINK_MAXDEG})) AS j
+              FROM documents
+            ),
+            edges AS (
+              SELECT DISTINCT src,
+                     (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs AS dst
+              FROM expand, docs_n n
+              WHERE (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs <> src
+                AND (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs
+                    IN (SELECT doc_id FROM documents)
+            ),
+            deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+              )
+            ),
+            aug AS (
+              SELECT e.src, e.dst, d.out_deg, 1 AS real
+              FROM edges e JOIN deg d USING (src)
+              UNION ALL
+              SELECT node, node, 1, 0 FROM nodes
+            ),
+            pr AS (
+              SELECT 0 AS iter, node,
+                     CAST({graph.SCALE_I} AS BIGINT) AS rank_i
+              FROM nodes
+              UNION ALL
+              SELECT p.iter + 1, a.dst AS node,
+                     {(graph.DAMPING_DEN - graph.DAMPING_NUM) * graph.SCALE_I // graph.DAMPING_DEN}
+                     + (2 * {graph.DAMPING_NUM} * sum(CASE WHEN a.real = 1
+                           THEN (2 * p.rank_i + a.out_deg) // (2 * a.out_deg)
+                           ELSE 0 END) + {graph.DAMPING_DEN})
+                       // (2 * {graph.DAMPING_DEN}) AS rank_i
+              FROM pr p JOIN aug a ON a.src = p.node
+              WHERE p.iter < {graph.ITERATIONS}
+              GROUP BY p.iter, a.dst
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     ivf = _ivf_oracle_sql()
@@ -1322,52 +1374,36 @@ def _oracle_sql_static() -> dict[str, str]:
         # CTE dedups explicitly with DISTINCT because inside WITH
         # RECURSIVE DuckDB treats a bare UNION between CTE arms as the
         # recursive-union form (measured: it kept duplicates).
-        "graph_pagerank": f"""
-            WITH RECURSIVE
-            docs_n AS (SELECT count(*) AS n_docs FROM documents),
-            expand AS (
-              SELECT doc_id AS src,
-                     unnest(generate_series(1, 1 + doc_id % {graph.LINK_MAXDEG})) AS j
-              FROM documents
-            ),
-            edges AS (
-              SELECT DISTINCT src,
-                     (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs AS dst
-              FROM expand, docs_n n
-              WHERE (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs <> src
-                AND (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs
-                    IN (SELECT doc_id FROM documents)
-            ),
-            deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
-            nodes AS (
-              SELECT DISTINCT node FROM (
-                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
-              )
-            ),
-            aug AS (
-              SELECT e.src, e.dst, d.out_deg, 1 AS real
-              FROM edges e JOIN deg d USING (src)
-              UNION ALL
-              SELECT node, node, 1, 0 FROM nodes
-            ),
-            pr AS (
-              SELECT 0 AS iter, node,
-                     CAST({graph.SCALE_I} AS BIGINT) AS rank_i
-              FROM nodes
-              UNION ALL
-              SELECT p.iter + 1, a.dst AS node,
-                     {(graph.DAMPING_DEN - graph.DAMPING_NUM) * graph.SCALE_I // graph.DAMPING_DEN}
-                     + (2 * {graph.DAMPING_NUM} * sum(CASE WHEN a.real = 1
-                           THEN (2 * p.rank_i + a.out_deg) // (2 * a.out_deg)
-                           ELSE 0 END) + {graph.DAMPING_DEN})
-                       // (2 * {graph.DAMPING_DEN}) AS rank_i
-              FROM pr p JOIN aug a ON a.src = p.node
-              WHERE p.iter < {graph.ITERATIONS}
-              GROUP BY p.iter, a.dst
-            )
+        "graph_pagerank": _PAGERANK_CTES
+        + f"""
             SELECT node AS doc_id, rank_i,
                    CAST(rank_i AS DOUBLE) / {graph.SCALE_I} AS rank
             FROM pr WHERE iter = {graph.ITERATIONS}
+        """,
+        # centrality-prioritized frontier pop: the pagerank mirror feeds
+        # the ranked-pop mirror (priority = highest rank first per host)
+        "frontier_pagerank_pop": _PAGERANK_CTES
+        + f""",
+            pr_final AS (
+              SELECT node AS doc_id, rank_i FROM pr
+              WHERE iter = {graph.ITERATIONS}
+            ),
+            frontier AS (
+              SELECT 'http://h' || (d.doc_id % 7) || '/f' || d.doc_id AS uri,
+                     'h' || (d.doc_id % 7) AS host,
+                     (d.doc_id * {graph.SEQ_PERM_MULT})
+                       % {graph.SEQ_PERM_MOD} AS seq,
+                     p.rank_i
+              FROM documents d JOIN pr_final p ON p.doc_id = d.doc_id
+            ),
+            fr AS (
+              SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY rank_i DESC,
+                                                    seq ASC) AS rk
+              FROM frontier
+            )
+            SELECT uri, host, CAST(seq AS BIGINT) AS seq, rank_i
+            FROM fr WHERE rk <= 2
         """,
         # cluster-size histogram over the (already-mirrored) minhash
         # component map

@@ -165,6 +165,10 @@ def pagerank(
 LINK_MULT = 31
 LINK_STRIDE = 7
 LINK_MAXDEG = 4
+# arrival-order permutation for the prioritized-pop entry (see
+# pagerank_prioritized_pop docstring): bijection on [0, SEQ_PERM_MOD)
+SEQ_PERM_MULT = 131071
+SEQ_PERM_MOD = 1048573
 
 
 def doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,3 +206,46 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (doc_id, rank_i, rank)."""
     pr = pagerank(doc_link_edges(spark, sf_dir))
     return pr.select(F.col("node").alias("doc_id"), "rank_i", "rank")
+
+
+def pagerank_prioritized_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: centrality-prioritized frontier pop — the tier-crawl
+    composition "crawl important pages first". PageRank scores (exact
+    BIGINT fixed-point, so the priority ORDER is bit-identical across
+    engines) join the synthetic frontier, and the REAL pop kernel
+    (frontier.crawler.ranked_pop) ranks each host's queue by descending
+    rank (priority_expr = -rank_i; ties fall back to seq), budget 2.
+    Scale shape: the rank table joins the frontier on doc key (broadcast
+    or bucketed equi-join) before the one hash partition on host that the
+    pop already pays.
+
+    Two synthesis choices keep the PRIORITY non-vacuous (the r2
+    vacuous-oracle trap): seq models ARRIVAL order, decorrelated from
+    centrality by a fixed modular permutation (×131071 mod the prime
+    1048573 — a bijection, injective on the doc_id range); and the
+    frontier host groups doc_id % 7 rather than `source` — the link
+    graph is symmetric within each doc_id-mod-20 residue class (every
+    `source` member gets the IDENTICAL rank), so source-grouped queues
+    would tie everywhere and the pop would degenerate to FIFO. The
+    mod-7 grouping mixes residue classes, giving each host's queue real
+    rank variance (asserted in the reorders-vs-fifo test)."""
+    from ..frontier.crawler import ranked_pop
+
+    pr = doc_pagerank(spark, sf_dir).select("doc_id", "rank_i")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"))
+    frontier = (
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("http://"), host, F.lit("/f"), d.cast("string")
+            ).alias("uri"),
+            host.alias("host"),
+            ((d * SEQ_PERM_MULT) % SEQ_PERM_MOD).alias("seq"),
+        )
+        .join(pr, "doc_id")
+        .withColumn("neg_rank", -F.col("rank_i"))
+    )
+    _, popped, _ = ranked_pop(frontier, 2, (), priority_expr="neg_rank")
+    return popped.select("uri", "host", "seq", "rank_i")

@@ -280,3 +280,37 @@ def test_pagerank_precondition_raises_loudly(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="lower SCALE_I"):
         g.pagerank(df)
+
+
+def test_pagerank_prioritized_pop_reorders_vs_fifo(spark, sf_dir):
+    """Non-vacuity of the centrality-prioritized pop: with budget 2 per
+    host, the pagerank-ordered selection differs from FIFO (seq) order,
+    and within each host the popped rows carry the host's top-2 ranks."""
+    from scrappy_spark.frontier.crawler import ranked_pop
+    from scrappy_spark.operators import graph as g
+
+    perm = lambda d: (d * g.SEQ_PERM_MULT) % g.SEQ_PERM_MOD
+    popped = g.pagerank_prioritized_pop(spark, sf_dir).collect()
+    pr = {
+        r["doc_id"]: r["rank_i"]
+        for r in g.doc_pagerank(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_host = {}
+    for r in docs:
+        if r["doc_id"] in pr:
+            by_host.setdefault(f"h{r['doc_id'] % 7}", []).append(r["doc_id"])
+    # expected: top-2 by (-rank_i, arrival seq) per host
+    expected = set()
+    for host, ids in by_host.items():
+        for d in sorted(ids, key=lambda i: (-pr[i], perm(i)))[:2]:
+            expected.add((host, perm(d)))
+    got = {(r["host"], r["seq"]) for r in popped}
+    assert got == expected
+    # FIFO (arrival-seq-ordered) top-2 differs -> the priority truly bit
+    fifo = {
+        (host, perm(d))
+        for host, ids in by_host.items()
+        for d in sorted(ids, key=perm)[:2]
+    }
+    assert got != fifo
