@@ -41,6 +41,7 @@ from scrappy_spark.operators import (
     timeseries,
 )
 from scrappy_spark.frontier import redirects as redirects_mod
+from scrappy_spark.frontier import traps as traps_mod
 from scrappy_spark.frontier import robots as robots_mod
 from scrappy_spark.frontier import sitemaps as sitemaps_mod
 from scrappy_spark.operators.text import DUCK_HASH60, DUCK_TOKENS, duck_shingles
@@ -255,6 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fail-loud on cycles) — synthetic chains up to 15 hops, recursive-
         # CTE walk as the oracle
         "url_redirect_resolve": redirects_mod.resolve_query,
+        # spider-trap detection (frontier/traps.py): URL-template
+        # cardinality per host (digit/query-value folding, two regexp
+        # passes + two aggregations) — calendar/session-id families flag,
+        # small catalogs don't, by construction
+        "frontier_trap_stats": traps_mod.trap_stats_query,
     }
 
 
@@ -1884,6 +1890,42 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE (starts_with(loc, 'http://')
                    OR starts_with(loc, 'https://'))
               AND regexp_extract(loc, '^[^:]+://([^/]*)', 1) = host
+        """,
+        "frontier_trap_stats": f"""
+            WITH uris AS (
+              SELECT 'http://' || source ||
+                CASE
+                  WHEN doc_id % 5 = 0 THEN '/cal/2026-01-' ||
+                       lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0')
+                  WHEN doc_id % 5 = 1 THEN '/page?sid=' || doc_id
+                  ELSE '/article/' || (doc_id % 9) || '/v'
+                END AS uri
+              FROM documents
+            ),
+            tpl AS (
+              SELECT regexp_extract(uri, '^[^:]+://([^/]*)', 1) AS host,
+                     regexp_replace(
+                       regexp_replace(
+                         CASE WHEN regexp_extract(uri,
+                                '^[^:]+://[^/]*(.*)$', 1) = ''
+                              THEN '/'
+                              ELSE regexp_extract(uri,
+                                '^[^:]+://[^/]*(.*)$', 1) END,
+                         '=[^&#]*', '=V', 'g'),
+                       '[0-9]+', 'D', 'g') AS template,
+                     uri
+              FROM uris
+            ),
+            per_template AS (
+              SELECT host, template, count(DISTINCT uri) AS t_urls
+              FROM tpl GROUP BY host, template
+            )
+            SELECT host,
+                   CAST(sum(t_urls) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_templates,
+                   CAST(max(t_urls) AS BIGINT) AS max_template_urls,
+                   (max(t_urls) >= {traps_mod.TRAP_TEMPLATE_URLS}) AS trap
+            FROM per_template GROUP BY host
         """,
         "url_redirect_resolve": """
             WITH RECURSIVE edges AS (
