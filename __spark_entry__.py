@@ -1903,14 +1903,17 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM documents
             ),
             tpl AS (
-              SELECT regexp_extract(uri, '^[^:]+://([^/]*)', 1) AS host,
+              -- host charset mirrors urlnorm.host_col ([^/?#:]*); the
+              -- path boundary is [/?#] so path-less query URLs keep
+              -- their query in the template, not in the host
+              SELECT regexp_extract(uri, '^[^:]+://([^/?#:]*)', 1) AS host,
                      regexp_replace(
                        regexp_replace(
                          CASE WHEN regexp_extract(uri,
-                                '^[^:]+://[^/]*(.*)$', 1) = ''
+                                '^[^:]+://[^/?#]*(.*)$', 1) = ''
                               THEN '/'
                               ELSE regexp_extract(uri,
-                                '^[^:]+://[^/]*(.*)$', 1) END,
+                                '^[^:]+://[^/?#]*(.*)$', 1) END,
                          '=[^&#]*', '=V', 'g'),
                        '[0-9]+', 'D', 'g') AS template,
                      uri

@@ -29,9 +29,13 @@ TRAP_TEMPLATE_URLS = 15
 def url_template_expr(uri) -> Column:
     """URL → template: query values → ``=V`` (before digit folding, so
     value text never leaks into the template), digit runs → ``D``. The
-    scheme/authority is dropped — templates describe a host's PATH space
-    and the caller groups by host."""
-    path = F.regexp_extract(uri, r"^[^:]+://[^/]*(.*)$", 1)
+    scheme/authority is dropped — templates describe a host's path+query
+    space and the caller groups by host. The authority boundary is
+    ``[/?#]`` (not just ``/``): a canonical path-less query URL like
+    ``http://h?sid=1`` must template as ``?sid=V``, not swallow the query
+    into the host — that is exactly the session-id family this module
+    exists to catch."""
+    path = F.regexp_extract(uri, r"^[^:]+://[^/?#]*(.*)$", 1)
     path = F.when(path == "", "/").otherwise(path)
     return F.regexp_replace(
         F.regexp_replace(path, r"=[^&#]*", "=V"), r"[0-9]+", "D"
@@ -43,8 +47,17 @@ def trap_stats(
 ) -> DataFrame:
     """(…, uri) → per-host (host, n_urls, n_templates, max_template_urls,
     trap). ``max_template_urls`` = the largest DISTINCT-URL count any one
-    template covers on that host; ``trap`` = that count ≥ threshold."""
-    host = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
+    template covers on that host; ``trap`` = that count ≥ threshold.
+
+    The host key is ``urlnorm.host_col`` — the SAME form as the
+    frontier's ``host`` column (port stripped, stops at ``/?#``) — so the
+    output joins straight onto the frontier as a gate and its flagged
+    hosts are valid ``CrawlConfig.host_budgets`` keys (a budget demotion
+    keyed on ``host:port`` would silently never match; the robots
+    delay-translation learned the same lesson)."""
+    from ..urlnorm import host_col
+
+    host = host_col(F.col(uri_col))
     per_template = (
         uris.select(
             host.alias("host"),

@@ -171,8 +171,12 @@ SEQ_PERM_MULT = 131071
 SEQ_PERM_MOD = 1048573
 
 
-def doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+def doc_link_edges(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.select("doc_id")
     n = docs.groupBy().agg(F.count("*").alias("n_docs"))
     edges = (
         docs.crossJoin(F.broadcast(n))
@@ -201,10 +205,12 @@ def doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
 
 
-def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_pagerank(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Driver entry: PageRank over the synthetic document outlink graph,
     columns (doc_id, rank_i, rank)."""
-    pr = pagerank(doc_link_edges(spark, sf_dir))
+    pr = pagerank(doc_link_edges(spark, sf_dir, docs))
     return pr.select(F.col("node").alias("doc_id"), "rank_i", "rank")
 
 
@@ -231,8 +237,19 @@ def pagerank_prioritized_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank variance (asserted in the reorders-vs-fifo test)."""
     from ..frontier.crawler import ranked_pop
 
-    pr = doc_pagerank(spark, sf_dir).select("doc_id", "rank_i")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the seq permutation is a bijection only on [0, SEQ_PERM_MOD); past
+    # that, same-host equal-rank docs could collide on (rank, seq) and
+    # make row_number nondeterministic vs the oracle — fail loudly, the
+    # same discipline as pagerank()'s SCALE_I overflow guard
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if max_id is not None and max_id >= SEQ_PERM_MOD:
+        raise ValueError(
+            f"pagerank_prioritized_pop: max doc_id {max_id} >= "
+            f"SEQ_PERM_MOD {SEQ_PERM_MOD}; the arrival permutation is no "
+            "longer injective — raise SEQ_PERM_MOD (prime) on both sides"
+        )
+    pr = doc_pagerank(spark, sf_dir, docs).select("doc_id", "rank_i")
     d = F.col("doc_id")
     host = F.concat(F.lit("h"), (d % 7).cast("string"))
     frontier = (

@@ -286,7 +286,6 @@ def test_pagerank_prioritized_pop_reorders_vs_fifo(spark, sf_dir):
     """Non-vacuity of the centrality-prioritized pop: with budget 2 per
     host, the pagerank-ordered selection differs from FIFO (seq) order,
     and within each host the popped rows carry the host's top-2 ranks."""
-    from scrappy_spark.frontier.crawler import ranked_pop
     from scrappy_spark.operators import graph as g
 
     perm = lambda d: (d * g.SEQ_PERM_MULT) % g.SEQ_PERM_MOD

@@ -116,33 +116,3 @@ def test_collapsed_map_crawl_exact_match(spark, tmp_path):
     # (seen contains some depth-0 children of the real page iff it has any)
     assert golden.fetches.get(real, 0) >= 1
 
-
-# ---------------------------------------------------------------- traps
-
-
-def test_trap_stats_units(spark):
-    """URL-template trap signal: a calendar family and a session-id
-    family flag; a small catalog and singleton pages do not."""
-    from scrappy_spark.frontier import traps as T
-
-    uris = (
-        [f"http://cal.example.com/d/2026-01-{i:02d}" for i in range(1, 21)]
-        + [f"http://sid.example.com/p?sid={i}&x=7" for i in range(20)]
-        + [f"http://ok.example.com/a/{i}" for i in range(3)]
-        + ["http://one.example.com/about"]
-    )
-    df = spark.createDataFrame([(u,) for u in uris], "uri string")
-    got = {r["host"]: r for r in T.trap_stats(df, threshold=15).collect()}
-    assert got["cal.example.com"]["trap"] and got["cal.example.com"][
-        "max_template_urls"
-    ] == 20
-    # query VALUES fold (=V) -> all sids share one template
-    assert got["sid.example.com"]["trap"]
-    assert got["sid.example.com"]["n_templates"] == 1
-    assert not got["ok.example.com"]["trap"]  # 3 urls, one template
-    assert not got["one.example.com"]["trap"]
-    # duplicates don't inflate the DISTINCT-url count
-    dup = spark.createDataFrame(
-        [("http://h/x1",)] * 30, "uri string"
-    )
-    assert not T.trap_stats(dup, threshold=15).collect()[0]["trap"]
