@@ -67,14 +67,18 @@ def doc_texts_from_spans(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", span_text_expr().alias("text"))
 
 
-def parse_sitemaps(texts: DataFrame) -> DataFrame:
+def parse_sitemaps(texts: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """(host, text) → (host, loc, lastmod) URL entries.
 
     Blocks are extracted with one regexp_extract_all + explode; loc must be
     an absolute http/https URL on the SAME host (location constraint);
-    lastmod is null when the tag is absent."""
+    lastmod is null when the tag is absent. ``passthrough`` columns of the
+    input (e.g. an event_time for the streaming path) are carried onto
+    every emitted entry — the parse itself is MAP-ONLY, so it is directly
+    usable on an unbounded stream."""
     blocks = texts.select(
         "host",
+        *passthrough,
         F.explode(
             F.regexp_extract_all("text", F.lit(_URL_BLOCK_RE), 1)
         ).alias("block"),
@@ -84,6 +88,7 @@ def parse_sitemaps(texts: DataFrame) -> DataFrame:
     return (
         blocks.select(
             "host",
+            *passthrough,
             loc.alias("loc"),
             F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
         )

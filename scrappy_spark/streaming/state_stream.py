@@ -241,6 +241,37 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def discovery_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming sitemap discovery (round 4): sitemap documents arriving
+    on a live ingest stream → first-seen seed rows (uri, lastmod,
+    event_time). The sitemap parse (frontier/sitemaps.py) is MAP-ONLY —
+    each document's <url> blocks explode independently, the same-host
+    location constraint is a per-row filter — so the only stateful
+    operator is the watermarked first-wins dedup on the discovered URL
+    (`dropDuplicatesWithinWatermark`): state is bounded by discovery-rate
+    × watermark, the same contract as dedup_stream. A URL re-announced
+    after the watermark re-emits, which is correct for discovery (the
+    frontier's seen set — bloom/cuckoo + anti-join — is the global
+    dedup of record downstream).
+
+    Input stream schema: (doc_id string, spans array<…>, event_time
+    timestamp) — the spans web's shape plus ingest time."""
+    from ..frontier.robots import span_text_expr
+    from ..frontier.sitemaps import SITEMAP_SUFFIX, parse_sitemaps
+
+    texts = docs.where(F.col("doc_id").endswith(SITEMAP_SUFFIX)).select(
+        F.regexp_extract("doc_id", r"^[^:]+://([^/]*)", 1).alias("host"),
+        "event_time",
+        span_text_expr().alias("text"),
+    )
+    seeds = parse_sitemaps(texts, passthrough=("event_time",)).select(
+        F.col("loc").alias("uri"), "lastmod", "event_time"
+    )
+    return seeds.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["uri"]
+    )
+
+
 def windowed_fetch_rate(
     fetch_events: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
 ) -> DataFrame:

@@ -240,3 +240,82 @@ def test_simhash_pairs_stream_cross_batch(spark, tmp_path):
     }
     assert got == want
     assert ("d1", "d3", 0) in got and ("d2", "d4", 0) in got  # cross-batch
+
+
+def test_discovery_stream_first_wins_across_batches(spark, tmp_path):
+    """Streaming sitemap discovery: seeds parse map-only from sitemap
+    docs arriving across micro-batches; a URL re-announced in a LATER
+    batch (same or different host's sitemap) is deduped by the
+    watermarked state; cross-host locs never become seeds."""
+    import datetime
+
+    from scrappy_spark.corpus import DOCUMENTS_SCHEMA
+    from scrappy_spark.streaming.state_stream import discovery_stream
+
+    src = tmp_path / "sm_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    span = lambda t: [{"kind": "text", "text": t, "media_ref": "", "offset": 0}]
+
+    def sitemap(host, locs):
+        body = "".join(
+            f"<url><loc>{u}</loc><lastmod>{lm}</lastmod></url>"
+            if lm
+            else f"<url><loc>{u}</loc></url>"
+            for u, lm in locs
+        )
+        return f"http://{host}/sitemap.xml", span(f"<urlset>{body}</urlset>")
+
+    schema = DOCUMENTS_SCHEMA.add("event_time", "timestamp")
+
+    def _write(name, rows, secs):
+        data = [
+            (d, s, t0 + datetime.timedelta(seconds=secs)) for d, s in rows
+        ]
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    _write(
+        "b1",
+        [
+            sitemap(
+                "a.example.com",
+                [("http://a.example.com/p1", "2026-01-02"),
+                 ("http://a.example.com/p2", None),
+                 ("http://evil.example.com/x", "2026-01-02")],
+            ),
+            ("http://a.example.com/page", span("not a sitemap")),
+        ],
+        0,
+    )
+    # batch 2 re-announces p1 (must dedup) and adds p3
+    _write(
+        "b2",
+        [sitemap("a.example.com",
+                 [("http://a.example.com/p1", "2026-01-03"),
+                  ("http://a.example.com/p3", "2026-01-04")])],
+        30,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        discovery_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("discovery_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT uri, lastmod FROM discovery_t").collect()
+    assert {(r["uri"], r["lastmod"]) for r in rows} == {
+        ("http://a.example.com/p1", "2026-01-02"),  # first-seen lastmod
+        ("http://a.example.com/p2", None),
+        ("http://a.example.com/p3", "2026-01-04"),
+    }
+    assert len(rows) == 3  # the re-announcement was deduped
