@@ -70,28 +70,112 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract query registry.
+
+    ORDERING CONVENTION (round-5, from VERDICT r4): the driver's per-round
+    CORRECTNESS_r{N}.json checks only the FIRST 50 entries in dict order.
+    Therefore (a) entries that have never carried a driver-green row come
+    FIRST, (b) any NEW entry added in a round is inserted at the FRONT so it
+    is driver-stamped in its first round, (c) long-proven entries (driver-
+    green in one or more past rounds) fill the back.  As of round 5 the
+    first 30 below are exactly the entries VERDICT r4 found outside the r4
+    window; positions 31-50 re-stamp the heaviest proven kernels.
+    """
     return {
-        # crawl-operator SQL analogues (SURVEY.md §2)
-        # F-2/F-11: the REAL window-ranked pop kernel (crawler.ranked_pop)
-        # over a synthetic frontier — priority + base budget + overrides
-        "f2_ranked_pop": relational.f2_ranked_pop,
-        "f3_seen_antijoin": relational.f3_seen_antijoin,
-        "f4_firstwins_dedup": relational.f4_firstwins_dedup,
-        "f13_union_distinct": relational.f13_union_distinct,
-        "f14_clean_notin": relational.f14_clean_notin,
-        "s9_recency_window": relational.s9_recency_window,
-        "a2_except": relational.a2_except,
-        "a3_prf_metrics": relational.a3_prf_metrics,
-        "a4_grouped_metrics": relational.a4_grouped_metrics,
-        "a5_optimizer_score": relational.a5_optimizer_score,
-        "x2_minmax_normalize": relational.x2_minmax_normalize,
-        "x8_section_window": relational.x8_section_window,
-        "x5_span_select": relational.x5_span_select,
-        "x9_slice_split": relational.x9_slice_split,
-        "x11_uripattern_like": relational.x11_uripattern_like,
-        "x13_range_filter": relational.x13_range_filter,
-        "s7_uri_mangle": relational.s7_uri_mangle,
-        # training-data pipeline: dedup
+        # --- never/not-recently driver-stamped (VERDICT r4 finding) -----
+        # robots.txt layer (frontier/robots.py): native-expression RFC-9309-
+        # subset parser over a deterministic synthetic robots corpus derived
+        # from the documents table, and the longest-match allow/disallow
+        # gate — parser AND gate value-oracled against a full SQL mirror
+        "robots_parse": robots_mod.parse_rules_query,
+        "robots_crawl_delays": robots_mod.crawl_delays_query,
+        "robots_gate": robots_mod.gate_query,
+        # sitemap layer (frontier/sitemaps.py): sitemaps.org-subset parse
+        # (loc/lastmod, same-host location constraint), recency-filtered
+        # seed derivation, and one-level sitemapindex expansion via an
+        # equi-join on the child URL — all over a deterministic synthetic
+        # corpus mirrored in SQL
+        "sitemap_parse": sitemaps_mod.parse_query,
+        "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
+        "sitemap_index_expand": sitemaps_mod.index_expand_query,
+        # redirect-chain resolution (frontier/redirects.py): pointer-jumping
+        # collapse of multi-hop redirect maps (log-diameter equi-joins,
+        # fail-loud on cycles) — synthetic chains up to 15 hops, recursive-
+        # CTE walk as the oracle
+        "url_redirect_resolve": redirects_mod.resolve_query,
+        # spider-trap detection (frontier/traps.py): URL-template
+        # cardinality per host (digit/query-value folding, two regexp
+        # passes + two aggregations) — calendar/session-id families flag,
+        # small catalogs don't, by construction
+        "frontier_trap_stats": traps_mod.trap_stats_query,
+        # link-graph centrality: fixed-iteration PageRank in BIGINT
+        # fixed-point (no float in the loop — bit-identical across
+        # engines) over the deterministic doc outlink graph
+        "graph_pagerank": graph.doc_pagerank,
+        # centrality-prioritized frontier pop: exact fixed-point PageRank
+        # joins the frontier, the REAL ranked_pop kernel orders each
+        # host's queue by descending rank — "crawl important pages first"
+        "frontier_pagerank_pop": graph.pagerank_prioritized_pop,
+        # time-series layer over events (operators the built-in Spark
+        # surface lacks, each as a scale-safe composition): as-of join
+        # via union-interleave + last(ignorenulls) — one shuffle per
+        # side, no theta join; gap sessionization in one window pass;
+        # hypertable-style hourly rollup; range join banded into a hash
+        # equi-join on (user_id, hour-bucket)
+        "ts_asof_purchase": timeseries.events_asof_last_purchase,
+        "ts_sessionize": timeseries.events_sessionize,
+        "ts_rollup_hourly": timeseries.events_rollup_hourly,
+        "ts_range_join": timeseries.events_attribution_range_join,
+        # signup→purchase funnel: one keyed aggregation over the range
+        # join's output
+        "ts_funnel": timeseries.events_funnel,
+        # KMV cardinality sketch: the distinct-count estimator that
+        # (unlike HLL) is a pure function of the mirrored hash60, so
+        # the estimate itself is value-oracled
+        "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
+        # CCNet-style quality buckets: exact corpus-wide rank + integer
+        # quantile split WITHOUT a single-reducer window (range shuffle
+        # + partition-offset ranking; see operators/ranking.py)
+        "text_surprisal_buckets": ranking.surprisal_buckets,
+        # exact discrete corpus quantiles via the distributed exact-rank
+        # recipe (integral target ranks — no interpolation hazard)
+        "text_token_quantiles": ranking.token_count_quantiles,
+        # grouped (per-lang) quantiles — the keyed-window easy case
+        "text_lang_quantiles": ranking.lang_token_quantiles,
+        # temperature-flattened multilingual resampling (share^(1/2)
+        # quotas + exact per-lang top-k by hash)
+        "sample_temperature": sampling.temperature_sample,
+        # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
+        "text_heavy_hitters": ranking.heavy_hitters,
+        # composed end-to-end training-corpus filter (langid + quality +
+        # dedup survivor selection) — the composition itself is oracled
+        "pipeline_training_corpus": pipeline.training_corpus,
+        # v2: + boilerplate removal, quality gate on the CLEANED token
+        # count — the four-operator composition is oracled end-to-end
+        "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
+        # v3: + duplicated-passage removal CHAINED over the boilerplate
+        # rewrite — five nested mirrors, rewrite-over-rewrite composition
+        "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
+        # v4: + benchmark decontamination and the repetition gate on the
+        # original text — seven nested mirrors
+        "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
+        # near-dup cluster-size histogram over the minhash component map
+        # (the dedup-report rollup an operator of record ships with)
+        "dedup_cluster_stats": dedup.minhash_cluster_stats,
+        # PII scrub (emails/IPv4/phones) over the deterministically
+        # augmented corpus — map-only, ASCII-class regex parity
+        "text_pii_scrub": scrub.doc_pii_scrub,
+        # multimodal plumbing: the decode STUB is deterministic arithmetic
+        # over the payload bytes, so the metadata path is fully
+        # oracle-checkable even though the codec itself is stubbed
+        "mm_media_features": multimodal.media_features,
+        "mm_resize": lambda s, d: multimodal.resize_images(
+            multimodal.synth_media(s, d)
+        ).select("doc_id", "width", "height", "scale"),
+        "mm_frame_sample": lambda s, d: multimodal.sample_frames(
+            multimodal.synth_media(s, d)
+        ).select("doc_id", "frame_idx", "t_offset"),
+        # --- proven kernels re-stamped inside the 50-entry window --------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -120,6 +204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_components": lambda s, d: dedup.embedding_components(
             s, d, 0.45
         ),
+        # sequence-level dedup: boilerplate segments (df > cap across
+        # docs) dropped, documents rebuilt in order (round 4)
+        "dedup_boilerplate": boilerplate.boilerplate_clean,
+        # exact-substring dedup: ≥min_run-token runs duplicated across
+        # documents removed at any alignment (round 4)
+        "dedup_passages": boilerplate.duplicate_passage_clean,
         # similarity search
         "sim_cosine_topk": similarity.cosine_topk,
         # approximate top-k, yet fully value-oracled: md5 planes +
@@ -131,6 +221,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lexical relevance retrieval: BM25 top-k over derived queries,
         # exact decimal-sum oracle (same discipline as unigram_logprob)
         "sim_bm25_topk": retrieval.bm25_topk,
+        # Gopher-style intra-document repetition signals (top-2-gram /
+        # duplicated-3-gram occurrence fractions)
+        "text_repetition": repetition.repetition_stats,
+        # benchmark decontamination: shared-k-gram flag against the
+        # deterministic doc_id%10 benchmark split, broadcast n-gram set
+        "text_decontaminate": repetition.decontaminate,
+        # --- long-proven tail (driver-green in r3/r4) --------------------
+        # sequence packing: sharded token-stream layout into fixed
+        # SEQ_LEN training windows (per-shard running sum, never a
+        # global single-partition cumsum)
+        "pack_sequences": packing.pack_sequences,
+        # materialized windows: content+order value-checked through an
+        # md5 fingerprint of each window's ordered tokens
+        "pack_windows": packing.pack_windows,
+        # corpus mixing: skew-immune exact per-source top-K quota
+        # (salted two-level top-K ≡ naive window; see sampling.py)
+        "sample_source_quota": sampling.source_quota,
+        # deterministic per-lang rate sampling — map-only filter
+        "sample_stratified": sampling.stratified_sample,
         # text analysis
         "text_token_count": textstats.token_count,
         "text_token_count_bpe": textstats.token_count_bpe,
@@ -145,122 +254,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-shaped unigram-surprisal quality score (exact decimal
         # sums — order-independent, so the oracle is exact)
         "text_unigram_logprob": textstats.unigram_logprob,
-        # Gopher-style intra-document repetition signals (top-2-gram /
-        # duplicated-3-gram occurrence fractions)
-        "text_repetition": repetition.repetition_stats,
-        # benchmark decontamination: shared-k-gram flag against the
-        # deterministic doc_id%10 benchmark split, broadcast n-gram set
-        "text_decontaminate": repetition.decontaminate,
-        # corpus mixing: skew-immune exact per-source top-K quota
-        # (salted two-level top-K ≡ naive window; see sampling.py)
-        "sample_source_quota": sampling.source_quota,
-        # deterministic per-lang rate sampling — map-only filter
-        "sample_stratified": sampling.stratified_sample,
-        # sequence packing: sharded token-stream layout into fixed
-        # SEQ_LEN training windows (per-shard running sum, never a
-        # global single-partition cumsum)
-        "pack_sequences": packing.pack_sequences,
-        # materialized windows: content+order value-checked through an
-        # md5 fingerprint of each window's ordered tokens
-        "pack_windows": packing.pack_windows,
-        # sequence-level dedup: boilerplate segments (df > cap across
-        # docs) dropped, documents rebuilt in order (round 4)
-        "dedup_boilerplate": boilerplate.boilerplate_clean,
-        # exact-substring dedup: ≥min_run-token runs duplicated across
-        # documents removed at any alignment (round 4)
-        "dedup_passages": boilerplate.duplicate_passage_clean,
-        # composed end-to-end training-corpus filter (langid + quality +
-        # dedup survivor selection) — the composition itself is oracled
-        "pipeline_training_corpus": pipeline.training_corpus,
-        # v2: + boilerplate removal, quality gate on the CLEANED token
-        # count — the four-operator composition is oracled end-to-end
-        "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
-        # v3: + duplicated-passage removal CHAINED over the boilerplate
-        # rewrite — five nested mirrors, rewrite-over-rewrite composition
-        "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
-        # v4: + benchmark decontamination and the repetition gate on the
-        # original text — seven nested mirrors
-        "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
-        # link-graph centrality: fixed-iteration PageRank in BIGINT
-        # fixed-point (no float in the loop — bit-identical across
-        # engines) over the deterministic doc outlink graph
-        "graph_pagerank": graph.doc_pagerank,
-        # centrality-prioritized frontier pop: exact fixed-point PageRank
-        # joins the frontier, the REAL ranked_pop kernel orders each
-        # host's queue by descending rank — "crawl important pages first"
-        "frontier_pagerank_pop": graph.pagerank_prioritized_pop,
-        # near-dup cluster-size histogram over the minhash component map
-        # (the dedup-report rollup an operator of record ships with)
-        "dedup_cluster_stats": dedup.minhash_cluster_stats,
-        # CCNet-style quality buckets: exact corpus-wide rank + integer
-        # quantile split WITHOUT a single-reducer window (range shuffle
-        # + partition-offset ranking; see operators/ranking.py)
-        "text_surprisal_buckets": ranking.surprisal_buckets,
-        # PII scrub (emails/IPv4/phones) over the deterministically
-        # augmented corpus — map-only, ASCII-class regex parity
-        "text_pii_scrub": scrub.doc_pii_scrub,
-        # exact discrete corpus quantiles via the distributed exact-rank
-        # recipe (integral target ranks — no interpolation hazard)
-        "text_token_quantiles": ranking.token_count_quantiles,
-        # grouped (per-lang) quantiles — the keyed-window easy case
-        "text_lang_quantiles": ranking.lang_token_quantiles,
-        # temperature-flattened multilingual resampling (share^(1/2)
-        # quotas + exact per-lang top-k by hash)
-        "sample_temperature": sampling.temperature_sample,
-        # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
-        "text_heavy_hitters": ranking.heavy_hitters,
-        # time-series layer over events (operators the built-in Spark
-        # surface lacks, each as a scale-safe composition): as-of join
-        # via union-interleave + last(ignorenulls) — one shuffle per
-        # side, no theta join; gap sessionization in one window pass;
-        # hypertable-style hourly rollup; range join banded into a hash
-        # equi-join on (user_id, hour-bucket)
-        "ts_asof_purchase": timeseries.events_asof_last_purchase,
-        "ts_sessionize": timeseries.events_sessionize,
-        "ts_rollup_hourly": timeseries.events_rollup_hourly,
-        "ts_range_join": timeseries.events_attribution_range_join,
-        # signup→purchase funnel: one keyed aggregation over the range
-        # join's output
-        "ts_funnel": timeseries.events_funnel,
-        # KMV cardinality sketch: the distinct-count estimator that
-        # (unlike HLL) is a pure function of the mirrored hash60, so
-        # the estimate itself is value-oracled
-        "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
-        # multimodal plumbing: the decode STUB is deterministic arithmetic
-        # over the payload bytes, so the metadata path is fully
-        # oracle-checkable even though the codec itself is stubbed
-        "mm_media_features": multimodal.media_features,
-        "mm_resize": lambda s, d: multimodal.resize_images(
-            multimodal.synth_media(s, d)
-        ).select("doc_id", "width", "height", "scale"),
-        "mm_frame_sample": lambda s, d: multimodal.sample_frames(
-            multimodal.synth_media(s, d)
-        ).select("doc_id", "frame_idx", "t_offset"),
-        # robots.txt layer (frontier/robots.py): native-expression RFC-9309-
-        # subset parser over a deterministic synthetic robots corpus derived
-        # from the documents table, and the longest-match allow/disallow
-        # gate — parser AND gate value-oracled against a full SQL mirror
-        "robots_parse": robots_mod.parse_rules_query,
-        "robots_crawl_delays": robots_mod.crawl_delays_query,
-        "robots_gate": robots_mod.gate_query,
-        # sitemap layer (frontier/sitemaps.py): sitemaps.org-subset parse
-        # (loc/lastmod, same-host location constraint), recency-filtered
-        # seed derivation, and one-level sitemapindex expansion via an
-        # equi-join on the child URL — all over a deterministic synthetic
-        # corpus mirrored in SQL
-        "sitemap_parse": sitemaps_mod.parse_query,
-        "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
-        "sitemap_index_expand": sitemaps_mod.index_expand_query,
-        # redirect-chain resolution (frontier/redirects.py): pointer-jumping
-        # collapse of multi-hop redirect maps (log-diameter equi-joins,
-        # fail-loud on cycles) — synthetic chains up to 15 hops, recursive-
-        # CTE walk as the oracle
-        "url_redirect_resolve": redirects_mod.resolve_query,
-        # spider-trap detection (frontier/traps.py): URL-template
-        # cardinality per host (digit/query-value folding, two regexp
-        # passes + two aggregations) — calendar/session-id families flag,
-        # small catalogs don't, by construction
-        "frontier_trap_stats": traps_mod.trap_stats_query,
+        # crawl-operator SQL analogues (SURVEY.md §2)
+        # F-2/F-11: the REAL window-ranked pop kernel (crawler.ranked_pop)
+        # over a synthetic frontier — priority + base budget + overrides
+        "f2_ranked_pop": relational.f2_ranked_pop,
+        "f3_seen_antijoin": relational.f3_seen_antijoin,
+        "f4_firstwins_dedup": relational.f4_firstwins_dedup,
+        "f13_union_distinct": relational.f13_union_distinct,
+        "f14_clean_notin": relational.f14_clean_notin,
+        "s9_recency_window": relational.s9_recency_window,
+        "a2_except": relational.a2_except,
+        "a3_prf_metrics": relational.a3_prf_metrics,
+        "a4_grouped_metrics": relational.a4_grouped_metrics,
+        "a5_optimizer_score": relational.a5_optimizer_score,
+        "x2_minmax_normalize": relational.x2_minmax_normalize,
+        "x8_section_window": relational.x8_section_window,
+        "x5_span_select": relational.x5_span_select,
+        "x9_slice_split": relational.x9_slice_split,
+        "x11_uripattern_like": relational.x11_uripattern_like,
+        "x13_range_filter": relational.x13_range_filter,
+        "s7_uri_mangle": relational.s7_uri_mangle,
     }
 
 

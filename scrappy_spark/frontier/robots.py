@@ -281,19 +281,28 @@ def gate(df: DataFrame, uri_col: str, rules_df: DataFrame) -> DataFrame:
     an equi-join on authority attaches it (hash-partition-friendly, no
     theta-join), and the same longest-match expression decides. Hosts with
     no rules pass through (left join, null array ⇒ allowed).
+
+    Helper columns are collision-proofed (ADVICE r4): their names are
+    derived from the caller's schema, so a frontier table that already
+    carries ``_r_host``/``_r_rules`` is joined and restored intact rather
+    than broken by the join or silently dropped at the end.
     """
+    taken = set(df.columns)
+    hcol, rcol = "_r_host", "_r_rules"
+    while hcol in taken or rcol in taken:
+        hcol, rcol = hcol + "_", rcol + "_"
     per_host = F.broadcast(
-        rules_df.groupBy(F.col("host").alias("_r_host")).agg(
+        rules_df.groupBy(F.col("host").alias(hcol)).agg(
             F.collect_list(
                 F.struct(F.col("prefix").alias("p"), F.col("allow").alias("a"))
-            ).alias("_r_rules")
+            ).alias(rcol)
         )
     )
     authority = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
     path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
     path = F.when(path == "", "/").otherwise(path)
     matches = F.filter(
-        F.col("_r_rules"), lambda r: path.startswith(r["p"])
+        F.col(rcol), lambda r: path.startswith(r["p"])
     )
     best = F.array_max(
         F.transform(
@@ -301,9 +310,9 @@ def gate(df: DataFrame, uri_col: str, rules_df: DataFrame) -> DataFrame:
         )
     )
     return (
-        df.join(per_host, authority == F.col("_r_host"), "left")
-        .where(F.col("_r_rules").isNull() | best.isNull() | best["a"])
-        .drop("_r_host", "_r_rules")
+        df.join(per_host, authority == F.col(hcol), "left")
+        .where(F.col(rcol).isNull() | best.isNull() | best["a"])
+        .drop(hcol, rcol)
     )
 
 

@@ -63,6 +63,7 @@ def asof_join(
     on: str,
     ts: str,
     right_cols: dict[str, str],
+    check_unique: bool = True,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``ts`` ≤ the left row's ``ts`` within the same ``on`` key (kdb
@@ -75,7 +76,26 @@ def asof_join(
     Precondition: ``right`` has at most one row per (on, ts) — at equal
     timestamps the fill would otherwise depend on partition sort
     stability. Callers dedup first (see ``events_asof_last_purchase``).
+    The precondition is ENFORCED (ADVICE r4, mirroring the fail-loud
+    contract of resolve_chains/components_from_pairs): a duplicate
+    (on, ts) build key raises instead of producing a partition-sort-
+    dependent, nondeterministic fill. Pass ``check_unique=False`` only
+    when the caller just deduped on exactly (on, ts).
     """
+    if check_unique:
+        dup = (
+            right.groupBy(on, ts)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join precondition violated: right side has more than "
+                f"one row per ({on}, {ts}), e.g. {dup[0][on]!r} @ {dup[0][ts]!r}"
+                " — dedup the build side first (keep the row that should win)"
+            )
     lcols = left.columns
     row_t = left.select(F.struct(*lcols).alias("_row")).schema["_row"].dataType
     # the payload travels as ONE struct so the forward fill is atomic:
@@ -181,6 +201,9 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id",
         ts="ts",
         right_cols={"last_purchase_ts": "p_ts", "last_purchase_value": "p_value"},
+        # the groupBy("user_id", "ts") above IS the dedup on exactly the
+        # join key — skip the guard's extra job in the bench-timed path
+        check_unique=False,
     )
     # driver-contract hygiene: the compare harness sorts row tuples, and
     # NaT/None poison mixed-type sorts — coalesce the left-outer misses to

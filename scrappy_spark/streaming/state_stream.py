@@ -204,7 +204,13 @@ def simhash_pairs_stream(
         if ts:
             horizon = max(ts) - ttl_ms
             keep = [i for i, t in enumerate(ts) if t >= horizon]
-            keep = keep[-max_bucket:]  # most recent entries win
+            # cap by EVENT time, not insertion order: a late-arriving row
+            # from a previous micro-batch sits at the list tail despite
+            # being oldest-by-event-time; sorting by (ts, id, fp) before
+            # the cap makes "most recent wins" mean event time and keeps
+            # the tiebreak deterministic (ADVICE r4)
+            keep.sort(key=lambda i: (ts[i], ids[i], fps[i]))
+            keep = keep[-max_bucket:]
             ids = [ids[i] for i in keep]
             fps = [fps[i] for i in keep]
             ts = [ts[i] for i in keep]
