@@ -40,6 +40,8 @@ from scrappy_spark.operators import (
     textstats,
     timeseries,
 )
+from scrappy_spark.operators import webgraph
+from scrappy_spark.frontier import recrawl as recrawl_mod
 from scrappy_spark.frontier import redirects as redirects_mod
 from scrappy_spark.frontier import traps as traps_mod
 from scrappy_spark.frontier import robots as robots_mod
@@ -82,6 +84,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window; positions 31-50 re-stamp the heaviest proven kernels.
     """
     return {
+        # --- NEW in round 5 (front per the ordering convention) ----------
+        # F-10/X-17 driver oracle: the REAL canonicalize_col kernel over a
+        # six-variant messy-URL corpus; case/port/fragment/scheme variants
+        # collapse, query/bare-word ones don't
+        "f10_url_canonicalize": relational.f10_url_canonicalize,
+        # recrawl scheduling (Cho & Garcia-Molina freshness policy):
+        # per-page change-rate from the fetch log via one lag-window pass,
+        # integer-arithmetic tier assignment (cold/hourly/daily/weekly)
+        "frontier_recrawl_schedule": recrawl_mod.recrawl_schedule_query,
+        # anchor-text aggregation: top-3 anchors per link target (count
+        # desc, anchor asc) + whole in-link count, over the collapsed
+        # (dst, anchor) partial agg — never the raw edge list
+        "graph_anchor_topk": webgraph.anchor_topk_query,
+        # host-graph rollup (the Common-Crawl-style hostgraph): page edges
+        # collapsed to weighted host→host edges, intra-host dropped
+        "graph_host_degree": webgraph.host_graph_query,
+        # int8-quantized embedding top-k: symmetric per-vector quantization
+        # (floor(x*scale+0.5) — deterministic in BOTH engines), BIGINT
+        # integer dots, quantized cosine rank — the 4×-smaller store that
+        # scores candidates at 100 TB
+        "sim_int8_topk": similarity.int8_topk,
         # --- never/not-recently driver-stamped (VERDICT r4 finding) -----
         # robots.txt layer (frontier/robots.py): native-expression RFC-9309-
         # subset parser over a deterministic synthetic robots corpus derived
@@ -861,6 +884,30 @@ valid AS (
 
 # BIGINT fixed-point PageRank mirror (operators/graph.py) — the recursive
 # CTE body shared by graph_pagerank and the centrality-prioritized pop
+# synthetic anchored link graph (operators/webgraph.py) — the
+# doc_link_edges derivation keeping the link index j, plus the anchor id.
+# Shared by graph_anchor_topk and graph_host_degree.
+_ANCHOR_LINKS_CTE = f"""
+            WITH docs_n AS (SELECT count(*) AS n_docs FROM documents),
+            expand AS (
+              SELECT doc_id AS src,
+                     unnest(generate_series(1, 1 + doc_id % {graph.LINK_MAXDEG})) AS j
+              FROM documents
+            ),
+            links AS (
+              SELECT src, j,
+                     (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j)
+                       % n.n_docs AS dst,
+                     'a' || CAST((src + j) % {webgraph.ANCHOR_MOD} AS VARCHAR)
+                       AS anchor
+              FROM expand, docs_n n
+              WHERE (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j)
+                      % n.n_docs <> src
+                AND (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j)
+                      % n.n_docs IN (SELECT doc_id FROM documents)
+            ),
+"""
+
 _PAGERANK_CTES = f"""
             WITH RECURSIVE
             docs_n AS (SELECT count(*) AS n_docs FROM documents),
@@ -917,6 +964,166 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_static() -> dict[str, str]:
     return {
+        # --- round-5 entries ------------------------------------------
+        "f10_url_canonicalize": r"""
+            WITH b AS (
+              SELECT doc_id, source || '.example.com' AS h,
+                     '/d/' || CAST(doc_id AS VARCHAR) AS p
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, [
+                'http://' || h || p,
+                '  HTTP://' || upper(h) || ':80' || p || ' ',
+                'http://' || h || p || '#s' || CAST(doc_id AS VARCHAR),
+                h || p,
+                'http://' || h || p || '?page=' || CAST(doc_id % 3 AS VARCHAR),
+                'doc' || CAST(doc_id AS VARCHAR)
+              ] AS vs FROM b
+            ),
+            m AS (
+              SELECT doc_id, unnest(vs) AS messy,
+                     generate_subscripts(vs, 1) AS i
+              FROM l
+            ),
+            -- canonicalize (urlnorm spec): trim, complete_uri, lowercase
+            -- scheme+host, strip default port, drop fragment, '' -> '/'
+            kept AS (
+              SELECT trim(messy) AS u1 FROM m
+              WHERE i = 1 OR (doc_id + i - 1) % 3 > 0
+            ),
+            s1 AS (
+              SELECT u1,
+                     regexp_matches(u1, '^[A-Za-z][A-Za-z0-9+.\-]*://')
+                       AS has_scheme
+              FROM kept
+            ),
+            s2 AS (
+              SELECT has_scheme,
+                     CASE WHEN NOT has_scheme AND u1 NOT LIKE '%.%'
+                               AND u1 NOT LIKE '%/%'
+                          THEN u1 || '.com' ELSE u1 END AS u2
+              FROM s1
+            ),
+            s3 AS (
+              SELECT CASE WHEN NOT has_scheme THEN 'http://' || u2
+                          ELSE u2 END AS u3
+              FROM s2
+            ),
+            s4 AS (
+              SELECT lower(regexp_extract(u3, '^([^:]+)://', 1)) AS scheme,
+                     lower(regexp_extract(u3, '^[^:]+://([^/?#]*)', 1)) AS hp,
+                     regexp_extract(u3, '^[^:]+://[^/?#]*([^#]*)', 1) AS rest
+              FROM s3
+            ),
+            s5 AS (
+              SELECT scheme,
+                     CASE WHEN scheme = 'http'
+                            THEN regexp_replace(hp, ':80$', '')
+                          WHEN scheme = 'https'
+                            THEN regexp_replace(hp, ':443$', '')
+                          ELSE hp END AS hp2,
+                     CASE WHEN rest = '' THEN '/' ELSE rest END AS rest2
+              FROM s4
+            )
+            SELECT scheme || '://' || hp2 || rest2 AS canonical_uri,
+                   count(*) AS n_variants
+            FROM s5 GROUP BY 1
+        """,
+        "frontier_recrawl_schedule": """
+            WITH f AS (
+              SELECT user_id * 8 + event_id % 8 AS page_id, ts, event_id,
+                     CAST(floor(value / power(10.0,
+                          CAST((user_id * 8 + event_id % 8) % 4 AS DOUBLE)))
+                       AS BIGINT) % 7 AS fp
+              FROM events
+            ),
+            l AS (
+              SELECT page_id,
+                     CASE WHEN lag(fp) OVER w IS NOT NULL
+                               AND fp <> lag(fp) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM f WINDOW w AS (PARTITION BY page_id ORDER BY ts, event_id)
+            ),
+            a AS (
+              SELECT page_id, count(*) AS n_fetches,
+                     CAST(sum(chg) AS BIGINT) AS n_changes
+              FROM l GROUP BY 1
+            )
+            SELECT page_id, n_fetches, n_changes,
+                   CASE WHEN n_fetches <= 1 THEN 0
+                        ELSE (1000000 * n_changes) // (n_fetches - 1)
+                   END AS change_rate_ppm,
+                   CASE WHEN n_fetches <= 1 THEN 'cold'
+                        WHEN 2 * n_changes >= (n_fetches - 1) THEN 'hourly'
+                        WHEN 10 * n_changes >= (n_fetches - 1) THEN 'daily'
+                        ELSE 'weekly' END AS schedule
+            FROM a
+        """,
+        "graph_anchor_topk": f"""
+            {_ANCHOR_LINKS_CTE}
+            per AS (
+              SELECT dst, anchor, count(*) AS n FROM links GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT dst, anchor, n,
+                     CAST(row_number() OVER (PARTITION BY dst
+                          ORDER BY n DESC, anchor) AS INT) AS rk,
+                     CAST(sum(n) OVER (PARTITION BY dst) AS BIGINT) AS inlinks
+              FROM per
+            )
+            SELECT dst, anchor, n, rk, inlinks FROM ranked
+            WHERE rk <= {webgraph.ANCHOR_TOPK}
+        """,
+        "graph_host_degree": f"""
+            {_ANCHOR_LINKS_CTE}
+            hl AS (
+              SELECT src, dst,
+                     'h' || CAST(src % {webgraph.HOST_MOD} AS VARCHAR) AS src_host,
+                     'h' || CAST(dst % {webgraph.HOST_MOD} AS VARCHAR) AS dst_host
+              FROM links
+            )
+            SELECT src_host, dst_host, count(*) AS n_links,
+                   count(DISTINCT src) AS n_src_pages,
+                   count(DISTINCT dst) AS n_dst_pages
+            FROM hl WHERE src_host <> dst_host GROUP BY 1, 2
+        """,
+        "sim_int8_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            m AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS mx
+              FROM e
+            ),
+            qt AS (
+              SELECT vec_id,
+                     list_transform(v, x ->
+                       CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER)) AS qv
+              FROM m WHERE mx > 0
+            ),
+            nn AS (
+              SELECT vec_id, qv,
+                     sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nq
+              FROM qt
+            ),
+            s AS (
+              SELECT a.vec_id AS q, b.vec_id AS vec_id,
+                     round(CAST(list_dot_product(a.qv, b.qv) AS DOUBLE)
+                           / (a.nq * b.nq), 6) AS qcosine
+              FROM nn a JOIN nn b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 5
+            )
+            SELECT q, vec_id, qcosine, rk FROM (
+              SELECT q, vec_id, qcosine,
+                     CAST(row_number() OVER (PARTITION BY q
+                          ORDER BY qcosine DESC, vec_id) AS INT) AS rk
+              FROM s
+            ) WHERE rk <= 5
+        """,
         "f2_ranked_pop": """
             WITH frontier AS (
               SELECT 'http://' || source || '/f' || doc_id AS uri,

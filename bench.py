@@ -24,8 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    from scrappy_spark.frontier import redirects, robots, sitemaps
+    from scrappy_spark.frontier import recrawl, redirects, robots, sitemaps
     from scrappy_spark.operators import (
+        webgraph,
         boilerplate,
         dedup,
         graph,
@@ -98,6 +99,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "robots_gate": robots.gate_query,
         "sitemap_recent_seeds": sitemaps.recent_seeds_query,
         "url_redirect_resolve": redirects.resolve_query,
+        "f10_url_canonicalize": relational.f10_url_canonicalize,
+        "frontier_recrawl_schedule": recrawl.recrawl_schedule_query,
+        "graph_anchor_topk": webgraph.anchor_topk_query,
+        "graph_host_degree": webgraph.host_graph_query,
+        "sim_int8_topk": similarity.int8_topk,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

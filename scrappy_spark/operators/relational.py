@@ -267,3 +267,44 @@ def s7_uri_mangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in [("/", "-"), (".", "_"), ("?", "+"), ("&", "+")]:
         key = F.replace(key, F.lit(a), F.lit(b))
     return docs.select("doc_id", key.alias("uri_key"))
+
+
+def f10_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-10/X-17 URL completion + canonicalization (agent.rb:154-158,
+    fragment.rb:128-135) as a driver-oracled query: the REAL native
+    kernel (urlnorm.canonicalize_col — the exact Column chain the crawler
+    canonicalizes every frontier URL with) over a deterministic messy-URL
+    corpus derived from documents. Six variant spellings per doc —
+    canonical, whitespace+upper-case+explicit :80, fragment-bearing,
+    schemeless, query-bearing, and a bare word (the complete_uri branch)
+    — with variant i kept iff i==0 or (doc_id+i)%3>0, grouped by the
+    canonical form. The variants that differ only in case/port/fragment/
+    scheme COLLAPSE; the query-bearing and bare-word ones map to their
+    own canonicals, so n_variants discriminates.
+
+    Scale shape: map-only expression chain (whole-stage codegen, no UDF)
+    + one hash aggregation on the canonical — the same per-row cost the
+    crawl loop pays, which is the point of oracling this kernel."""
+    from ..urlnorm import canonicalize_col
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    h = F.concat(F.col("source"), F.lit(".example.com"))
+    p = F.concat(F.lit("/d/"), ds)
+    variants = F.array(
+        F.concat(F.lit("http://"), h, p),
+        F.concat(F.lit("  HTTP://"), F.upper(h), F.lit(":80"), p, F.lit(" ")),
+        F.concat(F.lit("http://"), h, p, F.lit("#s"), ds),
+        F.concat(h, p),
+        F.concat(F.lit("http://"), h, p, F.lit("?page="), (d % 3).cast("string")),
+        F.concat(F.lit("doc"), ds),
+    )
+    m = docs.select(d, F.posexplode(variants).alias("pos", "messy")).where(
+        (F.col("pos") == 0) | ((d + F.col("pos")) % 3 > 0)
+    )
+    return (
+        m.select(canonicalize_col(F.col("messy")).alias("canonical_uri"))
+        .groupBy("canonical_uri")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )

@@ -341,3 +341,69 @@ def ann_lsh_topk(
         .where(F.col("rk") <= k)
         .select("q", "vec_id", "cosine", "rk")
     )
+
+
+def int8_quantized(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q[i] = floor(v[i] *
+    (127/max|v|) + 0.5) — the memory/bandwidth play for embedding search
+    at corpus scale (a 100 TB float32 embedding store becomes 25 TB, and
+    the candidate-scoring dot products become integer SIMD). Zero
+    vectors are dropped (no scale exists). The quantized self-norm is
+    precomputed here so scoring never re-folds a vector.
+
+    Every step is deterministic double/int arithmetic (floor, not
+    round: half-up in BOTH engines — Spark `round` is HALF_UP but
+    DuckDB's is banker's on doubles, the exact mismatch this formula
+    sidesteps), so the whole quantized pipeline is value-oracled.
+
+    Columns: (vec_id, q array<int>, nq double)."""
+    mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("_mx")
+    q = F.transform("v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.withColumn("_mx", mx)
+        .where(F.col("_mx") > 0)
+        .withColumn("q", q)
+        .select("vec_id", "q", F.sqrt(dot_qq.cast("double")).alias("nq"))
+    )
+
+
+def int8_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5
+) -> DataFrame:
+    """Quantized-cosine top-k for the first ``n_queries`` vec_ids over
+    the int8 store: score = int_dot(qa, qb) / (|qa| |qb|), integer dot
+    folded in BIGINT, rank on (rounded score desc, vec_id). At scale the
+    int8 store replaces the float store for candidate scoring (4× less
+    shuffle/scan volume) with an optional float re-rank of the final k —
+    here the quantized score IS the output so the quantization error
+    itself is pinned by the oracle."""
+    qt = int8_quantized(_emb(spark, sf_dir))
+    queries = qt.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qt.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(dot.cast("double") / (F.col("qn") * F.col("nq")), 6).alias(
+            "qcosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qcosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("qid").alias("q"), "vec_id", "qcosine", "rk")
+    )

@@ -1,0 +1,139 @@
+"""Web-graph rollups — anchor-text profiles and the host graph.
+
+Two classic link-graph operators a crawl-derived corpus ships with
+(the reference emits the link triples — agent.rb:61-91 via
+semantics.link_triples — these are the standard aggregations OVER that
+output):
+
+* **Anchor-text aggregation** (``anchor_topk``): for every link target,
+  the top-k anchor strings by in-link count — the signal search engines
+  have indexed since Google's first crawl (Brin & Page 1998 §2.2 treats
+  anchor text as a first-class description of the TARGET page). Shape:
+  one map-side explode of the link table, a partial-agg shuffle to
+  (dst, anchor) counts, then a per-dst window over the collapsed counts.
+  The window input is #distinct-anchors per target, not #in-links — the
+  partial agg already absorbed the in-link skew (a hot page with 10^9
+  in-links but 10^4 distinct anchors sorts 10^4 rows).
+
+* **Host-graph rollup** (``host_graph``): collapse the page-level edge
+  list to weighted host→host edges (intra-host edges dropped), the
+  aggregation behind the public hostgraph datasets (Common Crawl's
+  host-level webgraph releases are exactly this rollup). One partial-agg
+  shuffle on (src_host, dst_host); distinct-page counts ride the same
+  Exchange via count_distinct partial aggregation.
+
+Driver entries derive links deterministically from the documents table
+with the SAME generator as graph.doc_link_edges (LINK_MULT/STRIDE/MAXDEG)
+plus a (src, j)-dependent anchor id, so both operators are value-oracled
+end-to-end against full SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .graph import LINK_MAXDEG, LINK_MULT, LINK_STRIDE
+
+# synthetic anchor-id space for the driver entry. 3, not larger: the
+# edge derivation makes src a FUNCTION of (dst, j), so any per-(src, j)
+# anchor is injective per target and every count degenerates to 1; a
+# 3-value space pigeonholes the up-to-4 in-links of a target into
+# repeating anchors (measured count histogram 1/2/3 = 268/299/128 at
+# sf0.001 — the top-k rank is non-vacuous)
+ANCHOR_MOD = 3
+ANCHOR_TOPK = 3
+HOST_MOD = 7  # synthetic host grouping (same choice as prioritized pop)
+
+
+def anchor_topk(links: DataFrame, k: int = ANCHOR_TOPK) -> DataFrame:
+    """(src, dst, anchor) → per-target top-k anchors:
+    (dst, anchor, n, rk, inlinks). Rank by (count desc, anchor asc) so
+    order is total; ``inlinks`` = the target's whole in-link count, a
+    window sum over the already-collapsed per-anchor counts (no second
+    pass over the raw edges)."""
+    per = links.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("dst")
+    w = wd.orderBy(F.col("n").desc(), F.col("anchor").asc())
+    return (
+        per.withColumn("inlinks", F.sum("n").over(wd))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("dst", "anchor", "n", "rk", "inlinks")
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src, dst, src_host, dst_host) → weighted host graph:
+    (src_host, dst_host, n_links, n_src_pages, n_dst_pages), intra-host
+    edges dropped."""
+    return (
+        links.where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src").alias("n_src_pages"),
+            F.countDistinct("dst").alias("n_dst_pages"),
+        )
+    )
+
+
+def _doc_links_with_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc_link_edges derivation (graph.py) KEEPING the link index j
+    and adding anchor id (src + j) mod ANCHOR_MOD."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(1) + (F.col("doc_id") % LINK_MAXDEG))
+            ).alias("j"),
+            "n_docs",
+        )
+        .select(
+            "src",
+            "j",
+            (
+                (F.col("src") * LINK_MULT + LINK_STRIDE * F.col("j"))
+                % F.col("n_docs")
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges = edges.join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    return edges.select(
+        "src",
+        "dst",
+        F.concat(
+            F.lit("a"), ((F.col("src") + F.col("j")) % ANCHOR_MOD).cast("string")
+        ).alias("anchor"),
+    )
+
+
+def anchor_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: top-3 anchors per link target over the synthetic
+    doc link graph. Columns (dst, anchor, n, rk, inlinks)."""
+    return anchor_topk(_doc_links_with_anchors(spark, sf_dir))
+
+
+def host_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: weighted host graph over the synthetic doc link
+    graph, hosts = 'h' || (doc_id % HOST_MOD) (the prioritized-pop
+    grouping — mixes the mod-20 residue classes, so host pairs get real
+    weight variance). Columns
+    (src_host, dst_host, n_links, n_src_pages, n_dst_pages)."""
+    links = _doc_links_with_anchors(spark, sf_dir).select(
+        "src",
+        "dst",
+        F.concat(F.lit("h"), (F.col("src") % HOST_MOD).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(F.lit("h"), (F.col("dst") % HOST_MOD).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    return host_graph(links)
