@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- NEW in round 5 (front per the ordering convention) ----------
+        # semantic benchmark decontamination: cross-side (corpus×bench)
+        # LSH sign-bucket candidates + exact cosine verify — the
+        # embedding-space sibling of text_decontaminate; O(delta) shape
+        "emb_decontaminate": dedup.decontaminate_semantic,
         # F-10/X-17 driver oracle: the REAL canonicalize_col kernel over a
         # six-variant messy-URL corpus; case/port/fragment/scheme variants
         # collapse, query/bare-word ones don't
@@ -534,6 +538,45 @@ _EMB_NEAR_SQL = f"""
               JOIN e ea ON ea.vec_id = cand.a
               JOIN e eb ON eb.vec_id = cand.b)
             WHERE cosine >= 0.45
+        """
+
+# semantic decontamination mirror (dedup.decontaminate_semantic): the
+# same bucket/cap machinery, but candidates are CROSS-SIDE only
+# (corpus % 10 != 0 vs benchmark % 10 == 0), rolled up per corpus vector
+_EMB_DECONTAM_SQL = f"""
+            WITH e AS ({_COSINE_E}),
+            {_duck_lsh_buckets(dedup.NEAR_TABLES, dedup.NEAR_PLANES)},
+            capped AS (
+              SELECT vec_id, t, bucket FROM buckets
+              QUALIFY count(*) OVER (PARTITION BY t, bucket)
+                      <= {dedup.NEAR_MAX_BUCKET}
+            ),
+            cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM capped l JOIN capped r
+              ON l.t = r.t AND l.bucket = r.bucket
+              WHERE l.vec_id % {dedup.BENCH_VEC_MOD} <> 0
+                AND r.vec_id % {dedup.BENCH_VEC_MOD} = 0
+            ),
+            ver AS (
+              SELECT cand.a,
+                     round(list_dot_product(ea.v, eb.v)
+                           / (sqrt(list_dot_product(ea.v, ea.v))
+                              * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+              FROM cand
+              JOIN e ea ON ea.vec_id = cand.a
+              JOIN e eb ON eb.vec_id = cand.b
+            ),
+            hits AS (
+              SELECT a, count(*) AS n_matches, max(cosine) AS best_cosine
+              FROM ver WHERE cosine >= 0.4 GROUP BY a
+            )
+            SELECT c.vec_id, (h.a IS NOT NULL) AS contaminated,
+                   coalesce(h.n_matches, 0) AS n_matches,
+                   coalesce(h.best_cosine, -1.0) AS best_cosine
+            FROM (SELECT vec_id FROM e
+                  WHERE vec_id % {dedup.BENCH_VEC_MOD} <> 0) c
+            LEFT JOIN hits h ON h.a = c.vec_id
         """
 
 # full-statement mirrors reused by the composed pipeline oracle below
@@ -1347,6 +1390,7 @@ def _oracle_sql_static() -> dict[str, str]:
                            * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.35
         """,
         "dedup_embedding_near": _EMB_NEAR_SQL,
+        "emb_decontaminate": _EMB_DECONTAM_SQL,
         # components over the embedding near-dup graph: the near-pairs
         # mirror nests as a CTE inside the recursive closure, so
         # candidates, exact verify AND the component fixpoint are all

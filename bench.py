@@ -100,6 +100,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "sitemap_recent_seeds": sitemaps.recent_seeds_query,
         "url_redirect_resolve": redirects.resolve_query,
         "f10_url_canonicalize": relational.f10_url_canonicalize,
+        "emb_decontaminate": dedup.decontaminate_semantic,
         "frontier_recrawl_schedule": recrawl.recrawl_schedule_query,
         "graph_anchor_topk": webgraph.anchor_topk_query,
         "graph_host_degree": webgraph.host_graph_query,

@@ -112,3 +112,19 @@ def recrawl_schedule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_schedule(
         fetches, key="page_id", ts="ts", fp="fp", tiebreak="event_id"
     )
+
+
+def tier_ppm(n_fetches: int, n_changes: int) -> tuple[int, str]:
+    """Pure-python twin of the Column tier logic above, over the SAME
+    threshold constants — used by the streaming sibling
+    (streaming.state_stream.recrawl_stream) so batch and stream tier
+    assignment cannot drift apart (the quota stream ↔ sampling._priority
+    discipline)."""
+    if n_fetches <= 1:
+        return 0, "cold"
+    ppm = (1_000_000 * n_changes) // (n_fetches - 1)
+    if TIER_FAST_DEN * n_changes >= TIER_FAST_NUM * (n_fetches - 1):
+        return ppm, "hourly"
+    if TIER_MID_DEN * n_changes >= TIER_MID_NUM * (n_fetches - 1):
+        return ppm, "daily"
+    return ppm, "weekly"

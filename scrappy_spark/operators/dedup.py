@@ -798,3 +798,80 @@ def embedding_near_pairs_from(
         .select("a", "b", F.round(_cosine("va", "vb"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+BENCH_VEC_MOD = 10  # vec_id % 10 == 0 is the benchmark split — the same
+# deterministic convention as repetition.decontaminate's doc_id % 10
+
+
+def decontaminate_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = NEAR_PLANES,
+    n_tables: int = NEAR_TABLES,
+    max_bucket: int = NEAR_MAX_BUCKET,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space sibling
+    of repetition.decontaminate (which catches verbatim k-gram overlap;
+    paraphrased eval leakage needs the embedding check, the practice
+    current model reports pair with lexical decontamination).
+
+    Cross-side shape, like delta_lsh_pairs: sign buckets computed ONCE
+    over all vectors (one localCheckpoint, capped per bucket in both
+    engines), then corpus rows join ONLY benchmark rows on
+    (table, bucket) — never corpus×corpus, so the candidate volume is
+    O(corpus × bench/buckets), the O(delta) shape that survives a small
+    eval suite against a 100 TB corpus. Exact cosine verifies each
+    candidate; the threshold acts on the exact value.
+
+    Output: one row per CORPUS vector —
+    (vec_id, contaminated, n_matches, best_cosine), best_cosine = -1.0
+    sentinel for clean rows (mirrored in the oracle). The driver entry
+    runs at threshold 0.4 (max cross-split cosine in the testdata is
+    0.454; the production default for paraphrase leakage is ~0.9)."""
+    from .similarity import _cosine, lsh_sign_buckets_md5_from
+
+    emb = _read_emb(spark, sf_dir)
+    b = lsh_sign_buckets_md5_from(emb, n_planes, n_tables)
+    w = Window.partitionBy("table", "bucket")
+    b = (
+        b.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+        .localCheckpoint()  # materialize the sign kernel once (r3 #1)
+    )
+    corp_b = b.where(F.col("vec_id") % BENCH_VEC_MOD != 0)
+    bench_b = b.where(F.col("vec_id") % BENCH_VEC_MOD == 0)
+    cand = (
+        corp_b.alias("l")
+        .join(
+            bench_b.alias("r"),
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    hits = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select("a", F.round(_cosine("va", "vb"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("cosine").alias("best_cosine"),
+        )
+    )
+    corpus = emb.where(F.col("vec_id") % BENCH_VEC_MOD != 0).select("vec_id")
+    return corpus.join(
+        hits.withColumnRenamed("a", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("n_matches").isNotNull().alias("contaminated"),
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        F.coalesce("best_cosine", F.lit(-1.0)).alias("best_cosine"),
+    )

@@ -40,3 +40,25 @@ def write_bucketed_documents(
 
 def read_documents_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_bucketed_int8_store(
+    store: DataFrame, table: str, buckets: int = 64, path: str | None = None
+) -> None:
+    """Persist the int8 embedding store (vec_id, q, nq —
+    operators/similarity.int8_quantized) bucketed+sorted by vec_id: the
+    ANN serving layout. Candidate lists from any generator (LSH buckets,
+    IVF cells, delta joins) re-rank by joining the store on vec_id —
+    against this table the store side needs NO exchange (only the small
+    candidate list moves), and the store being int8 makes the scan it
+    does pay 4× smaller than float32. Plan-asserted in
+    tests/test_bucketed_join.py."""
+    w = (
+        store.write.mode("overwrite")
+        .bucketBy(buckets, "vec_id")
+        .sortBy("vec_id")
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -522,3 +522,70 @@ def rollup_stream(events: DataFrame) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+RECRAWL_STREAM_SCHEMA = (
+    "page_id long, n_fetches long, n_changes long, "
+    "change_rate_ppm long, schedule string"
+)
+_RECRAWL_STATE = "last_fp long, n_fetches long, n_changes long, has_fp boolean"
+
+
+def recrawl_stream(fetches: DataFrame) -> DataFrame:
+    """Streaming recrawl scheduler — the live sibling of
+    ``frontier.recrawl.recrawl_schedule``: each page's (last fingerprint,
+    fetch count, change count) carries across micro-batches as O(1)
+    state, and every batch a page appears in emits its UPDATED
+    (n_fetches, n_changes, change_rate_ppm, schedule) row, so the
+    frontier's scheduler always has the current tier without rescanning
+    the fetch log. The LAST emitted row per page equals the batch
+    operator over the full log (pinned by the cross-batch test); tier
+    arithmetic is the shared ``recrawl.tier_ppm`` twin, so batch and
+    stream cannot drift.
+
+    Within a micro-batch, fetches process in (ts, fid) order — the same
+    total order the batch kernel's window uses.
+
+    Input stream schema: (page_id long, ts long, fid long, fp long).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from scrappy_spark.frontier.recrawl import tier_ppm
+
+    def upd(key, pdfs, state):
+        (page,) = key
+        last_fp, nf, nc, has = (
+            state.get if state.exists else (0, 0, 0, False)
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), int(i), int(f))
+                for t, i, f in zip(pdf["ts"], pdf["fid"], pdf["fp"])
+            )
+        rows.sort()
+        for _, _, fp in rows:
+            if has and fp != last_fp:
+                nc += 1
+            nf += 1
+            last_fp, has = fp, True
+        state.update((last_fp, nf, nc, has))
+        ppm, tier = tier_ppm(nf, nc)
+        yield pd.DataFrame(
+            [(int(page), nf, nc, ppm, tier)],
+            columns=[
+                "page_id",
+                "n_fetches",
+                "n_changes",
+                "change_rate_ppm",
+                "schedule",
+            ],
+        )
+
+    return fetches.groupBy("page_id").applyInPandasWithState(
+        upd,
+        outputStructType=RECRAWL_STREAM_SCHEMA,
+        stateStructType=_RECRAWL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -34,3 +34,29 @@ def test_fetch_join_skips_documents_exchange(spark, tmp_path):
     # and the join result is correct
     assert joined.where(F.col("spans").isNotNull()).count() == 200
     spark.sql("DROP TABLE IF EXISTS web_bucketed")
+
+
+def test_int8_store_join_skips_store_exchange(spark, tmp_path, sf_dir):
+    """The ANN serving layout: a candidate list joining the bucketed int8
+    store on vec_id shuffles ONLY the candidate side."""
+    from scrappy_spark.operators.similarity import _emb, int8_quantized
+    from scrappy_spark.sources.bucketed import write_bucketed_int8_store
+
+    store = int8_quantized(_emb(spark, sf_dir))
+    write_bucketed_int8_store(
+        store, "int8_store", buckets=8, path=str(tmp_path / "int8")
+    )
+    tbl = spark.table("int8_store")
+    n = tbl.count()
+    assert n == store.count()
+
+    cands = tbl.select(F.col("vec_id").alias("cand_id")).limit(n // 2)
+    joined = tbl.join(
+        cands.hint("SHUFFLE_MERGE"), tbl.vec_id == cands.cand_id, "right"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+    assert "SortMergeJoin" in plan
+    assert joined.where(F.col("q").isNotNull()).count() == n // 2
+    spark.sql("DROP TABLE IF EXISTS int8_store")

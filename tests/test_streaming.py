@@ -319,3 +319,72 @@ def test_discovery_stream_first_wins_across_batches(spark, tmp_path):
         ("http://a.example.com/p3", "2026-01-04"),
     }
     assert len(rows) == 3  # the re-announcement was deduped
+
+
+def test_recrawl_stream_matches_batch_across_batches(spark, tmp_path):
+    """Streaming recrawl scheduler: per-page state carries ACROSS
+    micro-batches, and the LAST emitted row per page equals the batch
+    operator over the full fetch log — including a page whose only
+    fingerprint change straddles the batch boundary."""
+    import os
+
+    from scrappy_spark.frontier.recrawl import recrawl_schedule
+    from scrappy_spark.streaming.state_stream import recrawl_stream
+
+    # page 1: fp flips inside batch 2; page 2: the ONLY change is across
+    # the boundary (fp 5 in batch 1 → fp 6 in batch 2); page 3: static;
+    # page 4: single fetch (cold)
+    batch1 = [(1, 10, 0, 1), (1, 20, 1, 2), (2, 10, 2, 5), (3, 10, 3, 9)]
+    batch2 = [(1, 30, 4, 2), (2, 40, 5, 6), (3, 50, 6, 9), (4, 60, 7, 0)]
+    schema = "page_id long, ts long, fid long, fp long"
+    src = str(tmp_path / "fetches")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        recrawl_stream(stream)
+        .writeStream.format("memory")
+        .queryName("recrawl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per page = the row with that page's max n_fetches
+    rows = spark.sql("SELECT * FROM recrawl").collect()
+    last = {}
+    for r in rows:
+        if r["page_id"] not in last or r["n_fetches"] > last[r["page_id"]]["n_fetches"]:
+            last[r["page_id"]] = r
+    got = {
+        p: (r["n_fetches"], r["n_changes"], r["change_rate_ppm"], r["schedule"])
+        for p, r in last.items()
+    }
+
+    batch = recrawl_schedule(
+        spark.createDataFrame(batch1 + batch2, schema),
+        key="page_id",
+        ts="ts",
+        fp="fp",
+        tiebreak="fid",
+    )
+    want = {
+        r["page_id"]: (
+            r["n_fetches"],
+            r["n_changes"],
+            r["change_rate_ppm"],
+            r["schedule"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # the cross-boundary change was counted (page 2: 1 change, hourly)
+    assert got[2] == (2, 1, 1_000_000, "hourly")
+    # intermediate emission existed for page 1 (one row per batch seen)
+    assert sum(1 for r in rows if r["page_id"] == 1) == 2
