@@ -210,6 +210,10 @@ def main() -> None:
     scaling = (
         _scaling_protocol(n_docs) if os.environ.get("SPARK_GRAFT_SCALING") else None
     )
+    if scaling is not None:
+        # settle before the headline crawl — its leg must not start on the
+        # last scaling leg's load residue (round-5 first run: loadavg 24)
+        time.sleep(int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "120")))
 
     t_total0 = time.monotonic()
     # headline crawl in its OWN fresh subprocess, like the scaling legs:
@@ -357,21 +361,35 @@ def _scaling_protocol(n_docs: int) -> dict:
       cluster  separate executor JVMs (VERDICT r2 #4: isolates GC and
                per-executor memory channels, the closest sandbox analog to
                'executors with their own channels') —
-               local-cluster[2,4,8192] vs local-cluster[8,4,8192]
-      both     all four legs."""
+               local-cluster[1,4,8192] vs local-cluster[4,4,8192]
+               (the north-rule pair: N=1 → 4N=4 EXECUTORS; 4 and 16 cores
+               stay under this box's >16-vCPU memory-bandwidth rolloff —
+               the r4 saturation curve pinned that rolloff to hardware,
+               so a 32-core leg would measure the box, not the engine)
+      both     all four legs.
+
+    Legs are separated by a cooldown (SPARK_GRAFT_SCALING_COOLDOWN s,
+    default 120) so each starts from settled load — round-5's first run
+    measured leg 2 starting at loadavg 8.3 from leg 1's residue and the
+    efficiency collapsed to a meaningless 0.14."""
     import subprocess
 
     mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "local")
+    cooldown = int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "120"))
     legs: list[tuple[str, str, int]] = []
     if mode in ("local", "both"):
         legs += [("local8", "local[8]", 8), ("local32", "local[32]", 32)]
     if mode in ("cluster", "both"):
         legs += [
-            ("cluster2x4", "local-cluster[2,4,8192]", 8),
-            ("cluster8x4", "local-cluster[8,4,8192]", 32),
+            ("cluster1x4", "local-cluster[1,4,8192]", 4),
+            ("cluster4x4", "local-cluster[4,4,8192]", 16),
         ]
     crawl, extract, loads = {}, {}, {}
+    first = True
     for name, master, cores in legs:
+        if not first:
+            time.sleep(cooldown)
+        first = False
         r = subprocess.run(
             [
                 sys.executable,
@@ -394,7 +412,7 @@ def _scaling_protocol(n_docs: int) -> dict:
         "extract_docs_per_sec": extract,
         "loadavg": loads,
     }
-    pairs = {"": ("local8", "local32"), "cluster_": ("cluster2x4", "cluster8x4")}
+    pairs = {"": ("local8", "local32"), "cluster_": ("cluster1x4", "cluster4x4")}
     for prefix, (a, b) in pairs.items():
         if a in crawl:
             out[f"crawl_{prefix}efficiency_n_to_4n"] = round(
