@@ -41,6 +41,7 @@ from scrappy_spark.operators import (
     timeseries,
 )
 from scrappy_spark.operators import webgraph
+from scrappy_spark.sources import warc as warc_mod
 from scrappy_spark.frontier import recrawl as recrawl_mod
 from scrappy_spark.frontier import redirects as redirects_mod
 from scrappy_spark.frontier import traps as traps_mod
@@ -89,6 +90,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH sign-bucket candidates + exact cosine verify — the
         # embedding-space sibling of text_decontaminate; O(delta) shape
         "emb_decontaminate": dedup.decontaminate_semantic,
+        # WARC (ISO 28500) record parsing — the Common Crawl ingestion
+        # shape: Content-Length-framed payloads (trailing garbage never
+        # leaks in), case-insensitive headers, magic-gated validity; all
+        # native expressions over a record table
+        "warc_parse": warc_mod.warc_responses_query,
+        # host-disjoint train/val split + leakage audit: the minhash
+        # near-dup pair graph joined with the split map — the train↔val
+        # row is the leakage an eval owner signs off on
+        "split_leakage": sampling.split_leakage,
         # F-10/X-17 driver oracle: the REAL canonicalize_col kernel over a
         # six-variant messy-URL corpus; case/port/fragment/scheme variants
         # collapse, query/bare-word ones don't
@@ -1006,8 +1016,100 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_static() -> dict[str, str]:
+    crlf = "chr(13)||chr(10)"
+    crlf2 = f"{crlf}||{crlf}"
+    split_h60 = DUCK_HASH60.format(s="concat('split:', source)")
     return {
         # --- round-5 entries ------------------------------------------
+        "warc_parse": f"""
+            WITH d AS (
+              SELECT doc_id, source, substr(text, 1, 50) AS payload
+              FROM documents
+            ),
+            recs AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 17 = 0 THEN 'GARC/9.9' ELSE 'WARC/1.0' END)
+                || {crlf}
+                || (CASE WHEN doc_id % 3 = 0 THEN 'warc-type' ELSE 'WARC-Type' END)
+                || ': '
+                || (CASE WHEN doc_id % 4 = 0 THEN 'response'
+                         WHEN doc_id % 4 = 1 THEN 'request'
+                         WHEN doc_id % 4 = 2 THEN 'metadata'
+                         ELSE 'resource' END)
+                || {crlf} || 'WARC-Target-URI: http://' || source || '/d/'
+                || CAST(doc_id AS VARCHAR)
+                || {crlf} || 'WARC-Date: 2026-01-'
+                || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z'
+                || {crlf} || 'Content-Length: '
+                || CAST(length(payload) AS VARCHAR)
+                || {crlf2} || payload
+                || {crlf2} || 'trailing-garbage-' || CAST(doc_id AS VARCHAR)
+                  AS rec
+              FROM d
+            ),
+            hdr AS (
+              SELECT rec, strpos(rec, {crlf2}) AS pos,
+                     CASE WHEN strpos(rec, {crlf2}) > 0
+                          THEN substr(rec, 1, strpos(rec, {crlf2}) - 1)
+                     END AS header
+              FROM recs
+            ),
+            parsed AS (
+              SELECT
+                lower(nullif(regexp_extract(header,
+                  '(?im)^WARC-Type: *([^\r\n]*)', 1), '')) AS record_type,
+                nullif(regexp_extract(header,
+                  '(?im)^WARC-Target-URI: *([^\r\n]*)', 1), '') AS target_uri,
+                nullif(regexp_extract(header,
+                  '(?im)^WARC-Date: *([^\r\n]*)', 1), '') AS warc_date,
+                TRY_CAST(nullif(regexp_extract(header,
+                  '(?im)^Content-Length: *([0-9]*)', 1), '') AS INT)
+                  AS content_length,
+                rec, pos
+              FROM hdr
+              WHERE rec LIKE 'WARC/1.0' || {crlf} || '%'
+            )
+            SELECT target_uri, warc_date, content_length,
+                   md5(substr(rec, pos + 4, content_length)) AS payload_fp
+            FROM parsed
+            WHERE record_type = 'response' AND content_length IS NOT NULL
+        """,
+        "split_leakage": _SIGS_CTE
+        + f""", bands AS ({_BANDS}),
+            capped AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
+            ),
+            pr AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM capped l JOIN capped r
+                ON l.band = r.band AND l.bucket = r.bucket
+                   AND l.doc_id < r.doc_id
+            ),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN {split_h60} % {sampling.SPLIT_VAL_MOD} = 0
+                          THEN 'val' ELSE 'train' END AS split
+              FROM documents
+            ),
+            tg AS (
+              SELECT least(sa.split, sb.split) AS split_a,
+                     greatest(sa.split, sb.split) AS split_b
+              FROM pr JOIN sp sa ON sa.doc_id = pr.a
+                      JOIN sp sb ON sb.doc_id = pr.b
+            ),
+            agg AS (
+              SELECT split_a, split_b, count(*) AS n_pairs
+              FROM tg GROUP BY 1, 2
+            ),
+            cnt AS (SELECT split, count(*) AS n_docs FROM sp GROUP BY 1)
+            SELECT agg.split_a, agg.split_b, agg.n_pairs,
+                   ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b
+            FROM agg JOIN cnt ca ON ca.split = agg.split_a
+                     JOIN cnt cb ON cb.split = agg.split_b
+        """,
         "f10_url_canonicalize": r"""
             WITH b AS (
               SELECT doc_id, source || '.example.com' AS h,

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     from scrappy_spark.frontier import recrawl, redirects, robots, sitemaps
+    from scrappy_spark.sources import warc
     from scrappy_spark.operators import (
         webgraph,
         boilerplate,
@@ -101,6 +102,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "url_redirect_resolve": redirects.resolve_query,
         "f10_url_canonicalize": relational.f10_url_canonicalize,
         "emb_decontaminate": dedup.decontaminate_semantic,
+        "warc_parse": warc.warc_responses_query,
+        "split_leakage": sampling.split_leakage,
         "frontier_recrawl_schedule": recrawl.recrawl_schedule_query,
         "graph_anchor_topk": webgraph.anchor_topk_query,
         "graph_host_degree": webgraph.host_graph_query,

@@ -200,3 +200,64 @@ def temperature_sample_from(docs: DataFrame) -> DataFrame:
             "lang_quota",
         )
     )
+
+
+SPLIT_VAL_MOD = 5  # hash60('split:' || source) % 5 == 0 → 'val'
+
+
+def host_split(docs: DataFrame) -> DataFrame:
+    """(…, source) → + split: host-disjoint train/val assignment by
+    source hash — ALL documents of a host land on the same side, which is
+    the split rule that prevents template/near-dup leakage by
+    construction for within-host duplicates. Deterministic (hash60, the
+    mirrored primitive), map-only."""
+    h = hash60_col(F.concat(F.lit("split:"), F.col("source")))
+    return docs.withColumn(
+        "split", F.when(h % SPLIT_VAL_MOD == 0, "val").otherwise("train")
+    )
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage audit for the host-disjoint split: join the minhash-LSH
+    near-dup pair graph (dedup.minhash_lsh_pairs — the kernel of record)
+    with the split assignment and roll up pair counts per (split_a,
+    split_b), alongside each side's document count. The train↔val row IS
+    the leakage number an eval-set owner signs off on: within-host dups
+    can't cross (the split is host-disjoint), so every cross row is a
+    genuine cross-host near-duplicate that k-gram or embedding
+    decontamination must handle.
+
+    Scale shape: the pair graph is edge-sized (≪ corpus), the split map
+    is host-keyed metadata — both joins broadcast; one final tiny
+    aggregation. Output (split_a, split_b, n_pairs, n_docs_a, n_docs_b)
+    with split_a <= split_b canonical order."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = host_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
+        )
+    ).select("doc_id", "split")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    tagged = (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    counts = docs.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    ca = counts.select(
+        F.col("split").alias("split_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    cb = counts.select(
+        F.col("split").alias("split_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    return tagged.join(F.broadcast(ca), "split_a").join(
+        F.broadcast(cb), "split_b"
+    ).select("split_a", "split_b", "n_pairs", "n_docs_a", "n_docs_b")

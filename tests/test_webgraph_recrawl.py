@@ -174,3 +174,28 @@ def test_canonicalize_col_spec_cases(spark, messy, canon):
     df = spark.createDataFrame([(messy,)], "u string")
     got = df.select(canonicalize_col(F.col("u")).alias("c")).collect()[0]["c"]
     assert got == canon == canonicalize(messy)
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Lock the PLANS.md claims for the round-5 kernels: canonicalize and
+    recrawl are ONE-Exchange plans (recrawl's window and rollup share the
+    page-key partitioning); int8 top-k moves data through exactly one
+    hash Exchange (the per-query window) plus the query broadcast; none
+    of them contains a sort-merge or cartesian join."""
+    from scrappy_spark.frontier.recrawl import recrawl_schedule_query
+    from scrappy_spark.operators.relational import f10_url_canonicalize
+    from scrappy_spark.operators.similarity import int8_topk
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for fn, n_hash in (
+        (f10_url_canonicalize, 1),
+        (recrawl_schedule_query, 1),
+        (int8_topk, 1),
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        got = plan.count("Exchange hashpartitioning")
+        assert got == n_hash, f"{fn.__name__}: {got} hash exchanges\n{plan[:1500]}"
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan, fn.__name__
