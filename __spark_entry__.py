@@ -41,6 +41,7 @@ from scrappy_spark.operators import (
     timeseries,
 )
 from scrappy_spark.operators import webgraph
+from scrappy_spark.sources import cdx as cdx_mod
 from scrappy_spark.sources import warc as warc_mod
 from scrappy_spark.frontier import recrawl as recrawl_mod
 from scrappy_spark.frontier import redirects as redirects_mod
@@ -86,6 +87,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- NEW in round 5 (front per the ordering convention) ----------
+        # WARC revisit-record rule (ISO 28500 §6.7.2): payload-digest
+        # dedup over a capture table — first capture per digest stays a
+        # response, later ones become revisits pointing at the original;
+        # one window Exchange on the digest
+        "warc_revisit": warc_mod.warc_revisit_query,
+        # crawl-snapshot diff: full-outer join of two (url, fp) snapshots
+        # → added/removed/changed/unchanged counts per host — the
+        # freshness ledger behind the recrawl tiers
+        "crawl_snapshot_diff": recrawl_mod.snapshot_diff_query,
+        # CDX/SURT index keys (the Common Crawl URL-index transform):
+        # host labels reversed+comma-joined, default ports stripped,
+        # fragment dropped — map-only native expressions, no shuffle
+        "cdx_surt_index": cdx_mod.cdx_index_query,
+        # quality-aware dedup survivor selection: keep the longest
+        # member of each minhash near-dup cluster (tiebreak doc_id) —
+        # one window Exchange over the node-sized component map
+        "dedup_keep_best": dedup.minhash_keep_best,
         # semantic benchmark decontamination: cross-side (corpus×bench)
         # LSH sign-bucket candidates + exact cosine verify — the
         # embedding-space sibling of text_decontaminate; O(delta) shape
@@ -1021,6 +1039,107 @@ def _oracle_sql_static() -> dict[str, str]:
     split_h60 = DUCK_HASH60.format(s="concat('split:', source)")
     return {
         # --- round-5 entries ------------------------------------------
+        "warc_revisit": """
+            WITH cap AS (
+              SELECT 'http://' || d.source || '/d/'
+                       || CAST(d.doc_id AS VARCHAR) AS target_uri,
+                     '2026-01-'
+                       || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || 'T00:00:00Z' AS warc_date,
+                     md5(substr(p.text, 1, 40)) AS digest
+              FROM documents d
+              JOIN documents p ON p.doc_id = d.doc_id - d.doc_id % 5
+            ),
+            w AS (
+              SELECT *,
+                row_number() OVER
+                  (PARTITION BY digest ORDER BY warc_date, target_uri) AS rn,
+                first_value(target_uri) OVER
+                  (PARTITION BY digest ORDER BY warc_date, target_uri) AS fu
+              FROM cap
+            )
+            SELECT target_uri, warc_date, digest,
+                   CASE WHEN rn = 1 THEN 'response'
+                        ELSE 'revisit' END AS record_type,
+                   fu AS original_uri
+            FROM w
+        """,
+        "crawl_snapshot_diff": """
+            WITH old AS (
+              SELECT source || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+                     source AS host, md5(substr(text, 1, 30)) AS fp
+              FROM documents
+            ),
+            new AS (
+              SELECT source || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+                     source AS host,
+                     CASE WHEN doc_id % 7 = 2 THEN md5(substr(text, 1, 29))
+                          ELSE md5(substr(text, 1, 30)) END AS fp
+              FROM documents WHERE doc_id % 11 <> 3
+              UNION ALL
+              SELECT source || '/new/' || CAST(doc_id AS VARCHAR), source,
+                     md5(substr(text, 5, 30))
+              FROM documents WHERE doc_id % 13 = 0
+            ),
+            j AS (
+              SELECT coalesce(n.host, o.host) AS host,
+                     CASE WHEN o.fp IS NULL THEN 'added'
+                          WHEN n.fp IS NULL THEN 'removed'
+                          WHEN o.fp <> n.fp THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM old o FULL OUTER JOIN new n ON n.url = o.url
+            )
+            SELECT host, status, count(*) AS n_pages
+            FROM j GROUP BY 1, 2
+        """,
+        "cdx_surt_index": """
+            WITH u AS (
+              SELECT DISTINCT CASE
+                WHEN doc_id % 4 = 0 THEN 'http://' || source
+                  || '.Example.COM/d/' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 4 = 1 THEN 'https://WWW.' || source
+                  || '.example.com:443/a/' || CAST(doc_id AS VARCHAR)
+                  || '?q=' || CAST(doc_id % 7 AS VARCHAR)
+                WHEN doc_id % 4 = 2 THEN 'http://' || source
+                  || '.example.com:8080/idx#frag'
+                ELSE 'http://' || source || '.example.com'
+                END AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT url,
+                regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                  ':(80|443)$', '') AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+              FROM u
+            ),
+            s AS (
+              SELECT url,
+                regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                pathq
+              FROM p
+            )
+            SELECT url,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || CASE WHEN port = '' THEN '' ELSE ':' || port END
+                   || ')'
+                   || CASE WHEN pathq = '' THEN '/' ELSE pathq END AS surt
+            FROM s
+        """,
+        "dedup_keep_best": f"""
+            SELECT canonical_id, kept_doc_id, kept_len, cluster_size FROM (
+              SELECT c.canonical_id, d.doc_id AS kept_doc_id,
+                     length(d.text) AS kept_len,
+                     row_number() OVER (PARTITION BY c.canonical_id
+                       ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY c.canonical_id)
+                       AS cluster_size
+              FROM ({_COMPONENTS_SQL}) c JOIN documents d ON d.doc_id = c.doc_id
+            ) WHERE rn = 1
+        """,
         "warc_parse": f"""
             WITH d AS (
               SELECT doc_id, source, substr(text, 1, 50) AS payload

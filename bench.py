@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     from scrappy_spark.frontier import recrawl, redirects, robots, sitemaps
-    from scrappy_spark.sources import warc
+    from scrappy_spark.sources import cdx, warc
     from scrappy_spark.operators import (
         webgraph,
         boilerplate,
@@ -108,6 +108,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "graph_anchor_topk": webgraph.anchor_topk_query,
         "graph_host_degree": webgraph.host_graph_query,
         "sim_int8_topk": similarity.int8_topk,
+        "warc_revisit": warc.warc_revisit_query,
+        "crawl_snapshot_diff": recrawl.snapshot_diff_query,
+        "cdx_surt_index": cdx.cdx_index_query,
+        "dedup_keep_best": dedup.minhash_keep_best,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

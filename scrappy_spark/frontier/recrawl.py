@@ -114,6 +114,88 @@ def recrawl_schedule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    host: str = "host",
+    fp: str = "fingerprint",
+) -> DataFrame:
+    """Crawl-snapshot diff — the rollup a recrawl run is judged by:
+    given two snapshots (key, host, fingerprint), classify every page as
+    added / removed / changed / unchanged and count per (host, status).
+    This is the freshness ledger that feeds the change-rate tiers above
+    (a snapshot pair is the two-fetch degenerate case of the fetch log).
+
+    Plan: one full-outer hash join on the page key (both sides shuffle
+    once on the same key — at 100 TB both snapshots are stored
+    bucketed/partitioned by this key, making the join zero-Exchange),
+    then a partial-agg shuffle to host×status counts (4×#hosts rows).
+    No window, no collect."""
+    o = old.select(
+        F.col(key).alias("_k"),
+        F.col(host).alias("_h_old"),
+        F.col(fp).alias("_fp_old"),
+    )
+    n = new.select(
+        F.col(key).alias("_k"),
+        F.col(host).alias("_h_new"),
+        F.col(fp).alias("_fp_new"),
+    )
+    j = o.join(n, "_k", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("_h_new", "_h_old").alias("host"),
+            status.alias("status"),
+        )
+        .groupBy("host", "status")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: two snapshots derived from documents. OLD = every
+    doc (url = source/d/id, fp = md5 of the 30-char text prefix). NEW
+    drops doc_id%11==3 (removed), re-fingerprints doc_id%7==2 with the
+    29-char prefix (changed — except docs whose chars 29 and 30 make
+    both prefixes equal, i.e. text shorter than 30; equality is what's
+    classified, identically in both engines), and adds a second url
+    (source/new/id) for doc_id%13==0 (added). Columns
+    (host, status, n_pages)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.col("source"), F.lit("/d/"), F.col("doc_id").cast("string")
+    )
+    old = docs.select(
+        url.alias("url"),
+        F.col("source").alias("host"),
+        F.md5(F.substring("text", 1, 30)).alias("fingerprint"),
+    )
+    kept = docs.where(F.col("doc_id") % 11 != 3).select(
+        url.alias("url"),
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 7 == 2, F.md5(F.substring("text", 1, 29))
+        )
+        .otherwise(F.md5(F.substring("text", 1, 30)))
+        .alias("fingerprint"),
+    )
+    added = docs.where(F.col("doc_id") % 13 == 0).select(
+        F.concat(
+            F.col("source"), F.lit("/new/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("source").alias("host"),
+        F.md5(F.substring("text", 5, 30)).alias("fingerprint"),
+    )
+    return snapshot_diff(old, kept.unionAll(added))
+
+
 def tier_ppm(n_fetches: int, n_changes: int) -> tuple[int, str]:
     """Pure-python twin of the Column tier logic above, over the SAME
     threshold constants — used by the streaming sibling

@@ -247,6 +247,42 @@ def minhash_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the step AFTER cluster
+    resolution in every production dedup pipeline: instead of keeping
+    the arbitrary min-id document (what canonical_id alone gives you),
+    keep the highest-quality member of each near-dup cluster. Quality
+    here is text length (the simplest deterministic proxy; swap in the
+    textstats score the same way), tiebroken by doc_id so the choice
+    is total. Output: one row per cluster —
+    (canonical_id, kept_doc_id, kept_len, cluster_size).
+
+    Plan: the node-sized component map joins doc lengths (the length
+    rides the document scan's metadata, not the text), then ONE window
+    Exchange on canonical_id — partitions are cluster-sized (tiny: the
+    duplication factor), and the shuffle carries ids + one long per
+    doc, never document bodies. At 100 TB this is the cheapest stage of
+    the dedup pipeline by an order of magnitude."""
+    comp = minhash_components(spark, sf_dir)
+    lens = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("_len")
+    )
+    j = comp.join(lens, "doc_id")
+    wp = Window.partitionBy("canonical_id")
+    wo = wp.orderBy(F.col("_len").desc(), F.col("doc_id").asc())
+    return (
+        j.select(
+            "canonical_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("_len").alias("kept_len"),
+            F.row_number().over(wo).alias("_rn"),
+            F.count(F.lit(1)).over(wp).alias("cluster_size"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def components_from_pairs(
     docs: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:

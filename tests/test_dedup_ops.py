@@ -377,3 +377,29 @@ def test_embedding_cosine_threshold_column_values(spark, sf_dir):
         (F.col("cosine") < 0.35) | (F.col("cosine") > 1.000001)
     ).count()
     assert bad == 0
+
+
+def test_keep_best_picks_longest_member_per_cluster(spark, sf_dir):
+    # survivor = max-length member (tiebreak min doc_id) of each minhash
+    # component; one output row per cluster; sizes sum to the corpus
+    comp = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.minhash_components(spark, sf_dir).collect()
+    }
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    best = dedup.minhash_keep_best(spark, sf_dir).collect()
+    assert len(best) == len(set(comp.values()))
+    assert sum(r["cluster_size"] for r in best) == len(comp)
+    for r in best:
+        members = [d for d, c in comp.items() if c == r["canonical_id"]]
+        want = min(
+            members, key=lambda d: (-lens[d], d)
+        )  # longest, then smallest id
+        assert r["kept_doc_id"] == want
+        assert r["kept_len"] == lens[want]
+        assert r["cluster_size"] == len(members)

@@ -3,7 +3,8 @@
 from pyspark.sql import functions as F
 
 from scrappy_spark.operators.sampling import host_split
-from scrappy_spark.sources.warc import parse_warc_records
+from scrappy_spark.sources.cdx import surt_key
+from scrappy_spark.sources.warc import digest_dedup, parse_warc_records
 
 
 def _rec(
@@ -57,6 +58,63 @@ def test_warc_short_payload_respects_declared_length(spark):
     # there — the parser must not read past it
     df = spark.createDataFrame([(_rec("abcdef", clen=3),)], "rec string")
     assert parse_warc_records(df).collect()[0]["payload"] == "abc"
+
+
+def test_digest_dedup_revisit_rule(spark):
+    # three captures of one payload (distinct dates) + one singleton:
+    # first-by-date stays a response, later ones become revisits that
+    # point at the FIRST capture's uri; the singleton refers to itself
+    caps = spark.createDataFrame(
+        [
+            ("http://h/b", "2026-01-02", "dgA"),
+            ("http://h/a", "2026-01-01", "dgA"),
+            ("http://h/c", "2026-01-03", "dgA"),
+            ("http://h/z", "2026-01-01", "dgB"),
+        ],
+        "target_uri string, warc_date string, digest string",
+    )
+    out = {
+        r["target_uri"]: (r["record_type"], r["original_uri"])
+        for r in digest_dedup(caps).collect()
+    }
+    assert out["http://h/a"] == ("response", "http://h/a")
+    assert out["http://h/b"] == ("revisit", "http://h/a")
+    assert out["http://h/c"] == ("revisit", "http://h/a")
+    assert out["http://h/z"] == ("response", "http://h/z")
+
+
+def test_digest_dedup_tiebreak_is_uri(spark):
+    # equal dates: the lexicographically smaller uri is the original
+    caps = spark.createDataFrame(
+        [
+            ("http://h/y", "2026-01-01", "dg"),
+            ("http://h/x", "2026-01-01", "dg"),
+        ],
+        "target_uri string, warc_date string, digest string",
+    )
+    out = {
+        r["target_uri"]: r["record_type"] for r in digest_dedup(caps).collect()
+    }
+    assert out == {"http://h/x": "response", "http://h/y": "revisit"}
+
+
+def test_surt_key_transform(spark):
+    cases = [
+        # host lowercased + reversed, default port stripped, frag dropped
+        ("http://A.Example.COM:80/d/1?q=2#x", "com,example,a)/d/1?q=2"),
+        ("https://WWW.site.example.com:443/a/7", "com,example,site,www)/a/7"),
+        # non-default port rides between host and ')'
+        ("http://x.y:8080/p", "y,x:8080)/p"),
+        # bare host → '/'
+        ("http://news.example.com", "com,example,news)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["surt"]
+        for r in df.select("url", surt_key(F.col("url")).alias("surt")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
 
 
 def test_host_split_is_host_disjoint_and_deterministic(spark, sf_dir):

@@ -7,8 +7,37 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from scrappy_spark.frontier.recrawl import recrawl_schedule
+from scrappy_spark.frontier.recrawl import recrawl_schedule, snapshot_diff
 from scrappy_spark.operators.webgraph import anchor_topk, host_graph
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    old = spark.createDataFrame(
+        [
+            ("h1/a", "h1", "f1"),  # unchanged
+            ("h1/b", "h1", "f2"),  # changed
+            ("h2/c", "h2", "f3"),  # removed (host must come from OLD)
+        ],
+        "url string, host string, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("h1/a", "h1", "f1"),
+            ("h1/b", "h1", "f2x"),
+            ("h3/d", "h3", "f4"),  # added (host must come from NEW)
+        ],
+        "url string, host string, fingerprint string",
+    )
+    got = {
+        (r["host"], r["status"]): r["n_pages"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        ("h1", "unchanged"): 1,
+        ("h1", "changed"): 1,
+        ("h2", "removed"): 1,
+        ("h3", "added"): 1,
+    }
 
 
 def test_anchor_topk_rank_and_inlinks(spark):
