@@ -44,6 +44,7 @@ from scrappy_spark.operators import webgraph
 from scrappy_spark.sources import cdx as cdx_mod
 from scrappy_spark.sources import warc as warc_mod
 from scrappy_spark.frontier import recrawl as recrawl_mod
+from scrappy_spark.frontier import yieldstats as yieldstats_mod
 from scrappy_spark.frontier import redirects as redirects_mod
 from scrappy_spark.frontier import traps as traps_mod
 from scrappy_spark.frontier import robots as robots_mod
@@ -87,6 +88,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- NEW in round 5 (front per the ordering convention) ----------
+        # adaptive per-host crawl budgets from yield (new URLs per pop):
+        # integer clamp(base·new÷pops, lo, hi) — one partial-agg shuffle
+        # on host; output feeds CrawlConfig.host_budgets
+        "frontier_adaptive_budget": yieldstats_mod.adaptive_budget_query,
+        # URL discovery curve: first-seen round per URL (min-agg, the
+        # only corpus-sized stage) → per-round new + cumulative counts;
+        # cumsum via broadcast triangular join over #rounds rows — no
+        # Exchange SinglePartition anywhere
+        "frontier_discovery_curve": yieldstats_mod.discovery_curve_query,
         # WARC revisit-record rule (ISO 28500 §6.7.2): payload-digest
         # dedup over a capture table — first capture per digest stays a
         # response, later ones become revisits pointing at the original;
@@ -1039,6 +1049,42 @@ def _oracle_sql_static() -> dict[str, str]:
     split_h60 = DUCK_HASH60.format(s="concat('split:', source)")
     return {
         # --- round-5 entries ------------------------------------------
+        "frontier_adaptive_budget": """
+            WITH log AS (
+              SELECT 'h' || CAST(user_id % 19 AS VARCHAR) AS host,
+                     1 + event_id % 3 AS n_pops,
+                     event_id % (1 + 2 * (user_id % 19)) AS n_new
+              FROM events
+            ),
+            agg AS (
+              SELECT host, CAST(sum(n_pops) AS BIGINT) AS n_pops,
+                     CAST(sum(n_new) AS BIGINT) AS n_new
+              FROM log GROUP BY host
+            )
+            SELECT host, n_pops, n_new,
+                   (1000000 * n_new) // n_pops AS yield_ppm,
+                   CAST(least(greatest((8 * n_new) // n_pops, 1), 32)
+                     AS BIGINT) AS next_budget
+            FROM agg
+        """,
+        "frontier_discovery_curve": """
+            WITH log AS (
+              SELECT 'u' || CAST((event_id * 31 + user_id) % 700 AS VARCHAR)
+                       AS url,
+                     1 + event_id % 12 AS round
+              FROM events
+            ),
+            first AS (
+              SELECT url, min(round) AS round FROM log GROUP BY url
+            ),
+            per AS (
+              SELECT round, count(*) AS n_new FROM first GROUP BY round
+            )
+            SELECT a.round, a.n_new,
+                   CAST(sum(b.n_new) AS BIGINT) AS n_cumulative
+            FROM per a JOIN per b ON b.round <= a.round
+            GROUP BY a.round, a.n_new
+        """,
         "warc_revisit": """
             WITH cap AS (
               SELECT 'http://' || d.source || '/d/'

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    from scrappy_spark.frontier import recrawl, redirects, robots, sitemaps
+    from scrappy_spark.frontier import recrawl, redirects, robots, sitemaps, yieldstats
     from scrappy_spark.sources import cdx, warc
     from scrappy_spark.operators import (
         webgraph,
@@ -112,6 +112,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "crawl_snapshot_diff": recrawl.snapshot_diff_query,
         "cdx_surt_index": cdx.cdx_index_query,
         "dedup_keep_best": dedup.minhash_keep_best,
+        "frontier_adaptive_budget": yieldstats.adaptive_budget_query,
+        "frontier_discovery_curve": yieldstats.discovery_curve_query,
     }
     times, steal = {}, {}
     for name, fn in qs.items():
