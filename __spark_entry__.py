@@ -88,6 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- NEW in round 5 (front per the ordering convention) ----------
+        # per-host curation scorecard: doc/token counts, exact-dup rate
+        # (integer ppm), language profile + majority language — the
+        # domain-level table corpus curation reviews before touching docs
+        "host_scorecard": textstats.host_scorecard,
+        # bigram-LM surprisal (the next CCNet rung after unigram):
+        # conditional −ln(c2/c1) in exact fixed-point decimal sums;
+        # bigram formation is one sessionize-shaped window Exchange
+        "text_bigram_logprob": textstats.bigram_logprob,
         # adaptive per-host crawl budgets from yield (new URLs per pop):
         # integer clamp(base·new÷pops, lo, hi) — one partial-agg shuffle
         # on host; output feeds CrawlConfig.host_budgets
@@ -1049,6 +1057,66 @@ def _oracle_sql_static() -> dict[str, str]:
     split_h60 = DUCK_HASH60.format(s="concat('split:', source)")
     return {
         # --- round-5 entries ------------------------------------------
+        "host_scorecard": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     len({_TOKS}) AS n_tok,
+                     md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+                       AS fp
+              FROM documents
+            ),
+            main AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                     round(avg(n_tok), 6) AS avg_tokens,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM d GROUP BY source
+            ),
+            top AS (
+              SELECT source, lang AS top_lang FROM (
+                SELECT source, lang, row_number() OVER (
+                  PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rk
+                FROM d GROUP BY source, lang
+              ) WHERE rk = 1
+            )
+            SELECT source, n_docs, total_tokens, avg_tokens,
+                   (1000000 * (n_docs - n_distinct_texts)) // n_docs
+                     AS dup_rate_ppm,
+                   n_langs, top_lang
+            FROM main JOIN top USING (source)
+        """,
+        "text_bigram_logprob": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS t,
+                     unnest(range(len(toks))) AS pos
+              FROM tokd
+            ), big AS (
+              SELECT doc_id,
+                     lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                     t AS w2
+              FROM tok
+              QUALIFY w1 IS NOT NULL
+            ), c2 AS (
+              SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+            ), lp AS (
+              SELECT w1, w2,
+                     CAST(round(-ln(c2 / c1), 6) AS DECIMAL(18,6)) AS surprisal
+              FROM c2 JOIN c1 USING (w1)
+            ), agg AS (
+              SELECT doc_id, sum(surprisal) AS s, count(*) AS n_bigrams
+              FROM big JOIN lp USING (w1, w2) GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+                   CAST(s AS DOUBLE) AS bigram_surprisal_sum,
+                   round(CAST(s AS DOUBLE) / n_bigrams, 6)
+                     AS mean_bigram_surprisal
+            FROM agg
+        """,
         "frontier_adaptive_budget": """
             WITH log AS (
               SELECT 'h' || CAST(user_id % 19 AS VARCHAR) AS host,

@@ -114,6 +114,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_keep_best": dedup.minhash_keep_best,
         "frontier_adaptive_budget": yieldstats.adaptive_budget_query,
         "frontier_discovery_curve": yieldstats.discovery_curve_query,
+        "host_scorecard": textstats.host_scorecard,
+        "text_bigram_logprob": textstats.bigram_logprob,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

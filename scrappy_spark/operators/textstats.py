@@ -189,6 +189,121 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host (source) curation scorecard — the domain-level profile
+    web-corpus curation acts on BEFORE touching documents (C4's and
+    RefinedWeb's first filter pass is a host block/allow decision; a
+    100 TB corpus has ~10^7 hosts vs ~10^10 pages, so the scorecard is
+    the cheap table humans and classifiers actually review):
+    per source — document count, token totals/mean, exact-duplicate
+    rate (ppm, integer floor division: the recrawl-tier no-float-ratio
+    discipline), distinct languages, and the majority language.
+
+    Plan: one scan; the main rollup is a partial-agg shuffle keyed by
+    source (count_distinct fingerprint/lang ride the same Exchange);
+    the majority language is a second partial agg to (source, lang)
+    counts + a per-source window over ≤ #langs rows (skew absorbed by
+    the partial agg, the anchor_topk argument); the two host-count-
+    sized results equi-join — AQE broadcasts. Nothing corpus-sized
+    crosses a second Exchange."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )
+    main = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_texts"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    per_lang = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("lang").asc()
+    )
+    top = (
+        per_lang.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return main.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        F.expr(
+            "(1000000 * (n_docs - n_distinct_texts)) DIV n_docs"
+        ).alias("dup_rate_ppm"),
+        "n_langs",
+        "top_lang",
+    )
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the next CCNet rung after
+    ``unigram_logprob``: per document, total and mean conditional
+    surprisal −ln(c(w1,w2)/c(w1·)) of its bigrams under the corpus' own
+    bigram MLE (c(w1·) counts w1 as a CONTEXT — bigram rows grouped by
+    w1 — so probabilities per context sum to exactly 1 and every
+    observed bigram has p > 0; no smoothing, which would put a float
+    constant inside ln). High mean = locally incoherent token
+    sequences, the signal a unigram model is blind to (it scores a
+    shuffled document identically to the original).
+
+    Exactness: identical discipline to ``unigram_logprob`` — per-bigram
+    surprisal rounded to 6 decimals and cast DECIMAL(18,6) BEFORE the
+    per-document sum (exact fixed-point, order-independent), the same
+    libm-vs-grid-boundary caveat monitored by the rounding-margin test.
+
+    100 TB shape: bigram formation is ONE hash Exchange on doc_id (a
+    lag window — the sessionize shape); bigram/context counts are two
+    partial-agg shuffles; the scoring join of the bigram stream to the
+    (vocab-pair ≪ corpus) model table is deliberately unhinted so AQE
+    broadcasts small models and shuffles web-scale ones (the unigram
+    rationale). Documents with < 2 tokens have no bigram and drop out
+    (mean undefined), identically in both engines."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("toks", tokens_col(F.col("text")))
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        F.lag("t").over(w).alias("w1"),
+        F.col("t").alias("w2"),
+    ).where(F.col("w1").isNotNull())
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(-F.log(F.col("c2") / F.col("c1")), 6)
+        .cast("decimal(18,6)")
+        .alias("surprisal"),
+    )
+    agg = (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("surprisal").alias("s"), F.count("*").alias("n_bigrams"))
+    )
+    s_dbl = F.col("s").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        s_dbl.alias("bigram_surprisal_sum"),
+        F.round(s_dbl / F.col("n_bigrams"), 6).alias("mean_bigram_surprisal"),
+    )
+
+
 def marker_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID — deterministic argmax with fixed
     priority (en > de > fr > es), 'und' when no marker hits."""
