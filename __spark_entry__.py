@@ -88,6 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- NEW in round 5 (front per the ordering convention) ----------
+        # blocked inverted-index build (the Lucene/PISA posting-block
+        # shape): bigram terms, map-only doc-range blocking — never a
+        # per-term rank window (stopword-straggler-proof); list bytes
+        # value-pinned through an ordered-serialization fingerprint
+        "retrieval_posting_lists": retrieval.posting_lists_query,
+        # vocabulary truncation + per-doc OOV ppm under the corpus
+        # top-K vocab: TakeOrderedAndProject top-k + broadcast model join
+        "text_vocab_oov": textstats.vocab_oov,
         # per-host curation scorecard: doc/token counts, exact-dup rate
         # (integer ppm), language profile + majority language — the
         # domain-level table corpus curation reviews before touching docs
@@ -1057,6 +1065,51 @@ def _oracle_sql_static() -> dict[str, str]:
     split_h60 = DUCK_HASH60.format(s="concat('split:', source)")
     return {
         # --- round-5 entries ------------------------------------------
+        "retrieval_posting_lists": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS t,
+                     unnest(range(len(toks))) AS pos
+              FROM tokd
+            ), big AS (
+              SELECT doc_id,
+                     lag(t) OVER (PARTITION BY doc_id ORDER BY pos)
+                       || ' ' || t AS term
+              FROM tok
+              QUALIFY lag(t) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NOT NULL
+            ), tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM big
+              GROUP BY term, doc_id
+            )
+            SELECT term, CAST(doc_id // 128 AS BIGINT) AS block,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   md5(string_agg(
+                     CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                     ';' ORDER BY doc_id)) AS postings_fp
+            FROM tf GROUP BY term, doc_id // 128
+        """,
+        "text_vocab_oov": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS t FROM tokd
+            ), freq AS (
+              SELECT t, count(*) AS c FROM tok GROUP BY t
+            ), vocab AS (
+              SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 16
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov
+              FROM tok LEFT JOIN vocab v ON tok.t = v.t
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_oov,
+                   (1000000 * n_oov) // n_tokens AS oov_ppm
+            FROM agg
+        """,
         "host_scorecard": f"""
             WITH d AS (
               SELECT doc_id, lang, source,

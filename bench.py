@@ -116,6 +116,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "frontier_discovery_curve": yieldstats.discovery_curve_query,
         "host_scorecard": textstats.host_scorecard,
         "text_bigram_logprob": textstats.bigram_logprob,
+        "retrieval_posting_lists": retrieval.posting_lists_query,
+        "text_vocab_oov": textstats.vocab_oov,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

@@ -304,6 +304,51 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 16  # top-K vocabulary size for the OOV measure
+
+
+def vocab_oov(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
+    """Vocabulary truncation + per-document OOV rate — the tokenizer-prep
+    measure: fix the vocabulary to the corpus' top-``k`` tokens by count
+    (tiebreak token asc — a total order, the heavy_hitters discipline)
+    and report each document's out-of-vocabulary token fraction in
+    integer ppm. High OOV = the document's token distribution diverges
+    from the corpus head — the cheap proxy for 'this doc will shred
+    into subwords' that vocabulary-size sweeps gate on.
+
+    Plan: one explode + partial-agg shuffle builds the frequency table;
+    the top-k is TakeOrderedAndProject (every partition keeps k, the
+    driver merges P·k — never a global sort); the k-row vocabulary
+    BROADCASTS onto the token stream (it is a bounded model table, the
+    bm25 query-set shape) and one groupBy(doc_id) finishes. ppm is
+    integer floor division — no float ratio."""
+    d = _docs(spark, sf_dir).withColumn("toks", tokens_col(F.col("text")))
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(k)
+        .select("t", F.lit(1).alias("_in"))
+    )
+    agg = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("(1000000 * n_oov) DIV n_tokens").alias("oov_ppm"),
+    )
+
+
 def marker_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID — deterministic argmax with fixed
     priority (en > de > fr > es), 'und' when no marker hits."""

@@ -119,3 +119,54 @@ def test_scorecard_bigram_plan_shapes(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_posting_lists_blocks_and_fingerprints(spark):
+    import hashlib
+
+    from scrappy_spark.operators.retrieval import posting_lists
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (200, "a b")], "doc_id long, text string"
+    )
+    got = {
+        (r["term"], r["block"]): (r["n_docs"], r["postings_fp"])
+        for r in posting_lists(docs, block_span=128).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 0: bigrams 'a b'×2, 'b a'×1 (block 0); doc 200: 'a b'×1 (block 1)
+    assert got == {
+        ("a b", 0): (1, md5("0:2")),
+        ("b a", 0): (1, md5("0:1")),
+        ("a b", 1): (1, md5("200:1")),
+    }
+
+
+def test_vocab_oov_values(spark, tmp_path):
+    path = _write_docs(
+        spark,
+        tmp_path,
+        [(0, "x x y z", "en", "s"), (1, "x y q", "en", "s")],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+        for r in textstats.vocab_oov(spark, path, k=2).collect()
+    }
+    # vocab (count desc, token asc) top-2 = {x, y}; z and q are OOV
+    assert got == {0: (4, 1, 250_000), 1: (3, 1, 333_333)}
+
+
+def test_vocab_oov_nonvacuous_and_plan(spark, sf_dir):
+    from scrappy_spark.operators.retrieval import posting_lists_query
+
+    df = textstats.vocab_oov(spark, sf_dir)
+    rows = df.collect()
+    assert any(r["n_oov"] > 0 for r in rows)  # 31-token vocab, top-16
+    assert any(r["n_oov"] == 0 for r in rows) or all(
+        r["n_oov"] < r["n_tokens"] for r in rows
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # vocab is a broadcast model table
+    for d in (df, posting_lists_query(spark, sf_dir)):
+        p = d._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p and "SortMergeJoin" not in p
