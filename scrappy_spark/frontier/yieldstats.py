@@ -144,3 +144,19 @@ def discovery_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.col("event_id") % 12).alias("round"),
     )
     return discovery_curve(log)
+
+
+def budget_for(
+    n_pops: int,
+    n_new: int,
+    base: int = BUDGET_BASE,
+    lo: int = BUDGET_LO,
+    hi: int = BUDGET_HI,
+) -> tuple[int, int]:
+    """(yield_ppm, next_budget) — pure-python twin of the Column logic
+    in ``adaptive_budget``, over the SAME constants; used by the
+    streaming sibling (``state_stream.budget_stream``) so batch and
+    stream budget assignment cannot drift (the recrawl
+    ``tier_ppm`` discipline)."""
+    ppm = (1_000_000 * n_new) // n_pops
+    return ppm, min(max((base * n_new) // n_pops, lo), hi)

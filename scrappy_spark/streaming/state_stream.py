@@ -589,3 +589,50 @@ def recrawl_stream(fetches: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BUDGET_STREAM_SCHEMA = (
+    "host string, n_pops long, n_new long, yield_ppm long, next_budget long"
+)
+_BUDGET_STATE = "n_pops long, n_new long"
+
+
+def budget_stream(telemetry: DataFrame) -> DataFrame:
+    """Streaming adaptive-budget scheduler — the live sibling of
+    ``frontier.yieldstats.adaptive_budget``: each host's cumulative
+    (pops, new-URL) totals carry across micro-batches as O(1) state, and
+    every batch a host appears in emits its UPDATED
+    (n_pops, n_new, yield_ppm, next_budget) row — the frontier's pop
+    always reads the current budget without rescanning the telemetry
+    log. The LAST emitted row per host equals the batch operator over
+    the full log (pinned by the cross-batch test); the clamp arithmetic
+    is the shared ``yieldstats.budget_for`` twin, so batch and stream
+    cannot drift. State is two longs per host — bounded by host count,
+    not traffic.
+
+    Input stream schema: (host string, n_pops long, n_new long).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from scrappy_spark.frontier.yieldstats import budget_for
+
+    def upd(key, pdfs, state):
+        (host,) = key
+        np_, nn = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            np_ += int(pdf["n_pops"].sum())
+            nn += int(pdf["n_new"].sum())
+        state.update((np_, nn))
+        ppm, budget = budget_for(np_, nn)
+        yield pd.DataFrame(
+            [(host, np_, nn, ppm, budget)],
+            columns=["host", "n_pops", "n_new", "yield_ppm", "next_budget"],
+        )
+
+    return telemetry.groupBy("host").applyInPandasWithState(
+        upd,
+        outputStructType=BUDGET_STREAM_SCHEMA,
+        stateStructType=_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

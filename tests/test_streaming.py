@@ -388,3 +388,63 @@ def test_recrawl_stream_matches_batch_across_batches(spark, tmp_path):
     assert got[2] == (2, 1, 1_000_000, "hourly")
     # intermediate emission existed for page 1 (one row per batch seen)
     assert sum(1 for r in rows if r["page_id"] == 1) == 2
+
+
+def test_budget_stream_matches_batch_across_batches(spark, tmp_path):
+    """Streaming adaptive-budget scheduler: per-host (pops, new) totals
+    carry ACROSS micro-batches, and the LAST emitted row per host equals
+    the batch operator over the full telemetry log — including a host
+    whose budget only clears the floor once batch 2's yield arrives."""
+    import os
+
+    from scrappy_spark.frontier.yieldstats import adaptive_budget
+    from scrappy_spark.streaming.state_stream import budget_stream
+
+    # hub: high yield in both batches (ceiling); dud: zero yield
+    # (floor); slow: 0 new in batch 1, 8 new in batch 2 — its budget
+    # changes only because state crossed the boundary
+    batch1 = [("hub", 2, 40), ("dud", 3, 0), ("slow", 2, 0)]
+    batch2 = [("hub", 1, 20), ("dud", 2, 0), ("slow", 2, 8)]
+    schema = "host string, n_pops long, n_new long"
+    src = str(tmp_path / "telemetry")
+    os.makedirs(src)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/t1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/t2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/t*")
+    )
+    q = (
+        budget_stream(stream)
+        .writeStream.format("memory")
+        .queryName("budgets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM budgets").collect()
+    last = {}
+    for r in rows:
+        if r["host"] not in last or r["n_pops"] > last[r["host"]]["n_pops"]:
+            last[r["host"]] = r
+    got = {
+        h: (r["n_pops"], r["n_new"], r["yield_ppm"], r["next_budget"])
+        for h, r in last.items()
+    }
+    batch = {
+        r["host"]: (r["n_pops"], r["n_new"], r["yield_ppm"], r["next_budget"])
+        for r in adaptive_budget(
+            spark.createDataFrame(batch1 + batch2, schema)
+        ).collect()
+    }
+    assert got == batch
+    # the cross-boundary host really moved off the floor in batch 2
+    slow_rows = sorted(
+        (r["n_pops"], r["next_budget"])
+        for r in rows
+        if r["host"] == "slow"
+    )
+    assert slow_rows == [(2, 1), (4, 16)]
