@@ -135,23 +135,26 @@ def posting_lists(
     fingerprint, so the oracle pins the exact list bytes without
     shipping megabyte columns through the compare).
 
-    Scale shape: bigram formation is one window Exchange on doc_id
-    (sessionize-shaped); tf is a partial-agg shuffle on (term, doc);
-    blocking is a MAP-ONLY doc_id division — deliberately not a
-    per-term rank window, which would hand a stopword term's 10^9
-    postings to a single window task (the straggler this layout
-    exists to avoid); the final groupBy(term, block) has groups
-    bounded by block_span rows by construction. No skew cap needed —
-    boundedness is structural."""
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "t")
+    Scale shape: bigram formation is MAP-SIDE — adjacent tokens are
+    already collocated inside each document's token array, so terms
+    come from a transform over the array + one explode, never a
+    lag-window over the exploded stream (the r5 replica audit measured
+    that window shuffling+sorting the whole token stream for adjacency
+    the array already has — see textstats.bigram_logprob). tf is a
+    partial-agg shuffle on (term, doc); blocking is a MAP-ONLY doc_id
+    division — deliberately not a per-term rank window, which would
+    hand a stopword term's 10^9 postings to a single window task (the
+    straggler this layout exists to avoid); the final
+    groupBy(term, block) has groups bounded by block_span rows by
+    construction. No skew cap needed — boundedness is structural."""
+    d = docs.withColumn("toks", tokens_col(F.col("text")))
+    terms = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i-1], ' ', toks[i]))"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    term = F.concat(F.lag("t").over(w), F.lit(" "), F.col("t"))
-    big = tok.select("doc_id", term.alias("term")).where(
-        F.col("term").isNotNull()
+    big = (
+        d.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(terms).alias("term"))
     )
     tf = big.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     blocked = tf.withColumn(

@@ -147,10 +147,18 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one explode+groupBy builds the vocab frequency table
     (partial-agg shuffle keyed by token); the scalar N rides in as a
     broadcast; the per-doc scoring joins the token stream to the
-    (corpus-vocab ≪ corpus) frequency table — deliberately WITHOUT a
-    broadcast hint, so size-based planning/AQE broadcasts a small vocab
-    and falls back to a shuffle join when web-scale vocab outgrows the
-    driver — then one groupBy(doc_id).
+    surprisal table with an EXPLICIT broadcast of the model side —
+    the model is a bounded artifact shipped to every worker, exactly
+    how CCNet distributes its KenLM binaries (a vocabulary that
+    outgrows broadcast is pruned into one, not shuffle-joined). Two
+    alternatives were measured and rejected in the r5 replica-scaling
+    audit: (a) unhinted, the planner broadcast-built the CORPUS-sided
+    token stream off a bad post-explode size estimate — BuildLeft on
+    an 8.5M-row relation at 100k replica docs, a driver OOM at scale;
+    (b) SHUFFLE_HASH shuffles the corpus-sized stream on the
+    low-cardinality token key, whose hot keys straggle (measured
+    0.63 N→2N vs 0.85 broadcast). Broadcast also leaves the scoring
+    map-side, so no extra Exchange before the final groupBy(doc_id).
 
     Exactness caveat (measured, monitored): the per-token −ln(c/N) is
     computed by each engine's own libm, which is ~1-ulp accurate, not
@@ -173,7 +181,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = (
-        tok.join(lp, "t")
+        tok.join(F.broadcast(lp), "t")
         .groupBy("doc_id")
         .agg(
             F.sum("surprisal").alias("s"),
@@ -264,26 +272,44 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document sum (exact fixed-point, order-independent), the same
     libm-vs-grid-boundary caveat monitored by the rounding-margin test.
 
-    100 TB shape: bigram formation is ONE hash Exchange on doc_id (a
-    lag window — the sessionize shape); bigram/context counts are two
-    partial-agg shuffles; the scoring join of the bigram stream to the
-    (vocab-pair ≪ corpus) model table is deliberately unhinted so AQE
-    broadcasts small models and shuffles web-scale ones (the unigram
-    rationale). Documents with < 2 tokens have no bigram and drop out
-    (mean undefined), identically in both engines."""
-    from pyspark.sql import Window
-
+    100 TB shape — NO corpus-sized shuffle anywhere. Bigram formation
+    is MAP-SIDE: adjacent tokens are already collocated inside each
+    document's token array, so pairs come from a transform over the
+    array + one explode — never the lag-window-over-posexplode spelling
+    (measured in the r5 replica audit: the window shuffles and sorts
+    the whole token stream — ~6 GB at 200k replica docs — for
+    adjacency the array already has; removing it took the kernel from
+    0.68 to clean scaling and 1.6× the absolute throughput).
+    Bigram/context counts are vocab-sized partial-agg shuffles; the
+    scoring join EXPLICITLY BROADCASTS the model table (a bounded
+    artifact shipped to workers — the CCNet KenLM distribution shape;
+    prune the model if it outgrows broadcast — an unhinted join here
+    broadcast-built the corpus-sided STREAM off a bad post-explode
+    estimate, and SHUFFLE_HASH shuffles the stream on the hot
+    low-cardinality token key: both measured, both rejected); scoring
+    therefore stays map-side and the final groupBy(doc_id) partial agg
+    collapses each document's bigrams inside its input partition, so
+    the only per-doc Exchange carries ~one row per document. Documents
+    with < 2 tokens have no bigram and drop out (mean undefined),
+    identically in both engines."""
     d = _docs(spark, sf_dir).withColumn("toks", tokens_col(F.col("text")))
-    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "doc_id",
-        F.lag("t").over(w).alias("w1"),
-        F.col("t").alias("w2"),
-    ).where(F.col("w1").isNotNull())
+    # the <2-token guard must precede the transform: sequence(1, 0)
+    # would DESCEND in Spark, not be empty
+    pairs = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+    )
+    big = (
+        d.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
-    lp = c2.join(c1, "w1").select(
+    # model-internal join: c1 (contexts) is the provably smaller side —
+    # pin it as the build side so no estimate can ever flip the build
+    # to the vocab-pair table
+    lp = c2.join(c1.hint("shuffle_hash"), "w1").select(
         "w1",
         "w2",
         F.round(-F.log(F.col("c2") / F.col("c1")), 6)
@@ -291,7 +317,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("surprisal"),
     )
     agg = (
-        big.join(lp, ["w1", "w2"])
+        big.join(F.broadcast(lp), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.sum("surprisal").alias("s"), F.count("*").alias("n_bigrams"))
     )

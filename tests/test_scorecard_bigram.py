@@ -120,6 +120,26 @@ def test_scorecard_bigram_plan_shapes(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
 
+    # bigram formation is map-side from the token array: no Window
+    # operator (the lag-window spelling shuffled+sorted the whole token
+    # stream for adjacency the array already has — r5 replica audit),
+    # and the model join is an explicit broadcast with the MODEL as the
+    # build side (an unhinted join broadcast-built the corpus-sided
+    # stream off a bad post-explode size estimate)
+    from scrappy_spark.operators.retrieval import posting_lists_query
+
+    for fn in (textstats.bigram_logprob, posting_lists_query):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Window" not in plan, fn.__name__
+    bplan = plan_of(textstats.bigram_logprob(spark, sf_dir))
+    uplan = plan_of(textstats.unigram_logprob(spark, sf_dir))
+    for p in (bplan, uplan):
+        assert "BroadcastHashJoin" in p
+        # every join builds the model (right) side — the stream side
+        # must never be built into a hash relation
+        assert "BuildLeft" not in p
+    assert "Window" not in uplan
+
 
 def test_posting_lists_blocks_and_fingerprints(spark):
     import hashlib
