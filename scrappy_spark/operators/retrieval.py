@@ -88,12 +88,21 @@ def bm25_topk_from(docs: DataFrame, k: int = TOP_K) -> DataFrame:
         / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)),
         6,
     ).cast("decimal(18,6)")
-    # qterms is tiny → broadcast is always right; the df/stats side is
-    # vocab-sized, so no hint — after the qterms semi-restriction only
-    # query-term rows survive and size-based planning broadcasts them
+    # qterms is tiny → broadcast is always right. The df table is
+    # vocab-sized, but only QUERY terms ever score — semi-restrict it
+    # to the query vocabulary first (≤ queries × QUERY_TERMS rows, tiny
+    # at ANY corpus scale) and broadcast THAT. The r5 replica audit
+    # caught the previous unhinted spelling planning a SortMergeJoin
+    # that sorted the corpus-sized tf stream on the low-cardinality
+    # term key (hot-key partition sort — the bigram_logprob lesson);
+    # with the restricted broadcast the tf stream never shuffles for
+    # scoring at all.
+    df_q = df_t.join(
+        F.broadcast(qterms.select("t").distinct()), "t", "left_semi"
+    )
     scored = (
         tf.join(F.broadcast(qterms), "t")
-        .join(df_t.crossJoin(F.broadcast(stats)), "t")
+        .join(F.broadcast(df_q.crossJoin(F.broadcast(stats))), "t")
         .select("q", "doc_id", term.alias("term"))
         .groupBy("q", "doc_id")
         .agg(F.sum("term").alias("score"))

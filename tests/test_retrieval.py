@@ -141,3 +141,16 @@ def test_bm25_tf_monotonic(spark, tmp_path):
     }
     assert 3 not in got
     assert got[1] < got[2]  # tf=2 beats tf=1 at equal length
+
+
+def test_bm25_scoring_plan_never_shuffles_tf(spark, sf_dir):
+    """The scoring path's joins are ALL broadcast with the model/query
+    side as the build side: the corpus-sized tf stream never shuffles
+    or hash-builds for scoring (the r5 replica audit caught an unhinted
+    df-table join planning a SortMergeJoin that sorted the tf stream on
+    the low-cardinality term key)."""
+    df = retrieval.bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BuildLeft" not in plan
+    assert "CartesianProduct" not in plan
