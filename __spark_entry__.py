@@ -29,6 +29,7 @@ from scrappy_spark.operators import (
     multimodal,
     packing,
     pipeline,
+    placement,
     ranking,
     relational,
     repetition,
@@ -39,6 +40,7 @@ from scrappy_spark.operators import (
     sketch,
     textstats,
     timeseries,
+    tokenizer,
 )
 from scrappy_spark.operators import webgraph
 from scrappy_spark.sources import cdx as cdx_mod
@@ -87,7 +89,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window; positions 31-50 re-stamp the heaviest proven kernels.
     """
     return {
-        # --- NEW in round 5 (front per the ordering convention) ----------
+        # --- NEW in round 5, second insertion wave (front per convention;
+        # the four pushed-out tail entries were all already-stamped
+        # re-fills — no never-stamped entry leaves the window) ------------
+        # BPE merge-pair counting (tokenizer induction, engine side):
+        # ONE corpus-sized partial-agg (word freq), then everything runs
+        # over DISTINCT words — per-iteration cost is vocab-bound, the
+        # Sennrich dictionary trick; adjacency map-side from the word
+        # string, never a window; top-k via TakeOrderedAndProject
+        "tok_bpe_pair_counts": tokenizer.bpe_pair_counts_query,
+        # hashed linear quality scorer (fastText hashing-trick regime):
+        # weights are a pure hash function — no model join, ZERO
+        # shuffles, one codegen'd aggregate over the token array
+        "text_quality_linear": textstats.quality_linear,
+        # deterministic output sharding + token-balance audit: map-only
+        # hash assignment, 32-key partial agg, broadcast scalar total
+        "shard_assign_balance": placement.shard_balance_query,
+        # join-key skew audit over a geometric synthetic frontier: per-
+        # host share_ppm, hash-partition placement, exact salt factor a
+        # salted repartition would need; |keys|-sized shuffle only
+        "frontier_host_skew": placement.host_skew_query,
         # blocked inverted-index build (the Lucene/PISA posting-block
         # shape): bigram terms, map-only doc-range blocking — never a
         # per-term rank window (stopword-straggler-proof); list bytes
@@ -1063,7 +1084,81 @@ def _oracle_sql_static() -> dict[str, str]:
     crlf = "chr(13)||chr(10)"
     crlf2 = f"{crlf}||{crlf}"
     split_h60 = DUCK_HASH60.format(s="concat('split:', source)")
+    qw60 = DUCK_HASH60.format(s="concat('qw:', t)")
+    shard60 = DUCK_HASH60.format(s="concat('shard:', CAST(doc_id AS VARCHAR))")
+    part60 = DUCK_HASH60.format(s="concat('part:', host)")
     return {
+        # --- round-5 second-wave entries --------------------------------
+        "tok_bpe_pair_counts": f"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(text,
+                     '{textstats.BPE_PATTERN}')) AS word
+              FROM documents
+            ), wf AS (
+              SELECT word, count(*) AS wc FROM words
+              WHERE length(word) >= 2 GROUP BY word
+            ), idx AS (
+              SELECT word, wc, unnest(range(length(word) - 1)) AS i FROM wf
+            ), pairs AS (
+              SELECT substr(word, CAST(i + 1 AS INT), 1) AS s1,
+                     substr(word, CAST(i + 2 AS INT), 1) AS s2, wc
+              FROM idx
+            )
+            SELECT s1, s2, CAST(sum(wc) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY s1, s2
+            ORDER BY pair_count DESC, s1 ASC, s2 ASC
+            LIMIT {tokenizer.PAIR_TOPK}
+        """,
+        "text_quality_linear": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+            ), w AS (
+              SELECT doc_id, ({qw60} % 1001) - 500 AS w FROM tok
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                     CAST(sum(w) AS BIGINT) AS w_sum
+              FROM w GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, w_sum, w_sum > 0 AS keep
+            FROM agg
+        """,
+        "shard_assign_balance": f"""
+            WITH d AS (
+              SELECT ({shard60} % {placement.N_SHARDS}) AS shard,
+                     len({_TOKS}) AS n_tok
+              FROM documents
+            ), per AS (
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS total_tokens
+              FROM d GROUP BY shard
+            ), g AS (
+              SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM per
+            )
+            SELECT CAST(shard AS INT) AS shard, n_docs, total_tokens,
+                   (1000000 * total_tokens * {placement.N_SHARDS}) // grand
+                     AS load_ppm
+            FROM per, g
+        """,
+        "frontier_host_skew": f"""
+            WITH d AS (
+              SELECT 'h' || CAST(length(bin(doc_id + 1)) AS VARCHAR) AS host
+              FROM documents
+            ), per AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS n_rows
+              FROM d GROUP BY host
+            ), g AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS grand FROM per
+            )
+            SELECT host, n_rows,
+                   (1000000 * n_rows) // grand AS share_ppm,
+                   CAST({part60} % {placement.SKEW_PARTITIONS} AS INT)
+                     AS part_id,
+                   CAST(greatest(1, ({placement.SKEW_PARTITIONS} * n_rows
+                     + grand - 1) // grand) AS INT) AS salt_factor
+            FROM per, g
+            ORDER BY n_rows DESC, host ASC
+            LIMIT {placement.SKEW_TOPK}
+        """,
         # --- round-5 entries ------------------------------------------
         "retrieval_posting_lists": f"""
             WITH tokd AS (

@@ -9,7 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import tokens_col
+from .text import hash60_col, tokens_col
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 LANG_MARKERS = {
@@ -372,6 +372,48 @@ def vocab_oov(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
         "n_tokens",
         "n_oov",
         F.expr("(1000000 * n_oov) DIV n_tokens").alias("oov_ppm"),
+    )
+
+
+def quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality scorer — the fastText / Vowpal-Wabbit
+    hashing-trick regime used by CCNet-style quality filters: every
+    token's weight is a pure function of its hash, so there is NO
+    weight table to join or broadcast and the whole corpus is scored in
+    one map-only pass (zero shuffles; at 100 TB this is scan-bound).
+    The weight function here is the md5-derived repo hash mapped to
+    integer milli-units in [−500, 500] — a stand-in for trained weights
+    with the same execution shape (a trained model swaps the hash
+    expression for a broadcast lookup of hashed buckets; the plan gains
+    one broadcast and stays map-only).
+
+    Per doc: n_tokens, the exact integer weight sum (w_sum, BIGINT
+    milli-units — the mean is w_sum/(1000·n) when a float is wanted;
+    the operator deliberately does NOT emit it: 41/640-style ratios
+    land exactly on round-half boundaries where Spark's HALF_UP and
+    DuckDB's half-even disagree, and the gate never needs it), and the
+    keep gate (w_sum > 0 — sign of the sum, exact, no float compare).
+    The token loop is a codegen'd ``aggregate`` over the token array —
+    no explode, so the row count never expands."""
+    toks = tokens_col(F.col("text"))
+
+    def _w(t):
+        return (
+            hash60_col(F.concat(F.lit("qw:"), t)) % 1001 - 500
+        ).cast("long")
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _w(t)).alias(
+            "w_sum"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        (F.col("w_sum") > 0).alias("keep"),
     )
 
 
