@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from scrappy_spark.operators import (
     boilerplate,
+    curation,
     dedup,
     graph,
     multimodal,
@@ -89,6 +90,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window; positions 31-50 re-stamp the heaviest proven kernels.
     """
     return {
+        # --- NEW in round 5, third insertion wave (front per convention).
+        # Exactly TWO in-window slots were free (the 48 never-stamped
+        # entries below must keep their first-stamp positions), so two of
+        # the four curation kernels front-insert here; the other two sit
+        # immediately after position 50, queued for r6 front-insertion.
+        # pipeline_training_corpus (stamped r3) moved behind the window to
+        # free the second slot. -------------------------------------------
+        # PPS Poisson weighted sampling: exact integer inclusion test
+        # (hash60·W < n·w·2^60 in DECIMAL(38,0)/HUGEINT) — one scalar
+        # partial agg + broadcast, then MAP-ONLY; zero corpus shuffles
+        "sample_pps_poisson": curation.pps_sample_query,
+        # data-mixing epoch manifest (Dolma/Pile-style mixing table):
+        # one ≤#langs-row partial agg, integer ceil/cap arithmetic,
+        # deficit reporting where the 4-epoch repeat cap binds
+        "mix_epoch_manifest": curation.mixture_manifest_query,
         # --- NEW in round 5, second insertion wave (front per convention;
         # the four pushed-out tail entries were all already-stamped
         # re-fills — no never-stamped entry leaves the window) ------------
@@ -249,9 +265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sampling.temperature_sample,
         # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
         "text_heavy_hitters": ranking.heavy_hitters,
-        # composed end-to-end training-corpus filter (langid + quality +
-        # dedup survivor selection) — the composition itself is oracled
-        "pipeline_training_corpus": pipeline.training_corpus,
         # v2: + boilerplate removal, quality gate on the CLEANED token
         # count — the four-operator composition is oracled end-to-end
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
@@ -267,6 +280,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII scrub (emails/IPv4/phones) over the deterministically
         # augmented corpus — map-only, ASCII-class regex parity
         "text_pii_scrub": scrub.doc_pii_scrub,
+        # --- position 51+: outside the driver's 50-entry window ----------
+        # The two r5 curation kernels the window couldn't fit — never
+        # driver-stamped yet; FRONT-INSERT THESE FIRST in round 6 (they
+        # are sweep-green in test_driver_contract.py meanwhile):
+        # per-host TF-IDF keywords (idf in round-6 DECIMAL fixed point,
+        # broadcast model join, keyed vocab window)
+        "tfidf_host_keywords": curation.tfidf_host_keywords_query,
+        # quality-threshold retention curve (map-side banding, |grid|-key
+        # partial agg, broadcast triangular cumsum)
+        "quality_retention_curve": curation.retention_curve_query,
+        # composed end-to-end training-corpus filter (langid + quality +
+        # dedup survivor selection) — the composition itself is oracled;
+        # stamped r3, moved behind the window in r5 to free a slot
+        "pipeline_training_corpus": pipeline.training_corpus,
         # multimodal plumbing: the decode STUB is deterministic arithmetic
         # over the payload bytes, so the metadata path is fully
         # oracle-checkable even though the codec itself is stubbed
@@ -1087,7 +1114,103 @@ def _oracle_sql_static() -> dict[str, str]:
     qw60 = DUCK_HASH60.format(s="concat('qw:', t)")
     shard60 = DUCK_HASH60.format(s="concat('shard:', CAST(doc_id AS VARCHAR))")
     part60 = DUCK_HASH60.format(s="concat('part:', host)")
+    pps60 = DUCK_HASH60.format(s="concat('pps:', CAST(doc_id AS VARCHAR))")
+    mix_values = ", ".join(
+        f"('{lang}', {ppm})" for lang, ppm in curation.MIX_WEIGHTS_PPM.items()
+    )
+    thr_values = ", ".join(
+        f"({t})" for t in sorted(curation.RETENTION_THRESHOLDS_MILLI)
+    )
     return {
+        # --- round-5 third-wave entries (curation kernels) ---------------
+        "sample_pps_poisson": f"""
+            WITH d AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), g AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM d
+            )
+            SELECT doc_id, n_tokens FROM d, g
+            WHERE CAST({pps60} AS HUGEINT) * w_total
+                < CAST(n_tokens * {curation.PPS_N_TARGET} AS HUGEINT)
+                  * CAST(1152921504606846976 AS HUGEINT)
+        """,
+        "mix_epoch_manifest": f"""
+            WITH d AS (
+              SELECT lang, len({_TOKS}) AS n_tok FROM documents
+            ), avail AS (
+              SELECT lang, CAST(sum(n_tok) AS BIGINT) AS avail_tokens
+              FROM d GROUP BY lang
+            ), w AS (
+              SELECT * FROM (VALUES {mix_values}) v(lang, w_ppm)
+            ), m AS (
+              SELECT a.lang, a.avail_tokens,
+                     CAST((coalesce(w.w_ppm, 0)
+                       * CAST({curation.MIX_TOKEN_BUDGET} AS BIGINT))
+                       // 1000000 AS BIGINT) AS target_tokens
+              FROM avail a LEFT JOIN w ON a.lang = w.lang
+            )
+            SELECT lang, avail_tokens, target_tokens,
+                   CAST(least((target_tokens * 1000000 + avail_tokens - 1)
+                     // avail_tokens,
+                     {curation.MIX_EPOCH_CAP_PPM}) AS BIGINT) AS epochs_ppm,
+                   CAST(least(target_tokens, (avail_tokens
+                     * {curation.MIX_EPOCH_CAP_PPM}) // 1000000) AS BIGINT)
+                     AS planned_tokens,
+                   CAST(target_tokens - least(target_tokens, (avail_tokens
+                     * {curation.MIX_EPOCH_CAP_PPM}) // 1000000) AS BIGINT)
+                     AS deficit_tokens
+            FROM m
+        """,
+        "tfidf_host_keywords": f"""
+            WITH tok AS (
+              SELECT source, unnest({_TOKS}) AS t FROM documents
+            ), tft AS (
+              SELECT source, t, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY source, t
+            ), nh AS (
+              SELECT count(DISTINCT source) AS n_hosts FROM documents
+            ), hdf AS (
+              SELECT t, count(*) AS hdf FROM tft GROUP BY t
+            ), idf AS (
+              SELECT t, CAST(round(ln(n_hosts / hdf), 6)
+                AS DECIMAL(18,6)) AS idf
+              FROM hdf, nh
+            ), scored AS (
+              SELECT tft.source, tft.t AS term, tft.tf,
+                     tft.tf * idf.idf AS score
+              FROM tft JOIN idf ON tft.t = idf.t
+            ), ranked AS (
+              SELECT source, term, tf, score,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT source, term, tf, CAST(score AS DOUBLE) AS score,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= {curation.TFIDF_TOPK}
+        """,
+        "quality_retention_curve": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(({qw60} % 1001) - 500) AS BIGINT) AS w_sum
+              FROM tok GROUP BY doc_id
+            ), g AS (
+              SELECT CAST(count(*) AS BIGINT) AS total FROM agg
+            ), thr AS (
+              SELECT * FROM (VALUES {thr_values}) v(thr_milli)
+            )
+            SELECT CAST(thr_milli AS INT) AS thr_milli,
+                   CAST(count(*) FILTER (w_sum > thr_milli) AS BIGINT)
+                     AS docs_kept,
+                   CAST(coalesce(sum(n_tokens)
+                     FILTER (w_sum > thr_milli), 0) AS BIGINT) AS tokens_kept,
+                   CAST((1000000 * count(*) FILTER (w_sum > thr_milli))
+                     // (SELECT total FROM g) AS BIGINT) AS docs_ppm
+            FROM thr, agg GROUP BY thr_milli
+        """,
         # --- round-5 second-wave entries --------------------------------
         "tok_bpe_pair_counts": f"""
             WITH words AS (

@@ -29,7 +29,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     from scrappy_spark.operators import (
         webgraph,
         boilerplate,
+        curation,
         dedup,
+        placement,
+        tokenizer,
         graph,
         multimodal,
         packing,
@@ -118,6 +121,14 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "text_bigram_logprob": textstats.bigram_logprob,
         "retrieval_posting_lists": retrieval.posting_lists_query,
         "text_vocab_oov": textstats.vocab_oov,
+        "tok_bpe_pair_counts": tokenizer.bpe_pair_counts_query,
+        "text_quality_linear": textstats.quality_linear,
+        "shard_assign_balance": placement.shard_balance_query,
+        "frontier_host_skew": placement.host_skew_query,
+        "sample_pps_poisson": curation.pps_sample_query,
+        "mix_epoch_manifest": curation.mixture_manifest_query,
+        "tfidf_host_keywords": curation.tfidf_host_keywords_query,
+        "quality_retention_curve": curation.retention_curve_query,
     }
     times, steal = {}, {}
     for name, fn in qs.items():
