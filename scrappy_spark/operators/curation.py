@@ -54,6 +54,23 @@ def pps_weight(doc_id: Column) -> Column:
     return hash60_col(F.concat(F.lit("pps:"), doc_id.cast("string")))
 
 
+def pps_admit_col(
+    doc_id: Column, n_tokens: Column, w_total: Column, n_target: int
+) -> Column:
+    """The exact PPS inclusion predicate, shared verbatim by the batch
+    sampler and the streaming admission twin (streaming/state_stream.
+    admission_stream): ``hash60('pps:'||doc_id) · W < n_target · w ·
+    2^60`` in DECIMAL(38,0) — the single definition so batch and stream
+    admit bit-identical sets for the same calibrated total."""
+    lhs = pps_weight(doc_id).cast("decimal(20,0)") * w_total.cast(
+        "decimal(18,0)"
+    )
+    rhs = (n_tokens * F.lit(n_target)).cast("decimal(20,0)") * F.lit(
+        _HASH_SPAN
+    ).cast("decimal(19,0)")
+    return lhs < rhs
+
+
 def pps_sample(docs: DataFrame, n_target: int = PPS_N_TARGET) -> DataFrame:
     """Probability-proportional-to-size Poisson sampling: include each
     document with probability ``min(1, n_target · w / W)`` where ``w``
@@ -82,15 +99,13 @@ def pps_sample(docs: DataFrame, n_target: int = PPS_N_TARGET) -> DataFrame:
         "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens")
     )
     total = d.agg(F.sum("n_tokens").alias("_w_total"))
-    lhs = pps_weight(F.col("doc_id")).cast("decimal(20,0)") * F.col(
-        "_w_total"
-    ).cast("decimal(18,0)")
-    rhs = (F.col("n_tokens") * F.lit(n_target)).cast("decimal(20,0)") * F.lit(
-        _HASH_SPAN
-    ).cast("decimal(19,0)")
     return (
         d.crossJoin(F.broadcast(total))
-        .where(lhs < rhs)
+        .where(
+            pps_admit_col(
+                F.col("doc_id"), F.col("n_tokens"), F.col("_w_total"), n_target
+            )
+        )
         .select("doc_id", "n_tokens")
     )
 

@@ -636,3 +636,44 @@ def budget_stream(telemetry: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def admission_stream(
+    docs: DataFrame, w_total: int, n_target: int | None = None
+) -> DataFrame:
+    """Streaming PPS admission control (round 5): the live-ingest twin of
+    ``curation.pps_sample`` — admit each arriving document with
+    probability proportional to its token weight, deciding from the
+    SAME exact integer predicate (``curation.pps_admit_col``, the single
+    shared definition) so batch and stream admit bit-identical sets.
+
+    The calibrated corpus total ``w_total`` is a PARAMETER, not derived
+    state: an admission controller runs against a rate calibrated from
+    the previous batch profile (exactly how the adaptive-budget
+    scheduler consumes yieldstats output), which is what makes this
+    operator STATELESS — a pure map over the stream, no watermark, no
+    state store, composable into any ingest query at any rate. The
+    trade-off is explicit: admission probabilities drift as the live
+    corpus drifts from the calibration total, until the next
+    re-calibration swaps the literal (re-deploy, not re-shuffle).
+
+    Input stream schema: (doc_id string|long, text string, ...);
+    passthrough of every input column plus the computed n_tokens.
+    """
+    from scrappy_spark.operators.curation import PPS_N_TARGET, pps_admit_col
+    from scrappy_spark.operators.text import tokens_col
+
+    n = PPS_N_TARGET if n_target is None else n_target
+    return (
+        docs.withColumn(
+            "n_tokens", F.size(tokens_col(F.col("text"))).cast("long")
+        )
+        .where(
+            pps_admit_col(
+                F.col("doc_id"),
+                F.col("n_tokens"),
+                F.lit(int(w_total)).cast("long"),
+                n,
+            )
+        )
+    )

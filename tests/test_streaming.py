@@ -448,3 +448,49 @@ def test_budget_stream_matches_batch_across_batches(spark, tmp_path):
         if r["host"] == "slow"
     )
     assert slow_rows == [(2, 1), (4, 16)]
+
+
+def test_admission_stream_matches_batch(spark, tmp_path):
+    """Streaming PPS admission == batch pps_sample for the same
+    calibrated total: the predicate is the single shared definition
+    (curation.pps_admit_col), so the admitted doc_id sets must be
+    bit-identical — across micro-batches, since the operator is
+    stateless."""
+    import os
+
+    from scrappy_spark.operators.curation import pps_sample
+    from scrappy_spark.streaming.state_stream import admission_stream
+
+    rows = [(i, ("tok " * (1 + i % 7)).strip()) for i in range(60)]
+    schema = "doc_id long, text string"
+    batch_df = spark.createDataFrame(rows, schema)
+    w_total = sum(1 + i % 7 for i in range(60))
+    want = {
+        r["doc_id"] for r in pps_sample(batch_df, n_target=8).collect()
+    }
+    assert 0 < len(want) < 60  # discriminating fixture
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:30], schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame(rows[30:], schema).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        admission_stream(stream, w_total=w_total, n_target=8)
+        .writeStream.format("memory")
+        .queryName("admitted")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM admitted").collect()}
+    assert got == want
