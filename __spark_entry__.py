@@ -265,14 +265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sampling.temperature_sample,
         # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
         "text_heavy_hitters": ranking.heavy_hitters,
-        # v2: + boilerplate removal, quality gate on the CLEANED token
-        # count — the four-operator composition is oracled end-to-end
-        "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
-        # v3: + duplicated-passage removal CHAINED over the boilerplate
-        # rewrite — five nested mirrors, rewrite-over-rewrite composition
-        "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
+        # per-host TF-IDF keywords (broadcast df model join, keyed vocab
+        # window) — in-window over pipeline v2/v3 because those are
+        # compositions of individually-stamped kernels while this one
+        # has never been driver-stamped
+        "tfidf_host_keywords": curation.tfidf_host_keywords_query,
+        # quality-threshold retention curve (map-side banding, |grid|-key
+        # partial agg, broadcast triangular cumsum)
+        "quality_retention_curve": curation.retention_curve_query,
         # v4: + benchmark decontamination and the repetition gate on the
-        # original text — seven nested mirrors
+        # original text — seven nested mirrors (supersets v2/v3, which sit
+        # behind the window: their constituent kernels are all stamped)
         "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
         # near-dup cluster-size histogram over the minhash component map
         # (the dedup-report rollup an operator of record ships with)
@@ -281,15 +284,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # augmented corpus — map-only, ASCII-class regex parity
         "text_pii_scrub": scrub.doc_pii_scrub,
         # --- position 51+: outside the driver's 50-entry window ----------
-        # The two r5 curation kernels the window couldn't fit — never
-        # driver-stamped yet; FRONT-INSERT THESE FIRST in round 6 (they
-        # are sweep-green in test_driver_contract.py meanwhile):
-        # per-host TF-IDF keywords (idf in round-6 DECIMAL fixed point,
-        # broadcast model join, keyed vocab window)
-        "tfidf_host_keywords": curation.tfidf_host_keywords_query,
-        # quality-threshold retention curve (map-side banding, |grid|-key
-        # partial agg, broadcast triangular cumsum)
-        "quality_retention_curve": curation.retention_curve_query,
+        # v2/v3: compositions of individually-stamped kernels (boiler-
+        # plate, passages, quality, langid each carry their own driver
+        # stamp); v4 — their superset — holds the in-window slot. These
+        # two are sweep-green in test_driver_contract.py; FRONT-INSERT
+        # in round 6 if slots open up.
+        "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
+        "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
         # composed end-to-end training-corpus filter (langid + quality +
         # dedup survivor selection) — the composition itself is oracled;
         # stamped r3, moved behind the window in r5 to free a slot

@@ -335,14 +335,21 @@ def retention_curve(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + _w(t)
         ).alias("w_sum"),
     )
-    grid_arr = F.array(*[F.lit(t) for t in grid])
-    banded = scored.select(
-        "n_tokens",
-        "w_sum",
-        F.size(F.filter(grid_arr, lambda x: x.cast("long") < F.col("w_sum"))).alias(
-            "band"
-        ),
+    # Band = how many grid thresholds the score clears. Deliberately a
+    # SUM OF DIRECT COMPARISONS, not size(filter(grid_lit, x -> x <
+    # w_sum)): CollapseProject inlines the expensive w_sum aggregate
+    # into its use site either way, but a copy inlined INSIDE a
+    # higher-order-function lambda is re-evaluated once per grid
+    # element and subexpression elimination cannot reach across lambda
+    # iterations — the whole per-token md5 aggregate ran |grid|=9x per
+    # row (measured 2.75 s vs the 0.45 s single-eval floor at sf0.1;
+    # 0.61 N->2N on 200k replica docs). The flat comparison copies ARE
+    # subexpression-eliminated to one evaluation (0.57 s same input).
+    band = sum(
+        ((F.col("w_sum") > F.lit(t)).cast("int") for t in grid),
+        F.lit(0),
     )
+    banded = scored.select("n_tokens", "w_sum", band.alias("band"))
     bands = banded.groupBy("band").agg(
         F.count(F.lit(1)).cast("long").alias("docs"),
         F.sum("n_tokens").cast("long").alias("toks"),

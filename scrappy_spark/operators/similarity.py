@@ -358,8 +358,19 @@ def int8_quantized(emb: DataFrame) -> DataFrame:
 
     Columns: (vec_id, q array<int>, nq double)."""
     mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
-    scale = F.lit(127.0) / F.col("_mx")
-    q = F.transform("v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    # The scale rides in as a zip_with INPUT array (array_repeat of the
+    # flat _mx reference), NOT as a lambda-body reference to _mx: after
+    # predicate pushdown + CollapseProject the optimizer inlines _mx's
+    # defining array_max expression into its use sites, and a copy
+    # inlined inside a higher-order-function lambda re-evaluates per
+    # element — O(dim^2) per row (measured 15.96 s vs 1.58 s on 400k
+    # dim-64 vectors; the retention_curve lesson, see
+    # operators/curation.py). HOF input positions are evaluated once
+    # per row, so the O(dim) array_repeat is the cheap spelling.
+    scale_arr = F.array_repeat(F.lit(127.0) / F.col("_mx"), F.size("v"))
+    q = F.zip_with(
+        "v", scale_arr, lambda x, s: F.floor(x * s + F.lit(0.5)).cast("int")
+    )
     dot_qq = F.aggregate(
         F.zip_with("q", "q", lambda a, b: (a * b).cast("long")),
         F.lit(0).cast("long"),
