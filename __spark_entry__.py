@@ -305,7 +305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": lambda s, d: multimodal.sample_frames(
             multimodal.synth_media(s, d)
         ).select("doc_id", "frame_idx", "t_offset"),
-        # --- proven kernels re-stamped inside the 50-entry window --------
+        # --- proven kernels (driver-stamped in r1-r4; the 8 late-r5
+        # additions pushed these past position 50, which is correct:
+        # never-stamped entries outrank re-stamps for window slots) -----
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
