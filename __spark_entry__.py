@@ -27,6 +27,7 @@ from scrappy_spark.operators import (
     curation,
     dedup,
     graph,
+    interleaved,
     multimodal,
     packing,
     pipeline,
@@ -90,6 +91,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window; positions 31-50 re-stamp the heaviest proven kernels.
     """
     return {
+        # --- NEW in round 5, fourth insertion wave (front per convention):
+        # the interleaved text+media span family — the graft cell's payload
+        # axis (BASELINE.json input_hint) as analytics operators. Five
+        # in-window slots are taken from five entries whose correctness is
+        # redundantly evidenced by stamped siblings (see the position-51+
+        # block): pipeline_v4 (composition of stamped kernels),
+        # dedup_cluster_stats (rollup of stamped components),
+        # text_lang_quantiles (keyed variant of in-window token_quantiles),
+        # ts_rollup_hourly (simplest ts kernel; 4 ts siblings stay),
+        # text_surprisal_buckets (bucketing of stamped unigram_logprob).
+        # ------------------------------------------------------------------
+        # per-source interleave profile over the derived span table:
+        # map-only span expansion + one partial-agg groupBy(source)
+        "il_media_stats": interleaved.media_stats,
+        # media fetch-once dedup (S-10's response cache on the media
+        # axis): one hash-groupBy on media_ref, byte savings accounting
+        "il_fetch_once": interleaved.fetch_once,
+        # caption-candidate mining: lag/lead text neighbors of each media
+        # span — one doc_id shuffle, per-DOC window (bounded partitions)
+        "il_caption_pairs": interleaved.caption_pairs,
+        # budgeted media-fetch frontier pop exercising the REAL crawl
+        # kernel (frontier.crawler.ranked_pop) on the CDN host axis,
+        # popularity-first priority + literal-map budget overrides
+        "il_media_pop": interleaved.media_pop,
+        # multimodal-aware sequence packing: text tokens + 64/image +
+        # 256/video, same sharded running-sum layout as pack_sequences
+        "il_pack_multimodal": interleaved.pack_multimodal,
         # --- NEW in round 5, third insertion wave (front per convention).
         # Exactly TWO in-window slots were free (the 48 never-stamped
         # entries below must keep their first-stamp positions), so two of
@@ -242,7 +270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-join on (user_id, hour-bucket)
         "ts_asof_purchase": timeseries.events_asof_last_purchase,
         "ts_sessionize": timeseries.events_sessionize,
-        "ts_rollup_hourly": timeseries.events_rollup_hourly,
         "ts_range_join": timeseries.events_attribution_range_join,
         # signup→purchase funnel: one keyed aggregation over the range
         # join's output
@@ -251,15 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (unlike HLL) is a pure function of the mirrored hash60, so
         # the estimate itself is value-oracled
         "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
-        # CCNet-style quality buckets: exact corpus-wide rank + integer
-        # quantile split WITHOUT a single-reducer window (range shuffle
-        # + partition-offset ranking; see operators/ranking.py)
-        "text_surprisal_buckets": ranking.surprisal_buckets,
         # exact discrete corpus quantiles via the distributed exact-rank
         # recipe (integral target ranks — no interpolation hazard)
         "text_token_quantiles": ranking.token_count_quantiles,
-        # grouped (per-lang) quantiles — the keyed-window easy case
-        "text_lang_quantiles": ranking.lang_token_quantiles,
         # temperature-flattened multilingual resampling (share^(1/2)
         # quotas + exact per-lang top-k by hash)
         "sample_temperature": sampling.temperature_sample,
@@ -273,22 +294,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-threshold retention curve (map-side banding, |grid|-key
         # partial agg, broadcast triangular cumsum)
         "quality_retention_curve": curation.retention_curve_query,
-        # v4: + benchmark decontamination and the repetition gate on the
-        # original text — seven nested mirrors (supersets v2/v3, which sit
-        # behind the window: their constituent kernels are all stamped)
-        "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
-        # near-dup cluster-size histogram over the minhash component map
-        # (the dedup-report rollup an operator of record ships with)
-        "dedup_cluster_stats": dedup.minhash_cluster_stats,
         # PII scrub (emails/IPv4/phones) over the deterministically
         # augmented corpus — map-only, ASCII-class regex parity
         "text_pii_scrub": scrub.doc_pii_scrub,
         # --- position 51+: outside the driver's 50-entry window ----------
+        # The five entries displaced by the round-5 fourth (interleaved)
+        # wave — each redundantly evidenced by a stamped sibling and
+        # sweep-green in test_driver_contract.py:
+        # v4: + benchmark decontamination and the repetition gate on the
+        # original text — seven nested mirrors; every constituent kernel
+        # carries its own driver stamp
+        "pipeline_training_corpus_v4": pipeline.training_corpus_v4,
+        # near-dup cluster-size histogram over the minhash component map
+        # (rollup of the stamped dedup_minhash_components output)
+        "dedup_cluster_stats": dedup.minhash_cluster_stats,
+        # grouped (per-lang) quantiles — keyed variant of the in-window
+        # text_token_quantiles exact-rank recipe
+        "text_lang_quantiles": ranking.lang_token_quantiles,
+        # hypertable-style hourly rollup — the simplest ts kernel; the
+        # four harder ts siblings hold in-window slots
+        "ts_rollup_hourly": timeseries.events_rollup_hourly,
+        # CCNet-style quality buckets: bucketing of the stamped
+        # text_unigram_logprob surprisal via the exact-rank recipe
+        "text_surprisal_buckets": ranking.surprisal_buckets,
         # v2/v3: compositions of individually-stamped kernels (boiler-
         # plate, passages, quality, langid each carry their own driver
-        # stamp); v4 — their superset — holds the in-window slot. These
-        # two are sweep-green in test_driver_contract.py; FRONT-INSERT
-        # in round 6 if slots open up.
+        # stamp); sweep-green in test_driver_contract.py.
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
         "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
         # composed end-to-end training-corpus filter (langid + quality +
@@ -1124,7 +1155,115 @@ def _oracle_sql_static() -> dict[str, str]:
     thr_values = ", ".join(
         f"({t})" for t in sorted(curation.RETENTION_THRESHOLDS_MILLI)
     )
+    # the derived interleaved span table (operators/interleaved.py
+    # spans_from), mirrored verbatim: words chunked CHUNK_WORDS-per-text-
+    # span; a media span after chunk c iff (doc_id+c) % MEDIA_MOD == 0,
+    # ref id (doc_id*31+c*7) % REF_SPACE, CDN host = ref % CDN_HOSTS
+    _w = interleaved.CHUNK_WORDS
+    _ref = f"((doc_id*31 + c*7) % {interleaved.REF_SPACE})"
+    il_spans = f"""
+            WITH ch AS (
+              SELECT doc_id, source, words,
+                     unnest(range(0, CAST((len(words)-1)//{_w} AS INT)+1)) AS c
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+                    FROM documents)
+            ), spans AS (
+              SELECT doc_id, source, 'text' AS kind,
+                     array_to_string(words[c*{_w}+1 : c*{_w}+{_w}], ' ') AS text,
+                     CAST(NULL AS VARCHAR) AS media_ref,
+                     CAST(c*2 AS INT) AS "offset"
+              FROM ch
+              UNION ALL
+              SELECT doc_id, source,
+                     CASE WHEN {_ref} % 5 = 0 THEN 'video' ELSE 'image' END,
+                     CAST(NULL AS VARCHAR),
+                     'm://cdn' || CAST({_ref} % {interleaved.CDN_HOSTS} AS VARCHAR)
+                               || '/' || CAST({_ref} AS VARCHAR),
+                     CAST(c*2+1 AS INT)
+              FROM ch WHERE (doc_id + c) % {interleaved.MEDIA_MOD} = 0
+            )"""
+    il_refnum = "CAST(string_split(media_ref, '/')[-1] AS BIGINT)"
+    mm_h60 = DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")
     return {
+        # --- round-5 fourth-wave entries (interleaved text+media) --------
+        "il_media_stats": f"""
+            {il_spans}
+            SELECT source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media,
+                   CAST(count(DISTINCT media_ref) AS BIGINT) AS distinct_refs,
+                   round(CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS media_pct
+            FROM spans GROUP BY source
+        """,
+        "il_fetch_once": f"""
+            {il_spans}
+            SELECT media_ref, kind, n_requests, n_docs, first_doc,
+                   500 + {il_refnum}*37 AS n_bytes,
+                   (n_requests-1) * (500 + {il_refnum}*37) AS saved_bytes
+            FROM (
+              SELECT media_ref,
+                     CAST(count(*) AS BIGINT) AS n_requests,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     min(doc_id) AS first_doc,
+                     min(kind) AS kind
+              FROM spans WHERE media_ref IS NOT NULL GROUP BY media_ref
+            ) WHERE n_requests >= 2
+        """,
+        "il_caption_pairs": f"""
+            {il_spans}
+            SELECT doc_id, media_ref, kind, "offset",
+                   coalesce(lag(text) OVER (PARTITION BY doc_id
+                                            ORDER BY "offset"), '')
+                     AS before_text,
+                   coalesce(lead(text) OVER (PARTITION BY doc_id
+                                             ORDER BY "offset"), '')
+                     AS after_text
+            FROM spans QUALIFY media_ref IS NOT NULL
+        """,
+        "il_media_pop": f"""
+            {il_spans}
+            SELECT uri, host, seq, n_refs FROM (
+              SELECT *, row_number() OVER (PARTITION BY host
+                                           ORDER BY n_refs DESC, seq ASC) AS rk
+              FROM (
+                SELECT media_ref AS uri,
+                       regexp_extract(media_ref, '^m://([^/]+)/', 1) AS host,
+                       min(doc_id*1000 + "offset") AS seq,
+                       CAST(count(*) AS BIGINT) AS n_refs
+                FROM spans WHERE media_ref IS NOT NULL GROUP BY media_ref
+              )
+            ) WHERE rk <= CASE host WHEN 'cdn0' THEN 1
+                                    WHEN 'cdn1' THEN 5 ELSE 3 END
+        """,
+        "il_pack_multimodal": f"""
+            {il_spans}
+            SELECT doc_id, shard, cost, stream_off,
+                   CAST(stream_off // {interleaved.MM_SEQ_LEN} AS BIGINT)
+                     AS pack_id,
+                   CAST(stream_off % {interleaved.MM_SEQ_LEN} AS INT)
+                     AS pack_off
+            FROM (
+              SELECT doc_id, shard, cost,
+                     CAST(sum(cost) OVER (PARTITION BY shard
+                                          ORDER BY h, doc_id) - cost
+                          AS BIGINT) AS stream_off
+              FROM (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN kind = 'text'
+                                     THEN len(string_split(text, ' '))
+                                     WHEN kind = 'image'
+                                     THEN {interleaved.IMG_TOKENS}
+                                     ELSE {interleaved.VID_TOKENS} END)
+                            AS BIGINT) AS cost,
+                       {mm_h60} AS h,
+                       CAST({mm_h60} % {interleaved.MM_SHARDS} AS INT) AS shard
+                FROM spans GROUP BY doc_id
+              )
+            )
+        """,
         # --- round-5 third-wave entries (curation kernels) ---------------
         "sample_pps_poisson": f"""
             WITH d AS (

