@@ -31,6 +31,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         boilerplate,
         curation,
         dedup,
+        interleaved,
         placement,
         tokenizer,
         graph,
@@ -129,6 +130,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "mix_epoch_manifest": curation.mixture_manifest_query,
         "tfidf_host_keywords": curation.tfidf_host_keywords_query,
         "quality_retention_curve": curation.retention_curve_query,
+        "il_media_stats": interleaved.media_stats,
+        "il_fetch_once": interleaved.fetch_once,
+        "il_caption_pairs": interleaved.caption_pairs,
+        "il_media_pop": interleaved.media_pop,
+        "il_pack_multimodal": interleaved.pack_multimodal,
     }
     times, steal = {}, {}
     for name, fn in qs.items():
