@@ -1230,7 +1230,8 @@ def _oracle_sql_static() -> dict[str, str]:
                                            ORDER BY n_refs DESC, seq ASC) AS rk
               FROM (
                 SELECT media_ref AS uri,
-                       regexp_extract(media_ref, '^m://([^/]+)/', 1) AS host,
+                       regexp_extract(media_ref,
+                                      '^[a-z0-9+.-]+://([^/]+)/', 1) AS host,
                        min(doc_id*1000 + "offset") AS seq,
                        CAST(count(*) AS BIGINT) AS n_refs
                 FROM spans WHERE media_ref IS NOT NULL GROUP BY media_ref

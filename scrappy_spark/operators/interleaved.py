@@ -117,22 +117,45 @@ def _ref_num(col: str = "media_ref") -> F.Column:
     return F.element_at(F.split(F.col(col), "/"), -1).cast("long")
 
 
+# span kinds that denote a media object. The derived table emits
+# image/video; the crawl corpus (`corpus.py`) emits kind='media' — and
+# its LINK spans carry the href in media_ref, so media identification
+# must go through kind, never through media_ref alone.
+MEDIA_KINDS = ("image", "video", "media")
+
+# scheme-generic host extraction: matches m://cdn0/57 and
+# http://cdn.example.com/img1_2.jpg alike. Same pattern string under
+# java.util.regex and DuckDB RE2 (ASCII classes only — the scrub.py
+# parity discipline).
+HOST_RE = r"^[a-z0-9+.-]+://([^/]+)/"
+
+
+def _is_media() -> F.Column:
+    return F.col("kind").isin(*MEDIA_KINDS)
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source interleave profile: document/span/media counts, media
     density, and distinct media refs. One map-side span expansion + one
     partial-aggregated groupBy(source) — at 100 TB this is a scan-shaped
     job whose shuffle carries |sources| rows."""
-    sp = spans_from(_docs(spark, sf_dir))
-    return sp.groupBy("source").agg(
+    return media_stats_from(spans_from(_docs(spark, sf_dir)))
+
+
+def media_stats_from(spans: DataFrame, key: str = "source") -> DataFrame:
+    m = _is_media()
+    return spans.groupBy(key).agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum((F.col("kind") != "text").cast("long")).alias("n_media"),
-        F.countDistinct("media_ref").alias("distinct_refs"),
-        F.round(
-            F.sum((F.col("kind") != "text").cast("double"))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("media_pct"),
+        F.sum(m.cast("long")).alias("n_media"),
+        # refs counted over MEDIA rows only: in a general span table
+        # link spans carry hrefs in media_ref and must not count
+        F.countDistinct(F.when(m, F.col("media_ref"))).alias(
+            "distinct_refs"
+        ),
+        F.round(F.sum(m.cast("double")) / F.count(F.lit(1)), 6).alias(
+            "media_pct"
+        ),
     )
 
 
@@ -140,28 +163,31 @@ def fetch_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media fetch-once accounting (S-10's response cache, lifted to the
     media axis): refs referenced by ≥2 spans, how many fetches the cache
     elides and how many bytes that saves. Byte size is a deterministic
-    property of the ref (500 + ref*37) — same ref, same size, as a real
-    CDN object. One hash-groupBy on media_ref; hot refs reduce map-side."""
-    media = spans_from(_docs(spark, sf_dir)).where(
-        F.col("media_ref").isNotNull()
-    )
+    property of the ref (here 500 + ref·37; a real deployment passes the
+    Content-Length column) — same ref, same size, as a real CDN object.
+    One hash-groupBy on media_ref; hot refs reduce map-side."""
+    n_bytes = F.lit(500) + _ref_num() * 37
+    return fetch_once_from(spans_from(_docs(spark, sf_dir)), n_bytes)
+
+
+def fetch_once_from(spans: DataFrame, bytes_col: F.Column) -> DataFrame:
+    """``bytes_col`` must be a pure function of ``media_ref`` (evaluated
+    after the per-ref aggregate, where only the ref survives)."""
+    media = spans.where(_is_media() & F.col("media_ref").isNotNull())
     agg = media.groupBy("media_ref").agg(
         F.count(F.lit(1)).alias("n_requests"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
         F.min("kind").alias("kind"),
     )
-    n_bytes = (F.lit(500) + _ref_num() * 37).alias("n_bytes")
     return agg.where(F.col("n_requests") >= 2).select(
         "media_ref",
         "kind",
         "n_requests",
         "n_docs",
         "first_doc",
-        n_bytes,
-        ((F.col("n_requests") - 1) * (F.lit(500) + _ref_num() * 37)).alias(
-            "saved_bytes"
-        ),
+        bytes_col.alias("n_bytes"),
+        ((F.col("n_requests") - 1) * bytes_col).alias("saved_bytes"),
     )
 
 
@@ -170,21 +196,32 @@ def caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately before and after it in document order — the standard
     image-text pairing prep for interleaved multimodal training. One
     shuffle on doc_id; the window partition is a single document's span
-    list (bounded by document size, never corpus size). In this corpus a
-    media span always sits between text chunks, so lag/lead of the text
-    column are the neighboring chunk texts; a doc-final media span has no
-    after-text and reports '' (kept, as a real pairer keeps before-only
-    pairs — and '' not NULL so the oracle compare stays total-ordered)."""
-    sp = spans_from(_docs(spark, sf_dir))
+    list (bounded by document size, never corpus size). In the derived
+    corpus a media span always sits between text chunks, so lag/lead of
+    the text column are the neighboring chunk texts; a doc-final media
+    span has no after-text and reports '' (kept, as a real pairer keeps
+    before-only pairs — and '' not NULL so the oracle compare stays
+    total-ordered)."""
+    return caption_pairs_from(spans_from(_docs(spark, sf_dir)))
+
+
+def caption_pairs_from(spans: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("offset")
     return (
-        sp.withColumn(
+        spans.withColumn(
             "before_text", F.coalesce(F.lag("text").over(w), F.lit(""))
         )
-        .withColumn("after_text", F.coalesce(F.lead("text").over(w), F.lit("")))
-        .where(F.col("media_ref").isNotNull())
+        .withColumn(
+            "after_text", F.coalesce(F.lead("text").over(w), F.lit(""))
+        )
+        .where(_is_media())
         .select(
-            "doc_id", "media_ref", "kind", "offset", "before_text", "after_text"
+            "doc_id",
+            "media_ref",
+            "kind",
+            "offset",
+            "before_text",
+            "after_text",
         )
     )
 
@@ -198,24 +235,37 @@ def media_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-map overrides, the same override mechanism robots Crawl-delay
     uses). Pending set = one groupBy(media_ref); pop = one hash partition
     on host + window, identical to the page frontier's."""
+    spans = spans_from(_docs(spark, sf_dir))
+    seq = F.min(F.col("doc_id") * 1000 + F.col("offset")).alias("seq")
+    return media_pop_from(
+        spans, seq, per_host_budget=3, host_budgets=(("cdn0", 1), ("cdn1", 5))
+    )
+
+
+def media_pop_from(
+    spans: DataFrame,
+    seq_agg: F.Column,
+    per_host_budget: int | None = 3,
+    host_budgets: tuple[tuple[str, int], ...] = (),
+) -> DataFrame:
+    """``seq_agg``: an aggregate over the ref's span rows yielding its
+    first-discovery order key (any orderable type — the window just sorts
+    by it)."""
     from ..frontier.crawler import ranked_pop
 
-    media = spans_from(_docs(spark, sf_dir)).where(
-        F.col("media_ref").isNotNull()
-    )
+    media = spans.where(_is_media() & F.col("media_ref").isNotNull())
     pending = media.groupBy("media_ref").agg(
-        F.count(F.lit(1)).alias("n_refs"),
-        F.min(F.col("doc_id") * 1000 + F.col("offset")).alias("seq"),
+        F.count(F.lit(1)).alias("n_refs"), seq_agg
     )
     frontier = pending.select(
         F.col("media_ref").alias("uri"),
-        F.regexp_extract("media_ref", r"^m://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("media_ref", HOST_RE, 1).alias("host"),
         "seq",
         "n_refs",
         (-F.col("n_refs")).alias("neg_pop"),
     )
     _, popped, _ = ranked_pop(
-        frontier, 3, (("cdn0", 1), ("cdn1", 5)), priority_expr="neg_pop"
+        frontier, per_host_budget, host_budgets, priority_expr="neg_pop"
     )
     return popped.select("uri", "host", "seq", "n_refs")
 
@@ -228,22 +278,30 @@ def pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (state = one counter per shard; never a global cumsum). Output: per
     document, its shard, cost, stream offset, pack id and offset within
     the pack at MM_SEQ_LEN=1024."""
-    sp = spans_from(_docs(spark, sf_dir))
-    per_doc = sp.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("kind") == "text", F.size(F.split("text", " "))
-            ).otherwise(
-                F.when(F.col("kind") == "image", IMG_TOKENS).otherwise(
-                    VID_TOKENS
-                )
-            )
-        ).alias("cost")
-    )
+    return pack_multimodal_from(spans_from(_docs(spark, sf_dir)))
+
+
+def pack_multimodal_from(
+    spans: DataFrame, media_costs: dict[str, int] | None = None
+) -> DataFrame:
+    costs = media_costs or {
+        "image": IMG_TOKENS,
+        "video": VID_TOKENS,
+        "media": IMG_TOKENS,
+    }
+    cost = None
+    for kind, c in costs.items():
+        cost = (
+            F.when(F.col("kind") == kind, F.lit(c))
+            if cost is None
+            else cost.when(F.col("kind") == kind, F.lit(c))
+        )
+    cost = cost.otherwise(F.size(F.split("text", " ")))
+    per_doc = spans.groupBy("doc_id").agg(F.sum(cost).alias("cost"))
     h = hash60_col(F.col("doc_id").cast("string"))
-    d = per_doc.select(
-        "doc_id", "cost", h.alias("h")
-    ).withColumn("shard", (F.col("h") % MM_SHARDS).cast("int"))
+    d = per_doc.select("doc_id", "cost", h.alias("h")).withColumn(
+        "shard", (F.col("h") % MM_SHARDS).cast("int")
+    )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     d = d.select(
         "doc_id",
