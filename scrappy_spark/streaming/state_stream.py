@@ -247,6 +247,37 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def media_admission_stream(
+    spans: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming media-fetch admission (round 5, interleaved sibling): a
+    live crawl emits span rows as pages are parsed; a media object should
+    be FETCHED exactly once no matter how many documents embed it — the
+    streaming half of `interleaved.fetch_once`'s ledger (which reports,
+    after the fact, how many fetches the cache elided). Media rows are
+    identified by kind through the SAME `MEDIA_KINDS` set as the batch
+    cores (a link span's href in media_ref must not trigger a fetch),
+    then first-sight-wins per media_ref via
+    `dropDuplicatesWithinWatermark` — state bounded by discovery-rate ×
+    watermark, the dedup_stream contract. A ref re-embedded later than
+    the watermark re-admits, which for a fetch gate is a re-validation,
+    not a correctness loss (the batch ledger stays globally exact).
+
+    Input stream schema: (doc_id string, kind string, text string,
+    media_ref string, offset int, event_time timestamp). Output: the
+    admitted fetch rows (first sighting of each ref)."""
+    from ..operators.interleaved import MEDIA_KINDS
+
+    media = spans.where(
+        F.col("kind").isin(*MEDIA_KINDS) & F.col("media_ref").isNotNull()
+    )
+    return (
+        media.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["media_ref"])
+        .select("media_ref", "kind", "doc_id", "offset", "event_time")
+    )
+
+
 def discovery_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming sitemap discovery (round 4): sitemap documents arriving
     on a live ingest stream → first-seen seed rows (uri, lastmod,

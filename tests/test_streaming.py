@@ -494,3 +494,79 @@ def test_admission_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM admitted").collect()}
     assert got == want
+
+
+def test_media_admission_stream_matches_batch_distinct(spark, tmp_path):
+    """Streaming media-fetch admission across micro-batches: a ref
+    re-embedded in a LATER batch must not re-admit (state carries), link
+    spans carrying hrefs in media_ref must not admit at all, and the
+    admitted ref set == the batch distinct-media-ref fetch list."""
+    import datetime
+
+    src = tmp_path / "spans_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = (
+        "doc_id string, kind string, text string, media_ref string, "
+        "offset int, event_time timestamp"
+    )
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            [
+                (d, k, t, m, o, t0 + datetime.timedelta(seconds=s))
+                for d, k, t, m, o, s in rows
+            ],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    _write(
+        "b1",
+        [
+            ("p1", "text", "hello world", None, 0, 0),
+            ("p1", "media", "", "http://cdn/x.jpg", 1, 0),
+            ("p1", "link", "go 1", "http://other/page", 2, 0),
+            ("p2", "media", "", "http://cdn/y.png", 0, 1),
+        ],
+    )
+    _write(
+        "b2",
+        [
+            ("p3", "media", "", "http://cdn/x.jpg", 0, 10),  # dup ref
+            ("p3", "media", "", "http://cdn/z.gif", 1, 10),
+        ],
+    )
+
+    from scrappy_spark.streaming.state_stream import media_admission_stream
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        media_admission_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("media_admit_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = {
+        r["media_ref"]
+        for r in spark.sql("SELECT media_ref FROM media_admit_t").collect()
+    }
+    n = spark.sql("SELECT count(*) c FROM media_admit_t").first()["c"]
+    batch = {
+        r["media_ref"]
+        for r in spark.read.parquet(str(src / "*"))
+        .where(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+        .collect()
+    }
+    assert admitted == batch == {
+        "http://cdn/x.jpg", "http://cdn/y.png", "http://cdn/z.gif"
+    }
+    assert n == 3  # x.jpg admitted once despite the batch-2 re-embed
