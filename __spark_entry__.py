@@ -94,14 +94,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5, fourth insertion wave (front per convention):
         # the interleaved text+media span family — the graft cell's payload
         # axis (BASELINE.json input_hint) as analytics operators. Five
-        # in-window slots are taken from five entries whose correctness is
-        # redundantly evidenced by stamped siblings (see the position-51+
+        # in-window slots are taken from six entries whose correctness is
+        # redundantly evidenced outside the window (see the position-51+
         # block): pipeline_v4 (composition of stamped kernels),
         # dedup_cluster_stats (rollup of stamped components),
         # text_lang_quantiles (keyed variant of in-window token_quantiles),
         # ts_rollup_hourly (simplest ts kernel; 4 ts siblings stay),
-        # text_surprisal_buckets (bucketing of stamped unigram_logprob).
+        # text_surprisal_buckets (bucketing of stamped unigram_logprob),
+        # text_pii_scrub (hand-computed fixtures + RE2-parity oracle).
         # ------------------------------------------------------------------
+        # interleaved corpus cleaning: quality-gate text spans, drop
+        # orphaned media, renumber offsets — ONE Exchange (both windows
+        # share the (doc_id, offset) partitioning+sort, plan-tested)
+        "il_clean_rebuild": interleaved.clean_rebuild,
         # per-source interleave profile over the derived span table:
         # map-only span expansion + one partial-agg groupBy(source)
         "il_media_stats": interleaved.media_stats,
@@ -296,10 +301,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_retention_curve": curation.retention_curve_query,
         # PII scrub (emails/IPv4/phones) over the deterministically
         # augmented corpus — map-only, ASCII-class regex parity
-        "text_pii_scrub": scrub.doc_pii_scrub,
         # --- position 51+: outside the driver's 50-entry window ----------
-        # The five entries displaced by the round-5 fourth (interleaved)
-        # wave — each redundantly evidenced by a stamped sibling and
+        # The six entries displaced by the round-5 fourth (interleaved)
+        # wave — each redundantly evidenced outside the driver window and
+        # sweep-green in test_driver_contract.py. PII scrub (sixth,
+        # displaced by il_clean_rebuild) carries hand-computed redaction
+        # fixtures, a no-Exchange plan test, and the RE2-parity oracle.
+        "text_pii_scrub": scrub.doc_pii_scrub,
+        # The other five — each redundantly evidenced by a stamped sibling and
         # sweep-green in test_driver_contract.py:
         # v4: + benchmark decontamination and the repetition gate on the
         # original text — seven nested mirrors; every constituent kernel
@@ -1186,6 +1195,32 @@ def _oracle_sql_static() -> dict[str, str]:
     mm_h60 = DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")
     return {
         # --- round-5 fourth-wave entries (interleaved text+media) --------
+        "il_clean_rebuild": f"""
+            {il_spans}
+            , flagged AS (
+              SELECT *, (kind = 'text'
+                         AND len(string_split(text, ' '))
+                             >= {interleaved.MIN_SPAN_WORDS}) AS kt
+              FROM spans
+            ), kept AS (
+              SELECT * FROM (
+                SELECT *, CASE WHEN kind <> 'text'
+                               THEN coalesce(lag(kt) OVER (
+                                      PARTITION BY doc_id
+                                      ORDER BY "offset"), false)
+                               ELSE kt END AS keep
+                FROM flagged
+              ) WHERE keep
+            )
+            SELECT doc_id, kind,
+                   coalesce(text, '') AS text,
+                   coalesce(media_ref, '') AS media_ref,
+                   "offset",
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY "offset") - 1 AS INT)
+                     AS new_offset
+            FROM kept
+        """,
         "il_media_stats": f"""
             {il_spans}
             SELECT source,

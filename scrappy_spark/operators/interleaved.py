@@ -319,3 +319,45 @@ def pack_multimodal_from(
         F.expr(f"stream_off DIV {MM_SEQ_LEN}").alias("pack_id"),
         (F.col("stream_off") % MM_SEQ_LEN).cast("int").alias("pack_off"),
     )
+
+
+MIN_SPAN_WORDS = 4  # quality gate: text spans shorter than this drop
+
+
+def clean_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved corpus cleaning (the boilerplate-rebuild discipline on
+    the span axis): drop text spans failing a minimum-length quality gate,
+    drop media spans whose anchor (the span immediately before them in
+    document order) did not survive — an image whose surrounding prose was
+    junk is junk — and renumber offsets contiguously so the output is
+    again a well-formed span sequence a packer or trainer can consume.
+
+    One Exchange: both windows (the anchor-survival lag and the
+    renumbering row_number) share the same (doc_id, offset) partitioning
+    and sort, so Catalyst plans a single shuffle + sort (plan-tested)."""
+    return clean_rebuild_from(spans_from(_docs(spark, sf_dir)))
+
+
+def clean_rebuild_from(
+    spans: DataFrame, min_words: int = MIN_SPAN_WORDS
+) -> DataFrame:
+    m = _is_media()
+    keep_text = (~m) & (F.size(F.split("text", " ")) >= min_words)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    flagged = spans.withColumn("_kt", keep_text).withColumn(
+        "_keep",
+        F.when(
+            m, F.coalesce(F.lag("_kt").over(w), F.lit(False))
+        ).otherwise(F.col("_kt")),
+    )
+    kept = flagged.where(F.col("_keep"))
+    # text/media_ref coalesced to '' so the span struct stays total-
+    # ordered for the oracle compare (the caption_pairs discipline)
+    return kept.select(
+        "doc_id",
+        "kind",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        "offset",
+        (F.row_number().over(w) - 1).cast("int").alias("new_offset"),
+    )

@@ -129,3 +129,64 @@ def test_pack_multimodal_layout(spark, sf_dir):
         assert cheaper.count() == 0
     finally:
         out.unpersist()
+
+
+def test_clean_rebuild_semantics(spark, sf_dir):
+    """Quality gate + orphan-media drop + contiguous renumbering, checked
+    structurally (the value oracle checks the full table)."""
+    out = il.clean_rebuild(spark, sf_dir).cache()
+    try:
+        # no surviving text span under the gate
+        assert out.where(
+            (F.col("kind") == "text")
+            & (F.size(F.split("text", " ")) < il.MIN_SPAN_WORDS)
+        ).count() == 0
+        # new offsets are contiguous 0..n-1 per doc
+        chk = out.groupBy("doc_id").agg(
+            F.count("*").alias("n"),
+            F.min("new_offset").alias("lo"),
+            F.max("new_offset").alias("hi"),
+            F.countDistinct("new_offset").alias("d"),
+        )
+        assert chk.where(
+            (F.col("lo") != 0)
+            | (F.col("hi") != F.col("n") - 1)
+            | (F.col("d") != F.col("n"))
+        ).count() == 0
+        # every surviving media span's ORIGINAL anchor survived: join back
+        anchors = out.where(F.col("kind") == "text").select(
+            "doc_id", F.col("offset").alias("aoff")
+        )
+        media = out.where(F.col("kind") != "text").select(
+            "doc_id", (F.col("offset") - 1).alias("aoff")
+        )
+        assert media.join(anchors, ["doc_id", "aoff"], "left_anti").count() == 0
+        # the gate is non-vacuous both ways on the derived corpus
+        n_in = il.spans_from(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).count()
+        n_out = out.count()
+        assert 0 < n_out < n_in
+    finally:
+        out.unpersist()
+
+
+def test_interleaved_plan_shapes(spark, sf_dir):
+    """Pin the documented plan shapes: single parquet scan everywhere
+    (the array-of-structs construction, not a self-union), and
+    clean_rebuild's two windows share ONE exchange + sort."""
+    for fn, n_exchange in (
+        (il.media_stats, 2),  # partial agg + distinct two-phase
+        (il.caption_pairs, 1),
+        (il.clean_rebuild, 1),
+        (il.pack_multimodal, 2),
+    ):
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("FileScan parquet") == 1, fn.__name__
+        assert (
+            final.count("Exchange hashpartitioning") == n_exchange
+        ), fn.__name__
+        assert "Exchange SinglePartition" not in final, fn.__name__
