@@ -296,7 +296,11 @@ def pack_multimodal_from(
             if cost is None
             else cost.when(F.col("kind") == kind, F.lit(c))
         )
-    cost = cost.otherwise(F.size(F.split("text", " ")))
+    # coalesce before split: a NULL-text non-media span (legal in a
+    # general table) would otherwise contribute size(NULL) = -1
+    cost = cost.otherwise(
+        F.size(F.split(F.coalesce("text", F.lit("")), " "))
+    )
     per_doc = spans.groupBy("doc_id").agg(F.sum(cost).alias("cost"))
     h = hash60_col(F.col("doc_id").cast("string"))
     d = per_doc.select("doc_id", "cost", h.alias("h")).withColumn(
