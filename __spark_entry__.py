@@ -331,6 +331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stamp); sweep-green in test_driver_contract.py.
         "pipeline_training_corpus_v2": pipeline.training_corpus_v2,
         "pipeline_training_corpus_v3": pipeline.training_corpus_v3,
+        # composed multimodal pipeline (clean_rebuild → pack over the
+        # SURVIVING spans): behind the window by the v2/v3 rationale —
+        # both constituents hold in-window slots; the nested oracle
+        # value-checks the composition itself (sweep-green)
+        "il_pipeline_multimodal": interleaved.pipeline_multimodal,
         # composed end-to-end training-corpus filter (langid + quality +
         # dedup survivor selection) — the composition itself is oracled;
         # stamped r3, moved behind the window in r5 to free a slot
@@ -1220,6 +1225,47 @@ def _oracle_sql_static() -> dict[str, str]:
                                            ORDER BY "offset") - 1 AS INT)
                      AS new_offset
             FROM kept
+        """,
+        "il_pipeline_multimodal": f"""
+            {il_spans}
+            , flagged AS (
+              SELECT *, (kind = 'text'
+                         AND len(string_split(text, ' '))
+                             >= {interleaved.MIN_SPAN_WORDS}) AS kt
+              FROM spans
+            ), kept AS (
+              SELECT doc_id, kind, text FROM (
+                SELECT *, CASE WHEN kind <> 'text'
+                               THEN coalesce(lag(kt) OVER (
+                                      PARTITION BY doc_id
+                                      ORDER BY "offset"), false)
+                               ELSE kt END AS keep
+                FROM flagged
+              ) WHERE keep
+            )
+            SELECT doc_id, shard, cost, stream_off,
+                   CAST(stream_off // {interleaved.MM_SEQ_LEN} AS BIGINT)
+                     AS pack_id,
+                   CAST(stream_off % {interleaved.MM_SEQ_LEN} AS INT)
+                     AS pack_off
+            FROM (
+              SELECT doc_id, shard, cost,
+                     CAST(sum(cost) OVER (PARTITION BY shard
+                                          ORDER BY h, doc_id) - cost
+                          AS BIGINT) AS stream_off
+              FROM (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN kind = 'text'
+                                     THEN len(string_split(text, ' '))
+                                     WHEN kind = 'image'
+                                     THEN {interleaved.IMG_TOKENS}
+                                     ELSE {interleaved.VID_TOKENS} END)
+                            AS BIGINT) AS cost,
+                       {mm_h60} AS h,
+                       CAST({mm_h60} % {interleaved.MM_SHARDS} AS INT) AS shard
+                FROM kept GROUP BY doc_id
+              )
+            )
         """,
         "il_media_stats": f"""
             {il_spans}

@@ -365,3 +365,17 @@ def clean_rebuild_from(
         "offset",
         (F.row_number().over(w) - 1).cast("int").alias("new_offset"),
     )
+
+
+def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal training-data pipeline (the pipeline.py
+    discipline on the span axis): clean the interleaved corpus
+    (`clean_rebuild_from` — quality gate, orphan-media drop), then lay
+    the SURVIVING spans out into packed training windows
+    (`pack_multimodal_from` — per-kind token costs, sharded running
+    sum). The oracle nests the clean mirror inside the pack mirror, so
+    the COMPOSITION is value-checked, not just its parts. Plan: the
+    clean windows' single Exchange + pack's groupBy/window pair — the
+    composition adds no shuffle beyond its constituents'."""
+    cleaned = clean_rebuild_from(spans_from(_docs(spark, sf_dir)))
+    return pack_multimodal_from(cleaned)

@@ -190,3 +190,20 @@ def test_interleaved_plan_shapes(spark, sf_dir):
             final.count("Exchange hashpartitioning") == n_exchange
         ), fn.__name__
         assert "Exchange SinglePartition" not in final, fn.__name__
+
+
+def test_pipeline_multimodal_composition_discriminates(spark, sf_dir):
+    """The composed pipeline is pack-over-CLEANED spans: its per-doc cost
+    differs from pack-over-raw wherever the gate dropped spans, and docs
+    that lost every span vanish from the layout."""
+    raw = il.pack_multimodal(spark, sf_dir).select(
+        "doc_id", F.col("cost").alias("raw_cost")
+    )
+    piped = il.pipeline_multimodal(spark, sf_dir).select("doc_id", "cost")
+    j = piped.join(raw, "doc_id").cache()
+    try:
+        assert j.where(F.col("cost") > F.col("raw_cost")).count() == 0
+        # the gate is non-vacuous: some doc got cheaper
+        assert j.where(F.col("cost") < F.col("raw_cost")).count() > 0
+    finally:
+        j.unpersist()
