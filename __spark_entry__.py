@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both constituents hold in-window slots; the nested oracle
         # value-checks the composition itself (sweep-green)
         "il_pipeline_multimodal": interleaved.pipeline_multimodal,
+        # shard-writer utilization report: pure integer arithmetic over
+        # the shard token TOTALS (never the layout window) — behind the
+        # window as a rollup of the stamped pack_sequences layout
+        "pack_efficiency": packing.pack_efficiency,
         # composed end-to-end training-corpus filter (langid + quality +
         # dedup survivor selection) — the composition itself is oracled;
         # stamped r3, moved behind the window in r5 to free a slot
@@ -2824,6 +2828,27 @@ def _oracle_sql_static() -> dict[str, str]:
                             % {packing.NUM_SHARDS} AS INT) AS shard
                 FROM documents
               )
+            )
+        """,
+        "pack_efficiency": f"""
+            SELECT shard, total_tokens,
+                   CAST((total_tokens + {packing.SEQ_LEN} - 1)
+                        // {packing.SEQ_LEN} AS BIGINT) AS n_windows,
+                   CAST(total_tokens // {packing.SEQ_LEN} AS BIGINT)
+                     AS full_windows,
+                   CAST(total_tokens % {packing.SEQ_LEN} AS INT)
+                     AS tail_tokens,
+                   CAST(({packing.SEQ_LEN} - total_tokens % {packing.SEQ_LEN})
+                        % {packing.SEQ_LEN} AS INT) AS padding_tokens,
+                   CAST((total_tokens * 1000000)
+                        // (((total_tokens + {packing.SEQ_LEN} - 1)
+                             // {packing.SEQ_LEN}) * {packing.SEQ_LEN})
+                        AS BIGINT) AS utilization_ppm
+            FROM (
+              SELECT CAST({DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")}
+                          % {packing.NUM_SHARDS} AS INT) AS shard,
+                     CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY 1
             )
         """,
         "pack_windows": f"""

@@ -162,3 +162,48 @@ def pack_windows(
             ).alias("window_fp"),
         )
     )
+
+
+def pack_efficiency(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    num_shards: int = NUM_SHARDS,
+) -> DataFrame:
+    """The shard writer's utilization report: per shard, how many
+    SEQ_LEN windows the stream fills, how many are full, the tail
+    fragment, padding tokens paid, and utilization in integer ppm.
+
+    Deliberately computed WITHOUT the layout window: every figure is
+    integer arithmetic over the shard's token TOTAL (windows =
+    ceil(T/L), tail = T % L, padding = (L − tail) % L, utilization =
+    T·10⁶ DIV (windows·L)), so the report is one partial-agg shuffle of
+    |shards| rows — a stats table must never cost a corpus-wide window
+    when a sum determines it. Integer ppm, never a float ratio (the
+    adaptive-budget discipline)."""
+    h = hash60_col(F.col("doc_id").cast("string"))
+    per_shard = (
+        _docs(spark, sf_dir)
+        .select(
+            (h % num_shards).cast("int").alias("shard"),
+            F.size(tokens_col(F.col("text"))).alias("n"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("n").alias("total_tokens"))
+    )
+    t = F.col("total_tokens")
+    windows = F.expr(f"(total_tokens + {seq_len} - 1) DIV {seq_len}")
+    return per_shard.select(
+        "shard",
+        t.alias("total_tokens"),
+        windows.cast("bigint").alias("n_windows"),
+        F.expr(f"total_tokens DIV {seq_len}").alias("full_windows"),
+        (t % seq_len).cast("int").alias("tail_tokens"),
+        ((F.lit(seq_len) - t % seq_len) % seq_len)
+        .cast("int")
+        .alias("padding_tokens"),
+        F.expr(
+            f"(total_tokens * 1000000) DIV "
+            f"(((total_tokens + {seq_len} - 1) DIV {seq_len}) * {seq_len})"
+        ).alias("utilization_ppm"),
+    )

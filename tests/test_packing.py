@@ -147,3 +147,33 @@ def test_pack_plan_shuffles_once_on_shard(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(shard" in final
+
+
+def test_pack_efficiency_matches_layout(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    """The windowless efficiency report must agree with the actual
+    layout: per shard, n_windows == max(pack_id)+1 and total_tokens ==
+    sum(n_tokens); and its plan has no Window at all."""
+    eff = {r["shard"]: r for r in packing.pack_efficiency(spark, sf_dir).collect()}
+    # n_windows must equal the windows the MATERIALIZER actually emits
+    # (max(pack_id)+1 from the layout would undercount when the last doc
+    # straddles a boundary — its tokens extend past its start window)
+    wins = (
+        packing.pack_windows(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count("*").alias("w"), F.sum("n_toks").alias("t"))
+        .collect()
+    )
+    for r in wins:
+        e = eff[r["shard"]]
+        assert e["total_tokens"] == r["t"]
+        assert e["n_windows"] == r["w"]
+        assert e["padding_tokens"] == e["n_windows"] * packing.SEQ_LEN - e["total_tokens"]
+    plan = (
+        packing.pack_efficiency(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan.split("== Initial Plan ==")[0]
