@@ -131,6 +131,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "tfidf_host_keywords": curation.tfidf_host_keywords_query,
         "quality_retention_curve": curation.retention_curve_query,
         "il_clean_rebuild": interleaved.clean_rebuild,
+        "pack_efficiency": packing.pack_efficiency,
         "il_pipeline_multimodal": interleaved.pipeline_multimodal,
         "il_media_stats": interleaved.media_stats,
         "il_fetch_once": interleaved.fetch_once,
