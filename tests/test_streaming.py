@@ -570,3 +570,59 @@ def test_media_admission_stream_matches_batch_distinct(spark, tmp_path):
         "http://cdn/x.jpg", "http://cdn/y.png", "http://cdn/z.gif"
     }
     assert n == 3  # x.jpg admitted once despite the batch-2 re-embed
+
+
+def test_simhash_stream_bucket_cap_evicts_by_event_time(spark, tmp_path):
+    """ADVICE r4 regression: the per-bucket cap keeps the newest
+    fingerprints by EVENT time, not insertion order. A late-arriving
+    row that is oldest-by-event-time lands at the state tail; the old
+    insertion-order cap (keep[-max_bucket:]) would have kept IT and
+    evicted a genuinely newer fingerprint."""
+    import datetime
+
+    from scrappy_spark.streaming.state_stream import simhash_pairs_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    txt = "alpha beta gamma delta epsilon zeta"  # identical fp everywhere
+    batches = [
+        # batch 1: two docs at t+10s and t+20s fill the bucket (cap=2)
+        [("d10", txt, 10), ("d20", txt, 20)],
+        # batch 2: LATE row at t+0 — oldest by event time, newest by
+        # insertion; the cap must evict it, not d10/d20
+        [("dlate", txt, 0)],
+        # batch 3: probe — its pairs reveal which entries survived
+        [("dZ", txt, 30)],
+    ]
+    src = tmp_path / "cap_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(d, t, t0 + datetime.timedelta(seconds=s)) for d, t, s in rows],
+            "doc_id string, text string, event_time timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        simhash_pairs_stream(stream, max_bucket=2)
+        .writeStream.format("memory")
+        .queryName("cap_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    probe_partners = {
+        r["a"] if r["b"] == "dZ" else r["b"]
+        for r in spark.sql(
+            "SELECT * FROM cap_stream_t WHERE a = 'dZ' OR b = 'dZ'"
+        ).collect()
+    }
+    # survivors under the event-time cap are d10 + d20; the buggy
+    # insertion-order cap retained {d20, dlate} instead
+    assert probe_partners == {"d10", "d20"}

@@ -1,6 +1,8 @@
 """As-of join, sessionization, time-bucket rollup, banded range join."""
 
 import datetime as dt
+
+import pytest
 from decimal import Decimal
 
 from pyspark.sql import Row
@@ -42,6 +44,25 @@ def test_asof_join_tiny_exact(spark):
         "d": (100.0, _t(10)),
         "e": (None, None),
     }
+
+
+def test_asof_join_duplicate_build_key_fails_loud(spark):
+    """ADVICE r4 regression: a build side with two rows at the same
+    (on, ts) must raise (the fill would otherwise be partition-sort-
+    dependent), and check_unique=False restores the unchecked path for
+    callers that just deduped."""
+    left = spark.createDataFrame([Row(k=1, ts=_t(7), tag="a")])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_t(5), v=50.0), Row(k=1, ts=_t(5), v=99.0)]
+    )
+    with pytest.raises(ValueError, match="precondition violated"):
+        ts_ops.asof_join(left, right, on="k", ts="ts", right_cols={"pv": "v"})
+    # opt-out path still runs (result is one of the two candidates)
+    row = ts_ops.asof_join(
+        left, right, on="k", ts="ts", right_cols={"pv": "v"},
+        check_unique=False,
+    ).collect()[0]
+    assert row["pv"] in (50.0, 99.0)
 
 
 def test_asof_join_plan_has_no_theta_join(spark, sf_dir):
