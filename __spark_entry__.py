@@ -1184,7 +1184,7 @@ def _oracle_sql_static() -> dict[str, str]:
               SELECT doc_id, source, words,
                      unnest(range(0, CAST((len(words)-1)//{_w} AS INT)+1)) AS c
               FROM (SELECT doc_id, source, string_split(text, ' ') AS words
-                    FROM documents)
+                    FROM documents WHERE text IS NOT NULL)
             ), spans AS (
               SELECT doc_id, source, 'text' AS kind,
                      array_to_string(words[c*{_w}+1 : c*{_w}+{_w}], ' ') AS text,
@@ -1208,15 +1208,19 @@ def _oracle_sql_static() -> dict[str, str]:
             {il_spans}
             , flagged AS (
               SELECT *, (kind = 'text'
-                         AND len(string_split(text, ' '))
+                         AND len(string_split(coalesce(text, ''), ' '))
                              >= {interleaved.MIN_SPAN_WORDS}) AS kt
               FROM spans
             ), kept AS (
               SELECT * FROM (
                 SELECT *, CASE WHEN kind <> 'text'
-                               THEN coalesce(lag(kt) OVER (
+                               THEN coalesce(last_value(
+                                      CASE WHEN kind = 'text' THEN kt END
+                                      IGNORE NULLS) OVER (
                                       PARTITION BY doc_id
-                                      ORDER BY "offset"), false)
+                                      ORDER BY "offset"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), false)
                                ELSE kt END AS keep
                 FROM flagged
               ) WHERE keep
@@ -1234,15 +1238,19 @@ def _oracle_sql_static() -> dict[str, str]:
             {il_spans}
             , flagged AS (
               SELECT *, (kind = 'text'
-                         AND len(string_split(text, ' '))
+                         AND len(string_split(coalesce(text, ''), ' '))
                              >= {interleaved.MIN_SPAN_WORDS}) AS kt
               FROM spans
             ), kept AS (
               SELECT doc_id, kind, text FROM (
                 SELECT *, CASE WHEN kind <> 'text'
-                               THEN coalesce(lag(kt) OVER (
+                               THEN coalesce(last_value(
+                                      CASE WHEN kind = 'text' THEN kt END
+                                      IGNORE NULLS) OVER (
                                       PARTITION BY doc_id
-                                      ORDER BY "offset"), false)
+                                      ORDER BY "offset"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), false)
                                ELSE kt END AS keep
                 FROM flagged
               ) WHERE keep
@@ -1316,8 +1324,10 @@ def _oracle_sql_static() -> dict[str, str]:
               FROM (
                 SELECT media_ref AS uri,
                        regexp_extract(media_ref,
-                                      '^[a-z0-9+.-]+://([^/]+)/', 1) AS host,
-                       min(doc_id*1000 + "offset") AS seq,
+                                      '^[^:]+://([^/?#:]*)', 1) AS host,
+                       min(lpad(CAST(doc_id AS VARCHAR), 20, '0')
+                           || lpad(CAST("offset" AS VARCHAR), 10, '0'))
+                         AS seq,
                        CAST(count(*) AS BIGINT) AS n_refs
                 FROM spans WHERE media_ref IS NOT NULL GROUP BY media_ref
               )

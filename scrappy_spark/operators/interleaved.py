@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..urlnorm import host_col
+from .packing import layout_from
 from .text import hash60_col
 
 CHUNK_WORDS = 8  # words per text span
@@ -70,7 +72,13 @@ def spans_from(docs: DataFrame) -> DataFrame:
     column-pruned parquet scan, two Generates, no shuffle.
     """
     words = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", "source", words.alias("words")).withColumn(
+    # NULL-text rows emit NO spans (mirrored by the oracle CTE's WHERE):
+    # unguarded, size(NULL)=-1 makes the chunk sequence(0, -1) and
+    # Spark's sequence defaults to step -1 — TWO garbage chunks [0, -1]
+    # per NULL doc where the DuckDB mirror emits zero rows
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "source", words.alias("words")
+    ).withColumn(
         "c",
         F.explode(
             F.sequence(
@@ -123,11 +131,13 @@ def _ref_num(col: str = "media_ref") -> F.Column:
 # must go through kind, never through media_ref alone.
 MEDIA_KINDS = ("image", "video", "media")
 
-# scheme-generic host extraction: matches m://cdn0/57 and
-# http://cdn.example.com/img1_2.jpg alike. Same pattern string under
-# java.util.regex and DuckDB RE2 (ASCII classes only — the scrub.py
-# parity discipline).
-HOST_RE = r"^[a-z0-9+.-]+://([^/]+)/"
+# host extraction reuses urlnorm.host_col — ONE host definition across
+# the engine (review r5: a local regex here required a trailing '/'
+# after the host, so a path-less ref collapsed into host '', and it
+# kept ports where robots/politeness strip them — the same CDN split
+# across two budgets). The pattern is ASCII-class-only, so it reads
+# identically under java.util.regex and DuckDB RE2 (the scrub.py
+# parity discipline; the oracle embeds it verbatim).
 
 
 def _is_media() -> F.Column:
@@ -236,7 +246,17 @@ def media_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses). Pending set = one groupBy(media_ref); pop = one hash partition
     on host + window, identical to the page frontier's."""
     spans = spans_from(_docs(spark, sf_dir))
-    seq = F.min(F.col("doc_id") * 1000 + F.col("offset")).alias("seq")
+    # first-discovery key as a zero-padded string, collision-free at any
+    # magnitude (review r5: doc_id*1000+offset collided once a doc had
+    # offset ≥ 1000 — ~4000 words — inverting FIFO order across docs and
+    # making the row_number tiebreak nondeterministic). lpad widths
+    # cover the full int64/int32 digit ranges.
+    seq = F.min(
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 20, "0"),
+            F.lpad(F.col("offset").cast("string"), 10, "0"),
+        )
+    ).alias("seq")
     return media_pop_from(
         spans, seq, per_host_budget=3, host_budgets=(("cdn0", 1), ("cdn1", 5))
     )
@@ -259,7 +279,7 @@ def media_pop_from(
     )
     frontier = pending.select(
         F.col("media_ref").alias("uri"),
-        F.regexp_extract("media_ref", HOST_RE, 1).alias("host"),
+        host_col(F.col("media_ref")).alias("host"),
         "seq",
         "n_refs",
         (-F.col("n_refs")).alias("neg_pop"),
@@ -282,47 +302,49 @@ def pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_multimodal_from(
-    spans: DataFrame, media_costs: dict[str, int] | None = None
+    spans: DataFrame,
+    media_costs: dict[str, int] | None = None,
+    seq_len: int = MM_SEQ_LEN,
+    num_shards: int = MM_SHARDS,
 ) -> DataFrame:
-    costs = media_costs or {
-        "image": IMG_TOKENS,
-        "video": VID_TOKENS,
-        "media": IMG_TOKENS,
-    }
+    """``media_costs`` maps media kind → token budget (None = the module
+    defaults). A media span (kind in MEDIA_KINDS) whose kind has no cost
+    in the map FAILS LOUD (``raise_error``) instead of silently costing
+    ~1 token through the text branch — a partial map like
+    ``{"image": 64}`` would otherwise undercost every video span with no
+    error (review r5; the same review made an explicit empty dict an
+    error rather than a silent fall-through to the defaults). Non-media
+    span kinds always cost their text's whitespace token count."""
+    if media_costs is None:
+        media_costs = {
+            "image": IMG_TOKENS,
+            "video": VID_TOKENS,
+            "media": IMG_TOKENS,
+        }
     cost = None
-    for kind, c in costs.items():
+    for kind, c in media_costs.items():
         cost = (
             F.when(F.col("kind") == kind, F.lit(c))
             if cost is None
             else cost.when(F.col("kind") == kind, F.lit(c))
         )
+    uncosted_media = F.raise_error(
+        F.concat(
+            F.lit("pack_multimodal_from: no media cost for kind "),
+            F.col("kind"),
+        )
+    )
     # coalesce before split: a NULL-text non-media span (legal in a
     # general table) would otherwise contribute size(NULL) = -1
-    cost = cost.otherwise(
-        F.size(F.split(F.coalesce("text", F.lit("")), " "))
-    )
+    text_cost = F.size(F.split(F.coalesce("text", F.lit("")), " "))
+    if cost is None:
+        cost = F.when(_is_media(), uncosted_media).otherwise(text_cost)
+    else:
+        cost = cost.when(_is_media(), uncosted_media).otherwise(text_cost)
     per_doc = spans.groupBy("doc_id").agg(F.sum(cost).alias("cost"))
-    h = hash60_col(F.col("doc_id").cast("string"))
-    d = per_doc.select("doc_id", "cost", h.alias("h")).withColumn(
-        "shard", (F.col("h") % MM_SHARDS).cast("int")
-    )
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    d = d.select(
-        "doc_id",
-        "shard",
-        "cost",
-        (F.sum("cost").over(w) - F.col("cost")).alias("stream_off"),
-    )
-    # integer division (never float) and a 64-bit pack_id, matching the
-    # discipline of pack_sequences: offsets stay exact at any magnitude
-    return d.select(
-        "doc_id",
-        "shard",
-        "cost",
-        "stream_off",
-        F.expr(f"stream_off DIV {MM_SEQ_LEN}").alias("pack_id"),
-        (F.col("stream_off") % MM_SEQ_LEN).cast("int").alias("pack_off"),
-    )
+    # the sharded running-sum tail is packing.layout_from — ONE copy of
+    # the 64-bit pack_id / integer-DIV discipline for every packer
+    return layout_from(per_doc, "cost", seq_len, num_shards)
 
 
 MIN_SPAN_WORDS = 4  # quality gate: text spans shorter than this drop
@@ -331,12 +353,13 @@ MIN_SPAN_WORDS = 4  # quality gate: text spans shorter than this drop
 def clean_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved corpus cleaning (the boilerplate-rebuild discipline on
     the span axis): drop text spans failing a minimum-length quality gate,
-    drop media spans whose anchor (the span immediately before them in
-    document order) did not survive — an image whose surrounding prose was
-    junk is junk — and renumber offsets contiguously so the output is
-    again a well-formed span sequence a packer or trainer can consume.
+    drop media spans whose anchor (the NEAREST PRECEDING NON-MEDIA span —
+    shared by every span of a consecutive-media burst) did not survive —
+    an image whose surrounding prose was junk is junk — and renumber
+    offsets contiguously so the output is again a well-formed span
+    sequence a packer or trainer can consume.
 
-    One Exchange: both windows (the anchor-survival lag and the
+    One Exchange: both windows (the anchor-survival propagation and the
     renumbering row_number) share the same (doc_id, offset) partitioning
     and sort, so Catalyst plans a single shuffle + sort (plan-tested)."""
     return clean_rebuild_from(spans_from(_docs(spark, sf_dir)))
@@ -346,13 +369,28 @@ def clean_rebuild_from(
     spans: DataFrame, min_words: int = MIN_SPAN_WORDS
 ) -> DataFrame:
     m = _is_media()
-    keep_text = (~m) & (F.size(F.split("text", " ")) >= min_words)
+    # coalesce keeps _kt non-NULL for NULL-text non-media spans (ANSI
+    # NULL >= n is NULL): same observed outcome (dropped) but now an
+    # explicit False, which the anchor propagation below relies on
+    keep_text = (~m) & (
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")) >= min_words
+    )
     w = Window.partitionBy("doc_id").orderBy("offset")
+    # a media span's anchor is the NEAREST PRECEDING NON-MEDIA span: in
+    # a media burst (consecutive media spans — media-only crawl docs,
+    # image galleries) every span of the burst shares the prose anchor
+    # before it. The earlier lag('_kt') looked only at the immediate
+    # predecessor, whose _kt is hardwired False when it is itself media
+    # — so only the FIRST media span of a burst could ever survive,
+    # contradicting the documented anchor rule (review r5). On the
+    # derived table media spans are never adjacent, so lag and this
+    # propagation agree there (oracle values unchanged).
+    anchor = F.last(F.when(~m, F.col("_kt")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     flagged = spans.withColumn("_kt", keep_text).withColumn(
         "_keep",
-        F.when(
-            m, F.coalesce(F.lag("_kt").over(w), F.lit(False))
-        ).otherwise(F.col("_kt")),
+        F.when(m, F.coalesce(anchor, F.lit(False))).otherwise(F.col("_kt")),
     )
     kept = flagged.where(F.col("_keep"))
     # text/media_ref coalesced to '' so the span struct stays total-

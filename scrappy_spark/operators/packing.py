@@ -50,40 +50,53 @@ def pack_sequences(
     )
 
 
-def pack_sequences_from(
-    docs: DataFrame, seq_len: int = SEQ_LEN, num_shards: int = NUM_SHARDS
+def layout_from(
+    per_doc: DataFrame, cost_col: str, seq_len: int, num_shards: int
 ) -> DataFrame:
-    """Per-document packed layout.
+    """The sharded running-sum layout kernel shared by every packer
+    (token packing here, multimodal packing in ``interleaved.py`` —
+    previously a line-for-line copy that had to be kept in sync by
+    hand). ``per_doc``: one row per document with ``doc_id`` and the
+    document's cost in ``cost_col`` units (tokens, token-equivalents).
 
-    Output: ``doc_id``, ``shard``, ``n_tokens``, ``stream_off`` (token
-    offset of the document's first token in its shard's concatenated
+    Output: ``doc_id``, ``shard``, ``<cost_col>``, ``stream_off``
+    (offset of the document's first unit in its shard's concatenated
     stream), ``pack_id`` (window index ``stream_off // seq_len`` within
     the shard), ``pack_off`` (offset within that window). Deterministic:
     shard and order derive from the document id's hash, so re-running
     yields the identical layout.
     """
     h = hash60_col(F.col("doc_id").cast("string"))
-    d = docs.select(
-        "doc_id",
-        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
-        h.alias("h"),
-    ).withColumn("shard", (F.col("h") % num_shards).cast("int"))
+    d = per_doc.select("doc_id", cost_col, h.alias("h")).withColumn(
+        "shard", (F.col("h") % num_shards).cast("int")
+    )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    stream_off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+    stream_off = (F.sum(cost_col).over(w) - F.col(cost_col)).alias(
         "stream_off"
     )
-    d = d.select("doc_id", "shard", "n_tokens", stream_off)
+    d = d.select("doc_id", "shard", cost_col, stream_off)
     # integer division (never float) and a 64-bit pack_id: a shard
     # stream past 2^31 packs is reachable at full scale with a small
     # shard count, and offsets stay exact at any magnitude
     return d.select(
         "doc_id",
         "shard",
-        "n_tokens",
+        cost_col,
         "stream_off",
         F.expr(f"stream_off DIV {seq_len}").alias("pack_id"),
         (F.col("stream_off") % seq_len).cast("int").alias("pack_off"),
     )
+
+
+def pack_sequences_from(
+    docs: DataFrame, seq_len: int = SEQ_LEN, num_shards: int = NUM_SHARDS
+) -> DataFrame:
+    """Per-document packed layout (see ``layout_from`` for the output
+    contract; cost = whitespace/BPE-regex token count)."""
+    per_doc = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    return layout_from(per_doc, "n_tokens", seq_len, num_shards)
 
 
 def pack_windows(

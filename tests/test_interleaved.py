@@ -207,3 +207,104 @@ def test_pipeline_multimodal_composition_discriminates(spark, sf_dir):
         assert j.where(F.col("cost") < F.col("raw_cost")).count() > 0
     finally:
         j.unpersist()
+
+
+def _general_spans(spark, rows):
+    """(doc_id, kind, text, media_ref, offset) general span table."""
+    return spark.createDataFrame(
+        rows, "doc_id long, kind string, text string, media_ref string, offset int"
+    )
+
+
+def test_spans_from_null_text_doc_emits_nothing(spark):
+    """Review r5 regression: size(split(NULL))=-1 made sequence(0,-1)
+    emit TWO garbage chunks ([0,-1], Spark's default step -1) for a
+    NULL-text document where the DuckDB mirror emits zero rows."""
+    docs = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", None)],
+        "doc_id long, source string, text string",
+    )
+    sp = il.spans_from(docs)
+    assert sp.where(F.col("doc_id") == 2).count() == 0
+    assert sp.where(F.col("doc_id") == 1).count() >= 1
+    assert sp.where(F.col("offset") < 0).count() == 0
+
+
+def test_clean_rebuild_media_burst_shares_prose_anchor(spark):
+    """Review r5 regression: in a consecutive-media burst every span
+    shares the nearest preceding non-media anchor — the old lag('_kt')
+    kept only the burst's FIRST span (its predecessor is media, whose
+    _kt is hardwired False)."""
+    rows = [
+        # doc 1: good prose, then a 3-media burst -> ALL THREE survive
+        (1, "text", "alpha beta gamma delta", None, 0),
+        (1, "media", None, "m://cdn1/1", 1),
+        (1, "media", None, "m://cdn1/2", 2),
+        (1, "media", None, "m://cdn1/3", 3),
+        # doc 2: junk prose, then a burst -> none survive
+        (2, "text", "short", None, 0),
+        (2, "media", None, "m://cdn1/4", 1),
+        (2, "media", None, "m://cdn1/5", 2),
+        # doc 3: media-first (no anchor at all) -> dropped
+        (3, "media", None, "m://cdn1/6", 0),
+        (3, "text", "eins zwei drei vier fünf", None, 1),
+    ]
+    out = il.clean_rebuild_from(_general_spans(spark, rows)).cache()
+    try:
+        kept1 = sorted(
+            r["offset"] for r in out.where(F.col("doc_id") == 1).collect()
+        )
+        assert kept1 == [0, 1, 2, 3]
+        assert out.where(F.col("doc_id") == 2).count() == 0
+        kept3 = [
+            (r["kind"], r["new_offset"])
+            for r in out.where(F.col("doc_id") == 3).collect()
+        ]
+        assert kept3 == [("text", 0)]
+    finally:
+        out.unpersist()
+
+
+def test_pack_multimodal_partial_costs_fail_loud(spark):
+    """Review r5 regression: a media kind missing from a caller-supplied
+    media_costs map raised nothing and was costed as ~1 text token."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [
+        (1, "text", "a b c d", None, 0),
+        (1, "video", None, "m://cdn0/9", 1),
+    ]
+    spans = _general_spans(spark, rows)
+    with pytest.raises(SparkRuntimeException, match="no media cost"):
+        il.pack_multimodal_from(spans, media_costs={"image": 64}).collect()
+    # complete map works, and the cost reflects the map
+    row = il.pack_multimodal_from(
+        spans, media_costs={"image": 64, "video": 256}
+    ).collect()[0]
+    assert row["cost"] == 4 + 256
+
+
+def test_media_pop_seq_key_no_cross_doc_collision(spark):
+    """Review r5 regression: the old doc_id*1000+offset discovery key
+    inverted FIFO across docs once offsets passed 999."""
+    rows = [
+        # ref A first discovered at (doc 5, offset 1400); ref B at
+        # (doc 6, offset 400). Under the old key: 5*1000+1400 = 6400 vs
+        # 6*1000+400 = 6400 — a tie (nondeterministic), and doc 5's
+        # offset 1500 would sort AFTER doc 6. The lpad key keeps
+        # (doc_id, offset) lexicographic = true discovery order.
+        (5, "media", None, "m://cdn2/A", 1400),
+        (6, "media", None, "m://cdn2/B", 400),
+    ]
+    seq = il.F.min(
+        il.F.concat(
+            il.F.lpad(il.F.col("doc_id").cast("string"), 20, "0"),
+            il.F.lpad(il.F.col("offset").cast("string"), 10, "0"),
+        )
+    ).alias("seq")
+    popped = il.media_pop_from(
+        _general_spans(spark, rows), seq, per_host_budget=1
+    ).collect()
+    # equal popularity -> FIFO on first discovery: doc 5 wins
+    assert [r["uri"] for r in popped] == ["m://cdn2/A"]

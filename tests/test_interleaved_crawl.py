@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scrappy_spark.corpus import CorpusConfig, generate_df, seeds_for  # noqa: E402
 from scrappy_spark.frontier import Crawler, CrawlConfig  # noqa: E402
 from scrappy_spark.operators import interleaved as il  # noqa: E402
+from scrappy_spark.urlnorm import host_col  # noqa: E402
 
 CFG = CorpusConfig(n_docs=300)
 
@@ -47,9 +48,7 @@ def test_interleaved_cores_on_crawled_pages(spark):
 
         # --- media_stats_from keyed by page host ---------------------
         stats = il.media_stats_from(
-            spans.withColumn(
-                "source", F.regexp_extract("doc_id", il.HOST_RE, 1)
-            )
+            spans.withColumn("source", host_col(F.col("doc_id")))
         ).cache()
         agg = stats.agg(
             F.sum("n_media").alias("m"), F.sum("n_spans").alias("s")
