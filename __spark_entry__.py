@@ -1382,16 +1382,20 @@ def _oracle_sql_static() -> dict[str, str]:
             ), w AS (
               SELECT * FROM (VALUES {mix_values}) v(lang, w_ppm)
             ), m AS (
-              SELECT a.lang, a.avail_tokens,
+              SELECT coalesce(a.lang, w.lang) AS lang,
+                     CAST(coalesce(a.avail_tokens, 0) AS BIGINT)
+                       AS avail_tokens,
                      CAST((coalesce(w.w_ppm, 0)
                        * CAST({curation.MIX_TOKEN_BUDGET} AS BIGINT))
                        // 1000000 AS BIGINT) AS target_tokens
-              FROM avail a LEFT JOIN w ON a.lang = w.lang
+              FROM avail a FULL JOIN w ON a.lang = w.lang
             )
             SELECT lang, avail_tokens, target_tokens,
-                   CAST(least((target_tokens * 1000000 + avail_tokens - 1)
-                     // avail_tokens,
-                     {curation.MIX_EPOCH_CAP_PPM}) AS BIGINT) AS epochs_ppm,
+                   CAST(CASE WHEN avail_tokens = 0 THEN 0
+                     ELSE least((target_tokens * 1000000 + avail_tokens - 1)
+                       // avail_tokens,
+                       {curation.MIX_EPOCH_CAP_PPM}) END AS BIGINT)
+                     AS epochs_ppm,
                    CAST(least(target_tokens, (avail_tokens
                      * {curation.MIX_EPOCH_CAP_PPM}) // 1000000) AS BIGINT)
                      AS planned_tokens,

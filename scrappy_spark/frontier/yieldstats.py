@@ -66,15 +66,35 @@ def adaptive_budget(
     clamp(base · Σnew ÷ Σpops, lo, hi). Hosts appear in the output iff
     they were popped at least once (Σpops ≥ 1 by construction of the
     log; a zero-pop row is the caller's telemetry bug, and integer DIV
-    by zero would fail loudly rather than invent a budget)."""
+    by zero fails loudly rather than inventing a budget). NULL
+    telemetry fails loudly too (review r5): a NULL pops/new sum would
+    otherwise ride NULL through the DIV and be resurrected by the
+    clamp (``greatest`` skips NULLs) into a silent floor budget —
+    exactly the "invented budget" this contract rejects; the streaming
+    twin (``state_stream.budget_stream``) enforces the same refusal."""
     agg = log.groupBy(F.col(host).alias("host")).agg(
         F.sum(pops).cast("long").alias("n_pops"),
         F.sum(new).cast("long").alias("n_new"),
     )
+    null_telemetry = F.raise_error(
+        F.concat(
+            F.lit("adaptive_budget: NULL telemetry (n_pops/n_new) for host "),
+            F.col("host"),
+        )
+    ).cast("long")
+    checked = agg.select(
+        "host",
+        F.when(F.col("n_pops").isNull(), null_telemetry)
+        .otherwise(F.col("n_pops"))
+        .alias("n_pops"),
+        F.when(F.col("n_new").isNull(), null_telemetry)
+        .otherwise(F.col("n_new"))
+        .alias("n_new"),
+    )
     yield_ppm = F.expr("(1000000 * n_new) DIV n_pops")
     raw = F.expr(f"({base} * n_new) DIV n_pops")
     budget = F.least(F.greatest(raw, F.lit(lo).cast("long")), F.lit(hi).cast("long"))
-    return agg.select(
+    return checked.select(
         "host",
         "n_pops",
         "n_new",

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import hash60_col, tokens_col
+from .text import hash60_col, qw_weight_col, tokens_col
 
 # --- pps_sample -----------------------------------------------------------
 
@@ -150,38 +150,53 @@ def mixture_manifest(
     ALL integer arithmetic (ceil via ``(a + b - 1) DIV b``, never a
     float ratio), so the manifest is bit-identical across engines.
     Languages absent from the weights map get weight 0 (target 0,
-    epochs 0) and still appear — silence is not a row that vanished.
+    epochs 0) and still appear; languages IN the weights map with zero
+    available tokens ALSO appear (avail 0, epochs 0, deficit = full
+    target) — silence is not a row that vanished, in either direction.
+    The second direction is the one a mixture review exists to catch
+    (a weighted language the crawl never collected), so the weights
+    join is a FULL OUTER, not a lookup from the availability side
+    (review r5 — the lookup-map spelling silently dropped it).
 
     100 TB shape: ONE partial-agg shuffle keyed by lang (map-side
-    combine → ≤ #langs rows cross the wire), then pure expression
-    arithmetic over the tiny aggregate.  No scalar exchange even — the
-    budget/weights/cap are literals in the plan.
+    combine → ≤ #langs rows cross the wire), then a full join between
+    two ≤ #langs-row tables and pure expression arithmetic.  No scalar
+    exchange even — the budget/cap are literals in the plan.
     """
-    w = weights_ppm or MIX_WEIGHTS_PPM
-    weight_col = F.coalesce(
-        F.create_map(
-            *[F.lit(x) for kv in w.items() for x in kv]
-        )[F.col("lang")],
-        F.lit(0),
-    ).cast("long")
+    w = MIX_WEIGHTS_PPM if weights_ppm is None else weights_ppm
+    wdf = docs.sparkSession.createDataFrame(
+        sorted(w.items()), "lang STRING, _w BIGINT"
+    )
     avail = (
         docs.select("lang", F.size(tokens_col(F.col("text"))).alias("n_tok"))
         .groupBy("lang")
         .agg(F.sum("n_tok").cast("long").alias("avail_tokens"))
     )
     m = (
-        avail.withColumn("_w", weight_col)
+        avail.join(wdf, "lang", "full")
+        .select(
+            "lang",
+            F.coalesce("avail_tokens", F.lit(0).cast("long")).alias(
+                "avail_tokens"
+            ),
+            F.coalesce("_w", F.lit(0).cast("long")).alias("_w"),
+        )
         .withColumn(
             "target_tokens", F.expr(f"(_w * CAST({budget} AS BIGINT)) DIV 1000000")
         )
         .withColumn(
             "epochs_ppm",
-            F.least(
-                F.expr(
-                    "(target_tokens * CAST(1000000 AS BIGINT) + avail_tokens - 1)"
-                    " DIV avail_tokens"
-                ),
-                F.lit(cap_ppm).cast("long"),
+            # avail = 0 → nothing to repeat: epochs 0 (the CASE guards
+            # the ANSI integer DIV-by-zero; planned is then 0 and the
+            # whole target surfaces as deficit)
+            F.when(F.col("avail_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.expr(
+                        "(target_tokens * CAST(1000000 AS BIGINT)"
+                        " + avail_tokens - 1) DIV avail_tokens"
+                    ),
+                    F.lit(cap_ppm).cast("long"),
+                )
             ),
         )
         .withColumn(
@@ -243,10 +258,22 @@ def tfidf_host_keywords(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     tok = docs.select(
         F.col("source"), F.explode(tokens_col(F.col("text"))).alias("t")
     )
-    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    n_hosts = docs.select("source").distinct().agg(
-        F.count(F.lit(1)).alias("_nh")
+    # the (host, term) rollup is read by BOTH hdf and the scored join —
+    # materialize it ONCE (the dedup layer's persist-before-fan-out
+    # lesson, VERDICT r3 #1) so the corpus-sized explode+agg compiles
+    # into exactly one executed scan; the rollup itself is vocab-sized
+    tf = (
+        tok.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
+    # countDistinct ignores NULL sources — the DuckDB mirror's
+    # count(DISTINCT source) does too; a bare distinct().count() would
+    # count the NULL group and skew every idf by one (review r5).
+    # Deliberately from docs, not tf: a host whose documents are all
+    # NULL-text has no tf rows but is still a host for idf purposes —
+    # and the scan is a single-column pruned pass, map-side combined.
+    n_hosts = docs.agg(F.countDistinct("source").alias("_nh"))
     hdf = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("hdf"))
     idf = hdf.crossJoin(F.broadcast(n_hosts)).select(
         "t",
@@ -320,21 +347,28 @@ def retention_curve(
     window, no Exchange SinglePartition.  Thresholds nothing survives
     still emit a row (docs_kept = 0): a curve with silent gaps misreads
     as a sweep that skipped them.
+
+    The population is TOKENIZED documents (≥ 1 token): a NULL-text row
+    carries no tokens on either engine (the oracle's unnest emits zero
+    rows for it), so it belongs in neither the kept counts nor the
+    ``docs_ppm`` denominator — without the filter the Spark total
+    counted it while the oracle's didn't (review r5).
     """
-    grid = sorted(thresholds or RETENTION_THRESHOLDS_MILLI)
+    grid = sorted(
+        RETENTION_THRESHOLDS_MILLI if thresholds is None else thresholds
+    )
     toks = tokens_col(F.col("text"))
 
-    def _w(t):
-        return (
-            hash60_col(F.concat(F.lit("qw:"), t)) % 1001 - 500
-        ).cast("long")
-
+    # the weight is text.qw_weight_col — the SAME definition
+    # quality_linear gates on, so the curve is swept against the exact
+    # score the filter will apply (two drifting copies would
+    # mis-calibrate silently)
     scored = docs.select(
         F.size(toks).cast("long").alias("n_tokens"),
         F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + _w(t)
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + qw_weight_col(t)
         ).alias("w_sum"),
-    )
+    ).where(F.col("n_tokens") > 0)
     # Band = how many grid thresholds the score clears. Deliberately a
     # SUM OF DIRECT COMPARISONS, not size(filter(grid_lit, x -> x <
     # w_sum)): CollapseProject inlines the expensive w_sum aggregate

@@ -11,8 +11,11 @@ partitioning, both cheap relative to the shuffles they de-risk:
   hash placement keeps reruns and incremental appends stable, and the
   audit is the evidence that no loader gets a straggler shard.
 * **key_skew** — the pre-shuffle audit for a join/groupBy key: per-key
-  share of the table, the hash partition the key lands on, and the
-  exact salt factor a salted repartition of that key would need
+  share of the table, a deterministic engine-neutral partition proxy
+  (``hash60 % P`` — NOT Spark's murmur3 ``HashPartitioning``, which no
+  DuckDB oracle can mirror; the proxy shows which keys would COLLIDE
+  under any uniform hash placement, not the physical reducer id), and
+  the exact salt factor a salted repartition of that key would need
   (``ceil(share · P)`` replicas spread a hot key across that many
   reducers).  Run it on a sample of the build side before keying a
   corpus-sized shuffle; the diagnostic itself is one map-side-combined
@@ -90,8 +93,10 @@ def key_skew(
     n_partitions: int = SKEW_PARTITIONS,
     topk: int = SKEW_TOPK,
 ) -> DataFrame:
-    """Top-k hottest keys with share_ppm, hash-partition placement, and
-    the salt factor a salted join on this key would need.
+    """Top-k hottest keys with share_ppm, a deterministic partition
+    proxy (``part_id`` — see the module note: collision structure under
+    uniform hashing, not Spark's physical murmur3 reducer id), and the
+    salt factor a salted join on this key would need.
 
     ``salt_factor`` = ceil(n_rows · P / total) on positive integers
     (``(a + b − 1) DIV b``), floored at 1 — the number of replicas

@@ -21,6 +21,19 @@ def hash60_col(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def qw_weight_col(token: Column) -> Column:
+    """Hashed-linear quality weight of one token, integer milli-units in
+    [−500, 500]: ``hash60('qw:'||t) % 1001 − 500``. The SINGLE
+    definition shared by ``textstats.quality_linear`` (per-doc scorer)
+    and ``curation.retention_curve`` (threshold sweep) so the score a
+    threshold was swept against is bit-identical to the score the gate
+    applies — two copies of this closure drifting is a silent
+    mis-calibration with no error."""
+    return (
+        hash60_col(F.concat(F.lit("qw:"), token)) % 1001 - 500
+    ).cast("long")
+
+
 def tokens_py(text: str | None) -> list[str] | None:
     """The SAME whitespace tokenization as ``tokens_col``, computed in
     Python — the single row-side definition every streaming kernel and

@@ -9,7 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import hash60_col, tokens_col
+from .text import hash60_col, qw_weight_col, tokens_col
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 LANG_MARKERS = {
@@ -32,8 +32,11 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # BPE-style pre-tokenization classes (the GPT-2 pre-tokenizer's shape:
 # letter runs, digit runs, single punctuation marks) — portable between
-# Spark's Java regex and DuckDB's RE2
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark's Java regex and DuckDB's RE2. The whitespace class is EXPLICIT
+# ASCII, not \s (the text.DUCK_TOKENS discipline): Java's \s is
+# [ \t\n\x0B\f\r] while RE2's lacks \x0B, so a literal \s would
+# tokenize vertical-tab bytes differently per engine.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,17 +400,12 @@ def quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, so the row count never expands."""
     toks = tokens_col(F.col("text"))
 
-    def _w(t):
-        return (
-            hash60_col(F.concat(F.lit("qw:"), t)) % 1001 - 500
-        ).cast("long")
-
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + _w(t)).alias(
-            "w_sum"
-        ),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + qw_weight_col(t)
+        ).alias("w_sum"),
     )
     return d.select(
         "doc_id",

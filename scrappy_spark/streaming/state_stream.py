@@ -651,6 +651,13 @@ def budget_stream(telemetry: DataFrame) -> DataFrame:
         (host,) = key
         np_, nn = state.get if state.exists else (0, 0)
         for pdf in pdfs:
+            # fail loud on NULL telemetry like the batch twin (pandas
+            # sum would silently skip NaN → an invented budget)
+            if pdf["n_pops"].isna().any() or pdf["n_new"].isna().any():
+                raise ValueError(
+                    "budget_stream: NULL telemetry (n_pops/n_new) "
+                    f"for host {host!r}"
+                )
             np_ += int(pdf["n_pops"].sum())
             nn += int(pdf["n_new"].sum())
         state.update((np_, nn))

@@ -183,3 +183,61 @@ def test_pps_plan_is_map_only_after_scalar(spark, docs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 3  # scalar partial agg + broadcast
+
+
+def test_mixture_manifest_zero_avail_weighted_lang_surfaces(spark, docs):
+    """A weighted language the corpus never collected must appear with
+    avail 0, epochs 0, and its full target as deficit (review r5: the
+    lookup-map spelling silently dropped it)."""
+    weights = {"en": 500_000, "ja": 500_000}
+    out = {
+        r["lang"]: r
+        for r in curation.mixture_manifest(
+            docs, budget=100, weights_ppm=weights, cap_ppm=2_000_000
+        ).collect()
+    }
+    assert "ja" in out
+    r = out["ja"]
+    assert r["avail_tokens"] == 0
+    assert r["target_tokens"] == 50
+    assert r["epochs_ppm"] == 0
+    assert r["planned_tokens"] == 0
+    assert r["deficit_tokens"] == 50
+    # and the corpus-only langs still surface with zero weight
+    assert out["xx"]["target_tokens"] == 0
+
+
+def test_mixture_manifest_explicit_empty_weights(spark, docs):
+    """weights_ppm={} is an explicit all-zero mixture, not a fall-through
+    to the module defaults (review r5 falsy-default fix)."""
+    out = curation.mixture_manifest(docs, weights_ppm={}).collect()
+    assert len(out) > 0
+    assert all(r["target_tokens"] == 0 for r in out)
+
+
+def test_retention_curve_null_text_excluded(spark):
+    """NULL-text documents carry no tokens on either engine — they are
+    in neither the kept counts nor the docs_ppm denominator."""
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["thr_milli"]: r for r in
+           curation.retention_curve(d, thresholds=[-10**9]).collect()}
+    r = out[-(10**9)]
+    assert r["docs_kept"] == 2  # the NULL-text doc never counts
+    assert r["docs_ppm"] == 1_000_000  # denominator excludes it too
+
+
+def test_tfidf_null_source_not_counted_as_host(spark, docs):
+    """count(DISTINCT source) ignores a NULL source on both engines; the
+    Spark side must too (review r5: distinct().count() counted it)."""
+    extra = spark.createDataFrame(
+        [(9, "alpha", "en", None, 5)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    out = curation.tfidf_host_keywords(docs.unionByName(extra), k=5).collect()
+    # 'unique' appears on exactly one of the 3 non-NULL hosts; its idf
+    # must be ln(3/1), not ln(4/1)
+    got = [r for r in out if r["source"] == "h2" and r["term"] == "unique"]
+    assert got and abs(got[0]["score"] - round(math.log(3.0), 6)) < 1e-9

@@ -68,3 +68,15 @@ def test_yieldstats_plan_shapes(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_adaptive_budget_null_telemetry_fails_loud(spark):
+    """NULL pops/new sums must raise, not ride the NULL through the DIV
+    into a clamp-resurrected floor budget (review r5)."""
+    import pytest
+
+    log = spark.createDataFrame(
+        [("h1", 2, None)], "host string, n_pops int, n_new int"
+    )
+    with pytest.raises(Exception, match="NULL telemetry"):
+        adaptive_budget(log).collect()
