@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------ oracle SQL
 
 _TOKS = DUCK_TOKENS.format(col="text")
+# NULL-hardened twin for the packers (packing._pack_tokens): NULL text
+# tokenizes as the empty document on both engines
+_TOKS_NN = DUCK_TOKENS.format(col="coalesce(text, '')")
 _SHINGLE_CTE = f"""
 WITH tokd AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -1710,9 +1713,9 @@ def _oracle_sql_static() -> dict[str, str]:
             ),
             j AS (
               SELECT coalesce(n.host, o.host) AS host,
-                     CASE WHEN o.fp IS NULL THEN 'added'
-                          WHEN n.fp IS NULL THEN 'removed'
-                          WHEN o.fp <> n.fp THEN 'changed'
+                     CASE WHEN o.url IS NULL THEN 'added'
+                          WHEN n.url IS NULL THEN 'removed'
+                          WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
                           ELSE 'unchanged' END AS status
               FROM old o FULL OUTER JOIN new n ON n.url = o.url
             )
@@ -1735,9 +1738,15 @@ def _oracle_sql_static() -> dict[str, str]:
             ),
             p AS (
               SELECT url,
-                regexp_replace(lower(regexp_extract(url,
-                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                  ':(80|443)$', '') AS hostport,
+                CASE lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                  WHEN 'http' THEN regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+                  WHEN 'https' THEN regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+                  ELSE lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+                  END AS hostport,
                 regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
               FROM u
@@ -1753,7 +1762,8 @@ def _oracle_sql_static() -> dict[str, str]:
                    array_to_string(list_reverse(string_split(host, '.')), ',')
                    || CASE WHEN port = '' THEN '' ELSE ':' || port END
                    || ')'
-                   || CASE WHEN pathq = '' THEN '/' ELSE pathq END AS surt
+                   || CASE WHEN substr(pathq, 1, 1) = '/' THEN pathq
+                           ELSE '/' || pathq END AS surt
             FROM s
         """,
         "dedup_keep_best": f"""
@@ -1809,7 +1819,7 @@ def _oracle_sql_static() -> dict[str, str]:
                 nullif(regexp_extract(header,
                   '(?im)^WARC-Date: *([^\r\n]*)', 1), '') AS warc_date,
                 TRY_CAST(nullif(regexp_extract(header,
-                  '(?im)^Content-Length: *([0-9]*)', 1), '') AS INT)
+                  '(?im)^Content-Length: *([^\r\n]*)', 1), '') AS INT)
                   AS content_length,
                 rec, pos
               FROM hdr
@@ -2836,7 +2846,7 @@ def _oracle_sql_static() -> dict[str, str]:
                           AS BIGINT) AS stream_off
               FROM (
                 SELECT doc_id,
-                       CAST(len({_TOKS}) AS INT) AS n_tokens,
+                       CAST(len({_TOKS_NN}) AS INT) AS n_tokens,
                        {DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")} AS h,
                        CAST({DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")}
                             % {packing.NUM_SHARDS} AS INT) AS shard
@@ -2861,13 +2871,13 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM (
               SELECT CAST({DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")}
                           % {packing.NUM_SHARDS} AS INT) AS shard,
-                     CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+                     CAST(sum(len({_TOKS_NN})) AS BIGINT) AS total_tokens
               FROM documents GROUP BY 1
             )
         """,
         "pack_windows": f"""
             WITH base AS (
-              SELECT doc_id, {_TOKS} AS toks,
+              SELECT doc_id, {_TOKS_NN} AS toks,
                      {DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")} AS h,
                      CAST({DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")}
                           % {packing.NUM_SHARDS} AS INT) AS shard

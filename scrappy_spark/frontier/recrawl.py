@@ -52,13 +52,30 @@ def recrawl_schedule(
     event id); without one, equal-ts fetches of one key would make the
     lag — and therefore the change count — partition-sort-dependent,
     the same hazard asof_join fails loudly on.
+
+    A NULL fingerprint FAILS LOUD (review r5): NULL poisons both the
+    comparison against it and the next row's lag, so a page whose log
+    alternates fp/NULL/fp would count ZERO changes and land in the
+    'weekly' tier while churning every capture — encode failed fetches
+    as an explicit sentinel value (or filter them) before calling; the
+    adaptive_budget NULL-telemetry contract, same reasoning.
     """
     order = [F.col(ts).asc()] + (
         [F.col(tiebreak).asc()] if tiebreak else []
     )
     w = Window.partitionBy(key).orderBy(*order)
-    prev = F.lag(F.col(fp)).over(w)
-    changed = (prev.isNotNull() & (F.col(fp) != prev)).cast("long")
+    fp_checked = F.when(
+        F.col(fp).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("recrawl_schedule: NULL fingerprint for key "),
+                F.col(key).cast("string"),
+                F.lit(" — encode failed fetches explicitly"),
+            )
+        ).cast("string"),
+    ).otherwise(F.col(fp).cast("string"))
+    prev = F.lag(fp_checked).over(w)
+    changed = (prev.isNotNull() & (fp_checked != prev)).cast("long")
     agg = (
         fetches.select(key, F.col(ts), F.col(fp), changed.alias("_chg"))
         .groupBy(key)
@@ -132,21 +149,30 @@ def snapshot_diff(
     bucketed/partitioned by this key, making the join zero-Exchange),
     then a partial-agg shuffle to host×status counts (4×#hosts rows).
     No window, no collect."""
+    # presence rides EXPLICIT per-side markers, never fingerprint
+    # nullness (review r5): a page present in both snapshots with a
+    # NULL-fp capture (failed fetch recorded) would otherwise read as
+    # added/removed; fp comparison is null-safe so a (NULL, A) present
+    # pair classifies as changed, not unchanged
     o = old.select(
         F.col(key).alias("_k"),
         F.col(host).alias("_h_old"),
         F.col(fp).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         F.col(key).alias("_k"),
         F.col(host).alias("_h_new"),
         F.col(fp).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, "_k", "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
-        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return (

@@ -172,8 +172,18 @@ SEQ_PERM_MOD = 1048573
 
 
 def doc_link_edges(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    keep_index: bool = False,
 ) -> DataFrame:
+    """Synthetic outlink graph over documents — THE single edge
+    generator (pagerank, prioritized pop, and webgraph's anchor/host
+    rollups all consume it; review r5 removed webgraph's line-for-line
+    copy, whose silent drift would have invalidated the cross-operator
+    oracle claim). ``keep_index=True`` retains the per-source link
+    index ``j`` for callers that derive per-link attributes (webgraph's
+    anchor ids)."""
     if docs is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = docs.select("doc_id")
@@ -191,6 +201,7 @@ def doc_link_edges(
         )
         .select(
             "src",
+            "j",
             (
                 (F.col("src") * LINK_MULT + LINK_STRIDE * F.col("j"))
                 % F.col("n_docs")
@@ -200,9 +211,12 @@ def doc_link_edges(
     )
     # keep only targets that are real documents (robust to non-contiguous
     # doc_id spaces; mirrored by the oracle's IN subquery)
-    return edges.join(
+    out = edges.join(
         docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
-    ).select("src", "dst")
+    )
+    return out.select("src", "j", "dst") if keep_index else out.select(
+        "src", "dst"
+    )
 
 
 def doc_pagerank(

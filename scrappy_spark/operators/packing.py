@@ -35,6 +35,17 @@ SEQ_LEN = 256  # tokens per packed training window
 NUM_SHARDS = 8  # independent pack streams (≫ executors in production)
 
 
+def _pack_tokens() -> "F.Column":
+    """Token array used by every packer, NULL-hardened: a NULL-text
+    document tokenizes as the empty document (one ''-token, the repo's
+    documented dl=1 whitespace semantics) instead of a NULL array —
+    which would give it a NULL layout row in pack_sequences while
+    pack_windows silently dropped it, two views of ONE layout
+    disagreeing (review r5; the multimodal packer was hardened for the
+    same class)."""
+    return tokens_col(F.coalesce(F.col("text"), F.lit("")))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -94,7 +105,7 @@ def pack_sequences_from(
     """Per-document packed layout (see ``layout_from`` for the output
     contract; cost = whitespace/BPE-regex token count)."""
     per_doc = docs.select(
-        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+        "doc_id", F.size(_pack_tokens()).alias("n_tokens")
     )
     return layout_from(per_doc, "n_tokens", seq_len, num_shards)
 
@@ -132,7 +143,7 @@ def pack_windows(
     h = hash60_col(F.col("doc_id").cast("string"))
     d = (
         _docs(spark, sf_dir)
-        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", _pack_tokens().alias("toks"))
         .withColumn("h", h)
         .withColumn("shard", (F.col("h") % num_shards).cast("int"))
     )
@@ -199,7 +210,7 @@ def pack_efficiency(
         _docs(spark, sf_dir)
         .select(
             (h % num_shards).cast("int").alias("shard"),
-            F.size(tokens_col(F.col("text"))).alias("n"),
+            F.size(_pack_tokens()).alias("n"),
         )
         .groupBy("shard")
         .agg(F.sum("n").alias("total_tokens"))

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .graph import LINK_MAXDEG, LINK_MULT, LINK_STRIDE
+from .graph import doc_link_edges
 
 # synthetic anchor-id space for the driver entry. 3, not larger: the
 # edge derivation makes src a FUNCTION of (dst, j), so any per-(src, j)
@@ -79,32 +79,9 @@ def host_graph(links: DataFrame) -> DataFrame:
 
 
 def _doc_links_with_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The doc_link_edges derivation (graph.py) KEEPING the link index j
-    and adding anchor id (src + j) mod ANCHOR_MOD."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    n = docs.groupBy().agg(F.count("*").alias("n_docs"))
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.sequence(F.lit(1), F.lit(1) + (F.col("doc_id") % LINK_MAXDEG))
-            ).alias("j"),
-            "n_docs",
-        )
-        .select(
-            "src",
-            "j",
-            (
-                (F.col("src") * LINK_MULT + LINK_STRIDE * F.col("j"))
-                % F.col("n_docs")
-            ).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-    )
-    edges = edges.join(
-        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
-    )
+    """graph.doc_link_edges (the SAME generator object, keep_index=True
+    — not a copy; review r5) plus anchor id (src + j) mod ANCHOR_MOD."""
+    edges = doc_link_edges(spark, sf_dir, keep_index=True)
     return edges.select(
         "src",
         "dst",

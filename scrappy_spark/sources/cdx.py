@@ -9,8 +9,9 @@ indexes ship as) is exactly a sorted table of these keys; range-scanning
 the transform exists.
 
 Subset implemented (documented, deliberately): scheme dropped, host
-lower-cased, default ports :80/:443 stripped, fragment dropped,
-path+query preserved byte-for-byte, empty path → '/'. Full SURT also
+lower-cased, the scheme's OWN default port stripped (:80 for http, :443
+for https — never cross-scheme), fragment dropped, path+query preserved
+byte-for-byte, empty or query-only path → '/'-prefixed. Full SURT also
 strips userinfo and 'www.' under some canonicalization profiles; those are
 canonicalization policy (frontier/urlnorm.py territory), not the index
 transform, and are left to the caller's canonicalizer.
@@ -33,9 +34,22 @@ def surt_key(url: Column) -> Column:
     """SURT key of an absolute http(s)-style URL (subset above).
     'http://A.Example.COM:80/d/1?q=2#x' → 'com,example,a)/d/1?q=2';
     a non-default port rides between host and ')' —
-    'http://x.y:8080/p' → 'y,x:8080)/p'."""
+    'http://x.y:8080/p' → 'y,x:8080)/p'.
+
+    Port stripping is PER-SCHEME (review r5): :80 is default only for
+    http and :443 only for https — 'http://h:443/p' is a distinct
+    origin and keeps its port (a scheme-blind strip collapsed it onto
+    'http://h/p', conflating two origins in one key range). A URL with
+    a query but no path ('http://h?q=1') gets the '/' the empty-path
+    rule promises ('com,h)/?q=1'), keeping every key inside the
+    domain's contiguous 'host)/' range — '?' sorts outside it."""
     hostport = F.lower(F.regexp_extract(url, _SCHEME + r"([^/?#]+)", 1))
-    hostport = F.regexp_replace(hostport, r":(80|443)$", "")
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
     host = F.regexp_extract(hostport, r"^([^:]*)", 1)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     pathq = F.regexp_extract(url, _SCHEME + r"[^/?#]*([^#]*)", 1)
@@ -44,7 +58,9 @@ def surt_key(url: Column) -> Column:
         rev,
         F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
         F.lit(")"),
-        F.when(pathq == "", F.lit("/")).otherwise(pathq),
+        F.when(pathq.startswith("/"), pathq).otherwise(
+            F.concat(F.lit("/"), pathq)  # '' → '/', '?q=1' → '/?q=1'
+        ),
     )
 
 

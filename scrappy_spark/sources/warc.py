@@ -47,10 +47,18 @@ def parse_warc_records(df: DataFrame, rec_col: str = "rec") -> DataFrame:
     Valid = starts with the WARC/1.0 magic, has a header terminator and
     a parseable Content-Length. The payload is truncated to EXACTLY
     Content-Length characters — trailing bytes after the payload (the
-    record separator, or garbage) never leak in."""
+    record separator, or garbage) never leak in.
+
+    ``try_cast``, not ``cast`` (review r5): this session runs ANSI mode
+    and a plain cast makes ONE malformed Content-Length ('12abc', or a
+    value past int range — unframeable anyway, a JVM string is < 2 GiB)
+    abort the whole parse job; the module exists to ingest dirty
+    archives, so a bad header is an expected input that must reject the
+    RECORD, which is exactly what the content_length-NULL filter below
+    does."""
     rec = F.col(rec_col)
     header = _header(rec)
-    clen = _field(header, "Content-Length").cast("int")
+    clen = _field(header, "Content-Length").try_cast("int")
     pos = F.locate(_CRLF2, rec)
     out = df.select(
         F.lower(_field(header, "WARC-Type")).alias("record_type"),
@@ -140,13 +148,16 @@ def digest_dedup(
     w = Window.partitionBy(digest).orderBy(F.col(date).asc(), F.col(uri).asc())
     rn = F.row_number().over(w)
     first_uri = F.first(uri).over(w)  # default frame: unbounded→current
-    return responses.select(
-        "*",
-        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit")).alias(
-            "record_type"
-        ),
-        first_uri.alias("original_uri"),
-    )
+    # withColumn, not select('*', ...): the natural caller feeds
+    # parse_warc_records output, which ALREADY has a record_type column
+    # — select('*', alias) would emit two record_type columns and break
+    # every downstream reference (review r5). Replacing it is the ISO
+    # semantic: the revisit rule REWRITES the record type of later
+    # identical captures.
+    return responses.withColumn(
+        "record_type",
+        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit")),
+    ).withColumn("original_uri", first_uri)
 
 
 def warc_revisit_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,3 +134,53 @@ def test_host_split_is_host_disjoint_and_deterministic(spark, sf_dir):
         (r["doc_id"], r["split"]) for r in host_split(docs).collect()
     }
     assert again == {(r["doc_id"], r["split"]) for r in split.collect()}
+
+
+def test_warc_malformed_content_length_rejects_record(spark):
+    """A malformed Content-Length rejects the RECORD, never the job —
+    ANSI cast would abort the whole parse on one dirty header
+    (review r5)."""
+    good = _rec("okbody")
+    df = spark.createDataFrame(
+        [(good,), (_rec("x", clen=None).replace(
+            "Content-Length: 1", "Content-Length: 12abc"),)],
+        "rec string",
+    )
+    out = parse_warc_records(df).collect()
+    assert len(out) == 1
+    assert out[0]["payload"] == "okbody"
+
+
+def test_digest_dedup_rewrites_existing_record_type(spark):
+    """Feeding parse_warc_records output (which already carries
+    record_type) must not create a duplicate column; the revisit rule
+    REWRITES the type in place (review r5)."""
+    df = spark.createDataFrame(
+        [(_rec("same"),), (_rec("same").replace("http://h/x", "http://h/y"),)],
+        "rec string",
+    )
+    parsed = parse_warc_records(df).where(F.col("record_type") == "response")
+    out = digest_dedup(parsed.withColumn("digest", F.md5("payload")))
+    assert out.columns.count("record_type") == 1
+    types = sorted(r["record_type"] for r in out.collect())
+    assert types == ["response", "revisit"]
+
+
+def test_surt_key_scheme_aware_ports_and_query_only_path(spark):
+    cases = [
+        # :443 on http is NOT default — a distinct origin, port kept
+        ("http://h.example.com:443/p", "com,example,h:443)/p"),
+        # :80 on https likewise
+        ("https://h.example.com:80/p", "com,example,h:80)/p"),
+        # each scheme's own default still strips
+        ("https://h.example.com:443/p", "com,example,h)/p"),
+        # query with no path gets the '/' so it stays in the host range
+        ("http://h.example.com?q=1", "com,example,h)/?q=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["surt"]
+        for r in df.select("url", surt_key(F.col("url")).alias("surt")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)

@@ -228,3 +228,35 @@ def test_round5_plan_shapes(spark, sf_dir):
         assert got == n_hash, f"{fn.__name__}: {got} hash exchanges\n{plan[:1500]}"
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
         assert "Exchange SinglePartition" not in plan, fn.__name__
+
+
+def test_snapshot_diff_presence_not_fp_nullness(spark):
+    """Presence comes from join-side markers: a page in BOTH snapshots
+    with a NULL fingerprint on one side is 'changed', both-NULL is
+    'unchanged' — never added/removed (review r5)."""
+    old = spark.createDataFrame(
+        [("h1/a", "h1", None), ("h1/b", "h1", None)],
+        "url string, host string, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [("h1/a", "h1", "f1"), ("h1/b", "h1", None)],
+        "url string, host string, fingerprint string",
+    )
+    got = {
+        (r["host"], r["status"]): r["n_pages"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {("h1", "changed"): 1, ("h1", "unchanged"): 1}
+
+
+def test_recrawl_schedule_null_fp_fails_loud(spark):
+    import pytest
+
+    from scrappy_spark.frontier.recrawl import recrawl_schedule
+
+    fetches = spark.createDataFrame(
+        [("p", 1, "a"), ("p", 2, None)],
+        "uri string, ts int, fingerprint string",
+    )
+    with pytest.raises(Exception, match="NULL fingerprint"):
+        recrawl_schedule(fetches, key="uri", ts="ts", fp="fingerprint").collect()
