@@ -53,12 +53,18 @@ def _host_expr(uri) -> Column:
     return F.regexp_extract(uri, r"^[^:]+://([^/]*)", 1)
 
 
-def texts_from_spans(docs: DataFrame, suffix: str = SITEMAP_SUFFIX) -> DataFrame:
+def texts_from_spans(
+    docs: DataFrame, suffix: str = SITEMAP_SUFFIX, passthrough: tuple = ()
+) -> DataFrame:
     """(doc_id, spans) → (host, text) for the sitemap (or index) documents
-    living in the interleaved-spans web, one row per document."""
+    living in the interleaved-spans web, one row per document.
+    ``passthrough`` carries extra columns (the streaming path's
+    event_time) so the stream shares THIS host/text derivation instead
+    of re-spelling the host regex (review r5)."""
     return docs.where(F.col("doc_id").endswith(suffix)).select(
         _host_expr(F.col("doc_id")).alias("host"),
         span_text_expr().alias("text"),
+        *[F.col(c) for c in passthrough],
     )
 
 

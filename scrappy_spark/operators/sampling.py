@@ -227,10 +227,15 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine cross-host near-duplicate that k-gram or embedding
     decontamination must handle.
 
-    Scale shape: the pair graph is edge-sized (≪ corpus), the split map
-    is host-keyed metadata — both joins broadcast; one final tiny
-    aggregation. Output (split_a, split_b, n_pairs, n_docs_a, n_docs_b)
-    with split_a <= split_b canonical order."""
+    Scale shape: the pair graph is edge-sized (≪ corpus, bucket-capped)
+    but the split map is DOC-keyed (one row per document — NOT
+    broadcastable at 100 TB; an earlier spelling broadcast it, the exact
+    corpus-side-broadcast class the r5 replica audit removed elsewhere).
+    Both tag joins are left unhinted: AQE broadcasts the edge-sized pair
+    side when it fits and shuffles on the doc key otherwise. The two
+    count joins broadcast 2-row tables. Output (split_a, split_b,
+    n_pairs, n_docs_a, n_docs_b) with split_a <= split_b canonical
+    order."""
     from .dedup import minhash_lsh_pairs
 
     docs = host_split(
@@ -242,8 +247,8 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = docs.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
     tagged = (
-        pairs.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        pairs.join(sa, "a")
+        .join(sb, "b")
         .select(
             F.least("sa", "sb").alias("split_a"),
             F.greatest("sa", "sb").alias("split_b"),

@@ -9,7 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import hash60_col, qw_weight_col, tokens_col
+from .text import hash60_col, norm_fp_col, qw_weight_col, tokens_col
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 LANG_MARKERS = {
@@ -73,7 +73,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+        norm_fp_col(F.col("text")).alias("fp"),
     )
 
 
@@ -89,8 +89,6 @@ def fingerprint_rolling(
     unlike the whole-document digest (``fingerprint``). All native
     expressions: sequence → substring windows → md5-derived hash →
     array_min; the DuckDB oracle mirrors it exactly."""
-    from .text import hash60_col
-
     d = _docs(spark, sf_dir).withColumn(
         "t", F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     )
@@ -117,9 +115,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.size(tokens_col(F.col("text"))).alias("n_tok"),
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
-            "fp"
-        ),
+        norm_fp_col(F.col("text")).alias("fp"),
     )
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -222,9 +218,7 @@ def host_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.size(tokens_col(F.col("text"))).alias("n_tok"),
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
-            "fp"
-        ),
+        norm_fp_col(F.col("text")).alias("fp"),
     )
     main = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

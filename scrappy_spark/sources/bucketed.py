@@ -21,21 +21,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int, path: str | None
+) -> None:
+    """The ONE bucketed-write contract (overwrite, bucketBy+sortBy on the
+    join key, parquet, optional external path) — both persisted layouts
+    go through it so the write recipe cannot drift between them."""
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_bucketed_documents(
     docs: DataFrame, table: str, buckets: int = 64, path: str | None = None
 ) -> None:
     """Persist (doc_id, spans) bucketed+sorted by doc_id. One-time cost;
     every subsequent fetch join reads the layout for free. ``path`` makes
     it an external table (storage outside the warehouse dir)."""
-    w = (
-        docs.write.mode("overwrite")
-        .bucketBy(buckets, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-    )
-    if path is not None:
-        w = w.option("path", path)
-    w.saveAsTable(table)
+    _write_bucketed(docs, table, "doc_id", buckets, path)
 
 
 def read_documents_table(spark: SparkSession, table: str) -> DataFrame:
@@ -53,12 +62,4 @@ def write_bucketed_int8_store(
     candidate list moves), and the store being int8 makes the scan it
     does pay 4× smaller than float32. Plan-asserted in
     tests/test_bucketed_join.py."""
-    w = (
-        store.write.mode("overwrite")
-        .bucketBy(buckets, "vec_id")
-        .sortBy("vec_id")
-        .format("parquet")
-    )
-    if path is not None:
-        w = w.option("path", path)
-    w.saveAsTable(table)
+    _write_bucketed(store, table, "vec_id", buckets, path)

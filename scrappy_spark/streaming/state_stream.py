@@ -58,6 +58,15 @@ def politeness_violations(
     can't express (the reference's politeness is a sleep, agent.rb:217 —
     auditing it continuously is the Spark-native upgrade).
 
+    Out-of-order arrival (review r5): events are sorted by ts WITHIN the
+    batch, but an event older than the stored anchor (it crossed a
+    micro-batch boundary late) has an unknown true predecessor — it is
+    COUNTED in total_fetches but not judged, and the anchor never
+    regresses (judging it would emit a negative-gap violation against
+    the wrong fetch, then mis-anchor every later gap). A late event that
+    was itself a violation is therefore missed — the price of unbuffered
+    audit; sessionize_stream documents the same arrival caveat.
+
     Input stream schema: (host string, ts long) — epoch millis.
     """
     import pandas as pd
@@ -71,8 +80,10 @@ def politeness_violations(
         for pdf in pdfs:
             events.extend(int(t) for t in pdf["ts"])
         for ts in sorted(events):
-            gap = ts - last_ts
             total += 1
+            if ts < last_ts:
+                continue  # late cross-batch event: counted, not judged
+            gap = ts - last_ts
             if gap < min_interval_ms:
                 out.append((host, ts, gap, total))
             last_ts = ts
@@ -152,13 +163,21 @@ def simhash_pairs_stream(
     # silently drift the stream's skew contract away from the batch one
     if max_bucket is None:
         max_bucket = SIMHASH_MAX_BUCKET
+    # same fail-loud contract as dedup.simhash_pairs_from (review r5):
+    # running past the block count silently loses recall, never audit it
+    assert max_hamming < SIMHASH_BLOCKS, "pigeonhole needs blocks > hamming"
 
     @F.pandas_udf("long")
     def fp_of(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: simhash_py(t or ""))
+        return text.map(simhash_py)
 
     blocks = (
-        docs.withColumn("fp", fp_of(F.col("text")))
+        # NULL-text docs get NO fingerprint in the batch operator
+        # (tokens_col(NULL) explodes to nothing) — drop them here too,
+        # or two NULL docs would emit as a hamming-0 pair the batch
+        # kernel never produces (review r5)
+        docs.where(F.col("text").isNotNull())
+        .withColumn("fp", fp_of(F.col("text")))
         # exact integer event-time millis — the double*1000 spelling can
         # truncate 1 ms low on non-representable fractional seconds, and
         # ems feeds the TTL horizon and the deterministic sort key
@@ -293,14 +312,11 @@ def discovery_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
     Input stream schema: (doc_id string, spans array<…>, event_time
     timestamp) — the spans web's shape plus ingest time."""
-    from ..frontier.robots import span_text_expr
-    from ..frontier.sitemaps import SITEMAP_SUFFIX, parse_sitemaps
+    from ..frontier.sitemaps import parse_sitemaps, texts_from_spans
 
-    texts = docs.where(F.col("doc_id").endswith(SITEMAP_SUFFIX)).select(
-        F.regexp_extract("doc_id", r"^[^:]+://([^/]*)", 1).alias("host"),
-        "event_time",
-        span_text_expr().alias("text"),
-    )
+    # the batch discovery path's OWN host/text derivation (host regex
+    # included) — a re-spelled copy here drifted silently (review r5)
+    texts = texts_from_spans(docs, passthrough=("event_time",))
     seeds = parse_sitemaps(texts, passthrough=("event_time",)).select(
         F.col("loc").alias("uri"), "lastmod", "event_time"
     )

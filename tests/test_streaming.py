@@ -626,3 +626,95 @@ def test_simhash_stream_bucket_cap_evicts_by_event_time(spark, tmp_path):
     # survivors under the event-time cap are d10 + d20; the buggy
     # insertion-order cap retained {d20, dlate} instead
     assert probe_partners == {"d10", "d20"}
+
+
+def test_politeness_late_event_counted_not_judged(spark, tmp_path):
+    """An event older than the stored anchor (late across a micro-batch
+    boundary) increments total_fetches but is never judged, and the
+    anchor never regresses (review r5: it used to emit a negative-gap
+    violation and mis-anchor every later gap)."""
+    import os
+
+    from scrappy_spark.streaming.state_stream import politeness_violations
+
+    src = str(tmp_path / "late_ev")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a.com", 10_000)], "host string, ts long"
+    ).coalesce(1).write.parquet(src + "/f1")
+    # 5000 is LATE (before the stored anchor); 10500 is a true violation
+    # against the real last fetch at 10000
+    spark.createDataFrame(
+        [("a.com", 5_000), ("a.com", 10_500)], "host string, ts long"
+    ).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema("host string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        politeness_violations(stream, min_interval_ms=1000)
+        .writeStream.format("memory")
+        .queryName("late_violations")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["ts"], r["gap_ms"], r["total_fetches"])
+        for r in spark.sql("SELECT * FROM late_violations").collect()
+    }
+    # the late event is counted (total=2) but emits nothing; 10500 is
+    # judged against 10000 (gap 500), not against the late 5000
+    assert got == {("a.com", 10_500, 500, 3)}
+
+
+def test_simhash_stream_null_text_matches_batch_drop(spark, tmp_path):
+    """NULL-text docs carry no fingerprint in the batch kernel; the
+    stream must drop them too instead of pairing them as identical
+    empty docs (review r5)."""
+    import datetime
+
+    from scrappy_spark.streaming.state_stream import simhash_pairs_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("n1", None, 0),
+        ("n2", None, 1),
+        ("d1", "alpha beta gamma delta", 2),
+        ("d2", "alpha beta gamma delta", 3),
+    ]
+    src = tmp_path / "null_stream"
+    src.mkdir()
+    spark.createDataFrame(
+        [(d, t, t0 + datetime.timedelta(seconds=s)) for d, t, s in rows],
+        "doc_id string, text string, event_time timestamp",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "doc_id string, text string, event_time timestamp"
+    ).parquet(str(src / "*"))
+    q = (
+        simhash_pairs_stream(stream)
+        .writeStream.format("memory")
+        .queryName("null_nd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in spark.sql("SELECT * FROM null_nd").collect()
+    }
+    assert pairs == {("d1", "d2")}  # never (n1, n2)
+
+
+def test_simhash_stream_pigeonhole_guard():
+    import pytest
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from scrappy_spark.streaming.state_stream import simhash_pairs_stream
+
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_pairs_stream(None, max_hamming=4)
