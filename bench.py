@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -235,13 +237,15 @@ def _fixed_cost(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    n_docs = max(200, int(sf * 200_000))
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)/?$", sf_dir)
+    # a dir not named sf<number> still benches; sf is reporting metadata
+    sf = float(m.group(1)) if m else None
+    n_docs = max(200, int((sf or 0.001) * 200_000))
 
     # scaling subprocesses run FIRST, before this process starts a JVM —
     # an idle parent JVM measurably pollutes the workers' numbers
     scaling = (
-        _scaling_protocol(n_docs) if os.environ.get("SPARK_GRAFT_SCALING") else None
+        _scaling_protocol() if os.environ.get("SPARK_GRAFT_SCALING") else None
     )
     if scaling is not None:
         # settle before the headline crawl — its leg must not start on the
@@ -334,21 +338,16 @@ def _headline_crawl_subprocess(n_docs: int, cpus: int) -> dict:
     stats dict (see main() for why), annotated with the host-contention
     context (loadavg + hypervisor steal%) so the artifact records the
     conditions it was measured under."""
-    import subprocess
-
     load0 = os.getloadavg()[0]
     s0, t0 = _steal_ticks()
-    r = subprocess.run(
+    r = _run_worker(
         [
             sys.executable,
             os.path.abspath(__file__),
             "--crawl-worker",
             str(cpus),
             str(n_docs),
-        ],
-        capture_output=True,
-        text=True,
-        check=True,
+        ]
     )
     s1, t1 = _steal_ticks()
     out = json.loads(r.stdout.strip().splitlines()[-1])
@@ -381,7 +380,20 @@ def _extract_bench(spark, n_docs: int) -> float:
     return round(n / wall, 1)
 
 
-def _scaling_protocol(n_docs: int) -> dict:
+def _run_worker(argv: list) -> "subprocess.CompletedProcess":
+    """check=True but NEVER silent: a dead worker's stderr (the actual
+    Spark error) is re-printed before the raise — a multi-hour bench
+    failing with only an exit code is undiagnosable (review r5)."""
+    r = subprocess.run(argv, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:] if r.stderr else "<no stderr>")
+        raise subprocess.CalledProcessError(
+            r.returncode, argv, r.stdout, r.stderr
+        )
+    return r
+
+
+def _scaling_protocol() -> dict:
     """N vs 4N evidence (BASELINE.json): same job at N and 4N cores, each
     level in a FRESH subprocess (a reused JVM carries GC/memory state from
     the previous level and contaminates the measurement).
@@ -404,8 +416,13 @@ def _scaling_protocol(n_docs: int) -> dict:
     Legs are separated by a cooldown (SPARK_GRAFT_SCALING_COOLDOWN s,
     default 120) so each starts from settled load — round-5's first run
     measured leg 2 starting at loadavg 8.3 from leg 1's residue and the
-    efficiency collapsed to a meaningless 0.14."""
-    import subprocess
+    efficiency collapsed to a meaningless 0.14.
+
+    Both legs run FIXED replica workloads (the 400k-doc extraction
+    corpus, the 50k-doc/10k-seed crawl) so leg pairs are comparable
+    across rounds and independent of SPARK_GRAFT_SF_DIR — a former
+    n_docs parameter rode the CLI into the worker and was silently
+    ignored (review r5); it is gone rather than misleading."""
 
     mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "local")
     cooldown = int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "120"))
@@ -423,18 +440,14 @@ def _scaling_protocol(n_docs: int) -> dict:
         if not first:
             time.sleep(cooldown)
         first = False
-        r = subprocess.run(
+        r = _run_worker(
             [
                 sys.executable,
                 os.path.abspath(__file__),
                 "--scale-worker",
                 str(cores),
-                str(n_docs),
                 master,
-            ],
-            capture_output=True,
-            text=True,
-            check=True,
+            ]
         )
         vals = json.loads(r.stdout.strip().splitlines()[-1])
         crawl[name] = vals["urls_per_sec"]
@@ -492,7 +505,7 @@ def _scale_crawl_bench(spark, cpus: int) -> dict:
         web.unpersist()
 
 
-def _scale_worker(cpus: int, n_docs: int, master: str | None = None) -> None:
+def _scale_worker(cpus: int, master: str | None = None) -> None:
     # extraction first: it is the clean CPU-scaling signal and must not
     # inherit the crawl bench's JVM heap churn
     load0 = os.getloadavg()[0]
@@ -525,8 +538,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         _scale_worker(
             int(sys.argv[2]),
-            int(sys.argv[3]),
-            sys.argv[4] if len(sys.argv) > 4 else None,
+            sys.argv[3] if len(sys.argv) > 3 else None,
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
         _crawl_worker(int(sys.argv[2]), int(sys.argv[3]))

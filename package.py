@@ -17,7 +17,9 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 
 def build(out: str | None = None) -> str:
     out = out or os.path.join(ROOT, "dist", "scrappy_spark.zip")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    # dirname('') for a bare filename — makedirs('') raises (review r5)
+    if os.path.dirname(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     pkg = os.path.join(ROOT, "scrappy_spark")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, dirnames, filenames in os.walk(pkg):

@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 
 from ..urlnorm import host_col
 from .packing import layout_from
-from .text import hash60_col
 
 CHUNK_WORDS = 8  # words per text span
 MEDIA_MOD = 3  # media span follows chunk c iff (doc_id + c) % MEDIA_MOD == 0
@@ -72,10 +71,12 @@ def spans_from(docs: DataFrame) -> DataFrame:
     column-pruned parquet scan, two Generates, no shuffle.
     """
     words = F.split(F.col("text"), " ")
-    # NULL-text rows emit NO spans (mirrored by the oracle CTE's WHERE):
-    # unguarded, size(NULL)=-1 makes the chunk sequence(0, -1) and
-    # Spark's sequence defaults to step -1 — TWO garbage chunks [0, -1]
-    # per NULL doc where the DuckDB mirror emits zero rows
+    # NULL-text rows emit NO spans (mirrored by the oracle CTE's WHERE).
+    # The guard is mode-independent (review r5): under this session's
+    # ANSI default size(NULL) is NULL and sequence(0, NULL) explodes to
+    # nothing, but under legacy mode size(NULL)=-1 would make the chunk
+    # sequence(0, -1) step -1 — TWO garbage chunks per NULL doc — so the
+    # filter pins the semantics rather than trusting the mode
     base = docs.where(F.col("text").isNotNull()).select(
         "doc_id", "source", words.alias("words")
     ).withColumn(
@@ -335,7 +336,9 @@ def pack_multimodal_from(
         )
     )
     # coalesce before split: a NULL-text non-media span (legal in a
-    # general table) would otherwise contribute size(NULL) = -1
+    # general table) must cost like the empty document under EITHER
+    # ANSI mode (NULL under ANSI poisons the per-doc sum; -1 under
+    # legacy undercounts) — review r5 corrected the rationale
     text_cost = F.size(F.split(F.coalesce("text", F.lit("")), " "))
     if cost is None:
         cost = F.when(_is_media(), uncosted_media).otherwise(text_cost)
