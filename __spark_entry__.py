@@ -3045,22 +3045,33 @@ def _oracle_sql_static() -> dict[str, str]:
                 END AS uri
               FROM documents
             ),
+            tails AS (
+              SELECT uri,
+                     CASE WHEN regexp_extract(uri,
+                            '^[^:]+://[^/?#]*(.*)$', 1) = ''
+                          THEN '/'
+                          ELSE regexp_extract(uri,
+                            '^[^:]+://[^/?#]*(.*)$', 1) END AS tail
+              FROM uris
+            ),
             tpl AS (
               -- host charset mirrors urlnorm.host_col ([^/?#:]*); the
               -- path boundary is [/?#] so path-less query URLs keep
-              -- their query in the template, not in the host
+              -- their query in the template, not in the host. The =V
+              -- value fold applies to the query part only and the
+              -- fragment is dropped (review r5) — mirrors
+              -- traps.url_template_expr exactly.
               SELECT regexp_extract(uri, '^[^:]+://([^/?#:]*)', 1) AS host,
                      regexp_replace(
+                       regexp_extract(tail, '^([^?#]*)', 1),
+                       '[0-9]+', 'D', 'g') ||
+                     regexp_replace(
                        regexp_replace(
-                         CASE WHEN regexp_extract(uri,
-                                '^[^:]+://[^/?#]*(.*)$', 1) = ''
-                              THEN '/'
-                              ELSE regexp_extract(uri,
-                                '^[^:]+://[^/?#]*(.*)$', 1) END,
+                         regexp_extract(tail, '^[^?#]*(\\?[^#]*)', 1),
                          '=[^&#]*', '=V', 'g'),
                        '[0-9]+', 'D', 'g') AS template,
                      uri
-              FROM uris
+              FROM tails
             ),
             per_template AS (
               SELECT host, template, count(DISTINCT uri) AS t_urls

@@ -281,6 +281,22 @@ class Crawler:
         self.spark = spark
         self.documents = documents
         self.cfg = config or CrawlConfig()
+        # fail-loud config validation (review r5): a 0/negative effective
+        # budget means ranked_pop's rk <= budget never holds, the round
+        # pops nothing, and the run() loop would spin forever on a
+        # non-empty frontier. delays_to_budgets floors at 1; raw user
+        # tuples get the same contract here.
+        if self.cfg.per_host_budget is not None and self.cfg.per_host_budget < 1:
+            raise ValueError(
+                f"per_host_budget must be >= 1, got {self.cfg.per_host_budget} "
+                "(use robots/trap gates to exclude hosts, not a 0 budget)"
+            )
+        bad = [(h, b) for h, b in (self.cfg.host_budgets or ()) if b < 1]
+        if bad:
+            raise ValueError(
+                f"host_budgets must all be >= 1, got {bad[:3]} "
+                "(use robots/trap gates to exclude hosts, not a 0 budget)"
+            )
         # store override: pass an IcebergCrawlStore to checkpoint into
         # real Iceberg tables (frontier/iceberg_store.py); the default is
         # the Iceberg-shaped parquet store (checkpoint.py)
@@ -320,6 +336,16 @@ class Crawler:
                 break
             rnd = last + 1
             next_seq, n_popped = self._round(rnd, next_seq)
+            if n_popped == 0:
+                # zero-progress backstop (review r5): with validated
+                # budgets (>= 1) a non-empty frontier always pops at
+                # least one row, so an empty round means a logic or
+                # config regression — fail loudly instead of spinning
+                # and committing empty-round manifests forever.
+                raise RuntimeError(
+                    f"crawl round {rnd} popped nothing from a frontier of "
+                    f"{self._frontier_rows} rows — zero-progress loop"
+                )
             popped_total += n_popped
             last = rnd
             rounds_done += 1
@@ -413,11 +439,9 @@ class Crawler:
         web-scale rules TABLE goes through robots.gate instead."""
         if not self.cfg.robots:
             return df
-        from .robots import disallow_expr
+        from .robots import authority_path_cols, disallow_expr
 
-        path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
-        path = F.when(path == "", "/").otherwise(path)
-        authority = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
+        authority, path = authority_path_cols(F.col(uri_col))
         return df.where(~disallow_expr(authority, path, self.cfg.robots))
 
     def _with_hash(self, items: DataFrame) -> DataFrame:
@@ -633,8 +657,15 @@ class Crawler:
             if self._frontier_rows <= self._FETCH_BROADCAST_MAX
             else to_fetch
         )
+        # INNER join (review r5): popped URLs with no document row (404s)
+        # carry null spans that every extractor drops on its first filter,
+        # so inner ≡ the old right-outer here — and BroadcastHashJoin can
+        # only build the preserved side for Inner/LeftOuter/LeftSemi, so
+        # the right-outer silently dropped the broadcast hint and
+        # sort-merge-shuffled the span-heavy documents table every round.
+        # (The order log is unaffected: order_delta reads `popped`.)
         fetched = self.documents.join(
-            pop_side, self.documents.doc_id == pop_side.uri, "right"
+            pop_side, self.documents.doc_id == pop_side.uri, "inner"
         ).select("uri", "depth", "seq", "spans")
 
         triples, candidates = self.extractor.extract(fetched)
@@ -655,14 +686,21 @@ class Crawler:
         # The filter only short-circuits definite misses; positives still
         # take the exact check against base+tail, so results are exact.
         if self._filter_bc is not None:
+            # persist before the definite/suspect fan-out (review r5, same
+            # discipline as `ranked`/`resolved`): the two branches are one
+            # unionAll plan, and without a cache each re-runs the dedup
+            # window sort, robots gate, hash, and the might_contain Arrow
+            # round-trip over ALL candidates.
             cand = cand.withColumn(
                 "maybe_seen",
                 bloom_mod.might_contain_bc(self._filter_bc, F.col("h")),
-            )
+            ).persist()
+            cand_cached = cand
             definite_new = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
             suspects = cand.where(F.col("maybe_seen")).drop("maybe_seen")
             new_items = definite_new.unionAll(self._anti_seen(suspects, rnd))
         else:
+            cand_cached = None
             new_items = self._anti_seen(cand, rnd)
 
         # -- deterministic seq assignment: push order = (parent_seq, emit_idx)
@@ -708,6 +746,8 @@ class Crawler:
         )
         if ranked is not None:
             ranked.unpersist()
+        if cand_cached is not None:
+            cand_cached.unpersist()
         enqueued.unpersist()
         if self._seq_parts is not None:
             self._seq_parts.unpersist()

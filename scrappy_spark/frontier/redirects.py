@@ -91,6 +91,18 @@ def resolve_chains(edges: DataFrame, max_hops: int = 32) -> DataFrame:
             f"resolve_chains: unresolved after {iters} doublings "
             f"(cycle or chain > {max_hops} hops); e.g. src={sample}"
         )
+    # exact hop-cap check (review r5): the doubling count rounds max_hops
+    # up to a power of two, so a chain of length in (max_hops, 2^iters]
+    # CONVERGES — without this check it would resolve silently instead of
+    # raising as the contract promises.
+    over = m.where(F.col("hops") > max_hops)
+    if over.limit(1).count() > 0:
+        sample = [r["src"] for r in over.select("src").limit(3).collect()]
+        edges.unpersist()
+        raise RuntimeError(
+            f"resolve_chains: chain longer than max_hops={max_hops}; "
+            f"e.g. src={sample}"
+        )
     edges.unpersist()
     return m.select("src", F.col("cur").alias("final_uri"), "hops")
 

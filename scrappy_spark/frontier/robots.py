@@ -241,6 +241,34 @@ def parse_crawl_delays(texts: DataFrame, agent: str = DEFAULT_AGENT) -> DataFram
 # the gate (expression — zero joins, zero shuffles)
 # ---------------------------------------------------------------------------
 
+def authority_path_cols(uri_col: Column) -> tuple[Column, Column]:
+    """(authority, path) match key for a URI column — full host[:port]
+    authority (the reference keys robots state on the full authority,
+    fragment.rb; an explicit non-default port is a DIFFERENT authority)
+    and the authority-relative path, ``'/'`` when empty. The ONE spelling
+    shared by :func:`gate` and the crawler's config-rules filter
+    (review r5: a third copy lived in ``Crawler._robots_filter`` — a
+    normalization fix applied to one copy would silently diverge the
+    table-rules gate from the config-rules gate)."""
+    authority = F.regexp_extract(uri_col, r"^[^:]+://([^/]*)", 1)
+    path = F.regexp_extract(uri_col, r"^[^:]+://[^/]*(.*)$", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    return authority, path
+
+
+def _best_rule(matches: Column) -> Column:
+    """Longest-match winner over an array of matched (p, a) rule structs:
+    lexicographic struct max — longer prefix wins, tie → allow=true wins;
+    NULL when the array is empty. Shared by :func:`disallow_expr` and
+    :func:`gate` (review r5: previously spelled twice)."""
+    return F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a")),
+        )
+    )
+
+
 def disallow_expr(authority: Column, path: Column, rules) -> Column:
     """Boolean column: is (authority, path) disallowed under ``rules``
     (normalized 3-tuples)? Longest-match, tie→allow, no-match→allowed —
@@ -264,12 +292,7 @@ def disallow_expr(authority: Column, path: Column, rules) -> Column:
     matches = F.filter(
         arr, lambda r: (authority == r["h"]) & path.startswith(r["p"])
     )
-    # lexicographic struct max: longer prefix wins, tie → allow=true wins
-    best = F.array_max(
-        F.transform(
-            matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a"))
-        )
-    )
+    best = _best_rule(matches)
     return best.isNotNull() & ~best["a"]
 
 
@@ -298,17 +321,11 @@ def gate(df: DataFrame, uri_col: str, rules_df: DataFrame) -> DataFrame:
             ).alias(rcol)
         )
     )
-    authority = F.regexp_extract(F.col(uri_col), r"^[^:]+://([^/]*)", 1)
-    path = F.regexp_extract(F.col(uri_col), r"^[^:]+://[^/]*(.*)$", 1)
-    path = F.when(path == "", "/").otherwise(path)
+    authority, path = authority_path_cols(F.col(uri_col))
     matches = F.filter(
         F.col(rcol), lambda r: path.startswith(r["p"])
     )
-    best = F.array_max(
-        F.transform(
-            matches, lambda r: F.struct(F.length(r["p"]).alias("l"), r["a"].alias("a"))
-        )
-    )
+    best = _best_rule(matches)
     return (
         df.join(per_host, authority == F.col(hcol), "left")
         .where(F.col(rcol).isNull() | best.isNull() | best["a"])

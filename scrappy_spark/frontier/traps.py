@@ -34,11 +34,24 @@ def url_template_expr(uri) -> Column:
     ``[/?#]`` (not just ``/``): a canonical path-less query URL like
     ``http://h?sid=1`` must template as ``?sid=V``, not swallow the query
     into the host — that is exactly the session-id family this module
-    exists to catch."""
-    path = F.regexp_extract(uri, r"^[^:]+://[^/?#]*(.*)$", 1)
-    path = F.when(path == "", "/").otherwise(path)
-    return F.regexp_replace(
-        F.regexp_replace(path, r"=[^&#]*", "=V"), r"[0-9]+", "D"
+    exists to catch.
+
+    The value fold applies to the QUERY part only (review r5): an
+    unanchored ``=[^&#]*`` also matches ``=`` inside a path segment
+    (matrix params, ``/filter=red/page``) and — since the class crosses
+    ``/`` — swallows the rest of the path, collapsing structurally
+    distinct URLs into one template and falsely flagging the host. The
+    path part gets digit folding only; the fragment (client-side, not a
+    URL-space axis) is dropped from the template."""
+    tail = F.regexp_extract(uri, r"^[^:]+://[^/?#]*(.*)$", 1)
+    tail = F.when(tail == "", "/").otherwise(tail)
+    path = F.regexp_extract(tail, r"^([^?#]*)", 1)
+    query = F.regexp_extract(tail, r"^[^?#]*(\?[^#]*)", 1)  # '' if none
+    return F.concat(
+        F.regexp_replace(path, r"[0-9]+", "D"),
+        F.regexp_replace(
+            F.regexp_replace(query, r"=[^&#]*", "=V"), r"[0-9]+", "D"
+        ),
     )
 
 

@@ -67,29 +67,27 @@ def adaptive_budget(
     they were popped at least once (Σpops ≥ 1 by construction of the
     log; a zero-pop row is the caller's telemetry bug, and integer DIV
     by zero fails loudly rather than inventing a budget). NULL
-    telemetry fails loudly too (review r5): a NULL pops/new sum would
-    otherwise ride NULL through the DIV and be resurrected by the
-    clamp (``greatest`` skips NULLs) into a silent floor budget —
-    exactly the "invented budget" this contract rejects; the streaming
+    telemetry fails loudly too, checked PER ROW before the sums
+    (review r5 twice: ``F.sum`` skips NULLs, so a post-agg check only
+    fires when ALL of a host's rows are NULL — a mixed host would
+    silently aggregate the invented-telemetry subset); the streaming
     twin (``state_stream.budget_stream``) enforces the same refusal."""
-    agg = log.groupBy(F.col(host).alias("host")).agg(
-        F.sum(pops).cast("long").alias("n_pops"),
-        F.sum(new).cast("long").alias("n_new"),
-    )
-    null_telemetry = F.raise_error(
-        F.concat(
-            F.lit("adaptive_budget: NULL telemetry (n_pops/n_new) for host "),
-            F.col("host"),
-        )
-    ).cast("long")
-    checked = agg.select(
-        "host",
-        F.when(F.col("n_pops").isNull(), null_telemetry)
-        .otherwise(F.col("n_pops"))
-        .alias("n_pops"),
-        F.when(F.col("n_new").isNull(), null_telemetry)
-        .otherwise(F.col("n_new"))
-        .alias("n_new"),
+
+    def _row_checked(col: str, label: str):
+        # per-row fail-loud: NULL telemetry never reaches the sum
+        return F.when(
+            F.col(col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"adaptive_budget: NULL telemetry ({label}) for host "),
+                    F.col(host),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(col))
+
+    checked = log.groupBy(F.col(host).alias("host")).agg(
+        F.sum(_row_checked(pops, "n_pops")).cast("long").alias("n_pops"),
+        F.sum(_row_checked(new, "n_new")).cast("long").alias("n_new"),
     )
     yield_ppm = F.expr("(1000000 * n_new) DIV n_pops")
     raw = F.expr(f"({base} * n_new) DIV n_pops")

@@ -139,3 +139,19 @@ def test_per_doc_extraction_matches_spec(spark, docs_df, docs_local):
     for url, spans in docs_local.items():
         expect = set(semantics.link_triples(url, spans))
         assert got.get(url, set()) == expect, url
+
+
+def test_nonpositive_budgets_rejected(spark, docs_df, tmp_path):
+    """Review r5: a 0/negative effective budget would make every round
+    pop nothing and spin the run() loop forever on a non-empty frontier
+    — Crawler fails loudly at construction instead."""
+    with pytest.raises(ValueError, match="per_host_budget"):
+        Crawler(
+            spark, docs_df, str(tmp_path / "s1"),
+            CrawlConfig(depth=1, per_host_budget=0),
+        )
+    with pytest.raises(ValueError, match="host_budgets"):
+        Crawler(
+            spark, docs_df, str(tmp_path / "s2"),
+            CrawlConfig(depth=1, per_host_budget=2, host_budgets=(("h", 0),)),
+        )

@@ -116,3 +116,18 @@ def test_collapsed_map_crawl_exact_match(spark, tmp_path):
     # (seen contains some depth-0 children of the real page iff it has any)
     assert golden.fetches.get(real, 0) >= 1
 
+
+
+def test_chain_over_max_hops_raises_even_when_doubling_covers_it(spark):
+    """The doubling count rounds max_hops up to a power of two, so a
+    6-hop chain CONVERGES under max_hops=5 (3 doublings cover 8 hops) —
+    the explicit hop-cap check must still raise (review r5), and the
+    exact boundary (max_hops=6) must still resolve."""
+    pairs = [(f"u{i}", f"u{i + 1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="longer than max_hops"):
+        RD.resolve_chains(_edges(spark, pairs), max_hops=5)
+    got = {
+        r["src"]: (r["final_uri"], r["hops"])
+        for r in RD.resolve_chains(_edges(spark, pairs), max_hops=6).collect()
+    }
+    assert got["u0"] == ("u6", 6)

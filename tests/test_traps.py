@@ -49,3 +49,31 @@ def test_host_key_matches_frontier_form_and_pathless_queries(spark):
     # all 20 sid URLs collapse into ONE '?sid=V' template on one host
     assert got["q.example.com"]["n_templates"] == 1
     assert got["q.example.com"]["trap"]
+
+
+def test_value_fold_is_query_only(spark):
+    """Review r5: the =V fold must not swallow path structure. A '='
+    inside a path segment (matrix params) previously matched '=[^&#]*'
+    across '/' and collapsed 20 structurally distinct paths into one
+    template, falsely flagging the host; query values (including values
+    containing '/') still fold, and fragments are not a template axis."""
+    import string
+
+    tags = [a + b for a in string.ascii_lowercase[:5] for b in string.ascii_lowercase[:4]]
+    # matrix-'=' paths: 20 distinct non-digit path tails on one host
+    matrix = [f"http://m.example.com/filter=red/sec-{t}" for t in tags]
+    # query values containing '/': all 20 fold into ONE '?next=V' template
+    slashy = [f"http://n.example.com/go?next=/p/{t}" for t in tags]
+    df = spark.createDataFrame([(u,) for u in matrix + slashy], "uri string")
+    got = {r["host"]: r for r in T.trap_stats(df, threshold=15).collect()}
+    assert not got["m.example.com"]["trap"]
+    assert got["m.example.com"]["n_templates"] == 20
+    assert got["n.example.com"]["trap"]
+    assert got["n.example.com"]["n_templates"] == 1
+    # fragments are client-side — not part of the URL-space template
+    frag = spark.createDataFrame(
+        [("http://f.example.com/a#x1",), ("http://f.example.com/a#x2",)],
+        "uri string",
+    )
+    f = T.trap_stats(frag, threshold=15).collect()[0]
+    assert f["n_templates"] == 1 and f["n_urls"] == 2

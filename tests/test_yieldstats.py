@@ -80,3 +80,16 @@ def test_adaptive_budget_null_telemetry_fails_loud(spark):
     )
     with pytest.raises(Exception, match="NULL telemetry"):
         adaptive_budget(log).collect()
+
+
+def test_adaptive_budget_mixed_null_telemetry_fails_loud(spark):
+    """A host with SOME NULL rows must raise too: F.sum skips NULLs, so a
+    post-aggregation check only fires when ALL of a host's rows are NULL
+    — the check is per-row, before the sums (review r5, second pass)."""
+    import pytest
+
+    log = spark.createDataFrame(
+        [("h1", None, 10), ("h1", 5, 7)], "host string, n_pops int, n_new int"
+    )
+    with pytest.raises(Exception, match="NULL telemetry"):
+        adaptive_budget(log).collect()
