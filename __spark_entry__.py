@@ -91,7 +91,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window; positions 31-50 re-stamp the heaviest proven kernels.
     """
     return {
-        # --- NEW in round 5, fourth insertion wave (front per convention):
+        # --- NEW in round 5, fifth insertion wave (front per convention):
+        # three more interleaved-axis kernels. The three displaced entries
+        # (text_heavy_hitters, tfidf_host_keywords, quality_retention_curve
+        # — previously positions 48-50) each share their core plan shape
+        # with an entry that KEEPS an in-window slot: heavy_hitters is the
+        # same partial-agg + TakeOrderedAndProject path as
+        # tok_bpe_pair_counts' top-k; tfidf_host_keywords is the same
+        # broadcast-df-model-join discipline as text_vocab_oov;
+        # retention_curve is the same broadcast-triangular-cumsum recipe as
+        # frontier_discovery_curve. All three keep full value oracles and
+        # stay sweep-green in test_driver_contract.py.
+        # ------------------------------------------------------------------
+        # structural template detection: per-doc span SHAPE signature
+        # (text word-count codes + media kind letters in offset order) →
+        # 60-bit compaction → group; two shuffles, no self-join
+        "il_template_groups": interleaved.template_groups,
+        # benchmark decontamination on the MEDIA axis (cross-modal twin of
+        # text_decontaminate): broadcast benchmark-ref set, one per-doc agg
+        "il_media_decontaminate": interleaved.media_decontaminate,
+        # media co-occurrence edges: per-doc sorted ref arrays (skew-capped
+        # BEFORE the quadratic pair expansion), map-side pair generation,
+        # one pair-key reduce — never a self-join
+        "il_media_cooccur": interleaved.media_cooccur,
+        # --- round 5, fourth insertion wave (front per convention):
         # the interleaved text+media span family — the graft cell's payload
         # axis (BASELINE.json input_hint) as analytics operators. Five
         # in-window slots are taken from six entries whose correctness is
@@ -289,24 +312,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-flattened multilingual resampling (share^(1/2)
         # quotas + exact per-lang top-k by hash)
         "sample_temperature": sampling.temperature_sample,
+        # --- position 51+: outside the driver's 50-entry window ----------
+        # First the three displaced by the fifth (interleaved) wave — see
+        # that wave's header for the plan-shape-sibling rationale; each
+        # keeps its full value oracle and is sweep-green.
         # exact corpus-wide top-k tokens via partial-agg + TakeOrdered
         "text_heavy_hitters": ranking.heavy_hitters,
         # per-host TF-IDF keywords (broadcast df model join, keyed vocab
-        # window) — in-window over pipeline v2/v3 because those are
-        # compositions of individually-stamped kernels while this one
-        # has never been driver-stamped
+        # window)
         "tfidf_host_keywords": curation.tfidf_host_keywords_query,
         # quality-threshold retention curve (map-side banding, |grid|-key
         # partial agg, broadcast triangular cumsum)
         "quality_retention_curve": curation.retention_curve_query,
-        # PII scrub (emails/IPv4/phones) over the deterministically
-        # augmented corpus — map-only, ASCII-class regex parity
-        # --- position 51+: outside the driver's 50-entry window ----------
         # The six entries displaced by the round-5 fourth (interleaved)
         # wave — each redundantly evidenced outside the driver window and
-        # sweep-green in test_driver_contract.py. PII scrub (sixth,
-        # displaced by il_clean_rebuild) carries hand-computed redaction
-        # fixtures, a no-Exchange plan test, and the RE2-parity oracle.
+        # sweep-green in test_driver_contract.py. PII scrub (displaced by
+        # il_clean_rebuild) carries hand-computed redaction fixtures, a
+        # no-Exchange plan test, and the RE2-parity oracle; map-only
+        # ASCII-class regex over the deterministically augmented corpus.
         "text_pii_scrub": scrub.doc_pii_scrub,
         # The other five — each redundantly evidenced by a stamped sibling and
         # sweep-green in test_driver_contract.py:
@@ -1205,7 +1228,67 @@ def _oracle_sql_static() -> dict[str, str]:
             )"""
     il_refnum = "CAST(string_split(media_ref, '/')[-1] AS BIGINT)"
     mm_h60 = DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")
+    sig60 = DUCK_HASH60.format(s="sig")
     return {
+        # --- round-5 fifth-wave entries (interleaved text+media) ---------
+        "il_template_groups": f"""
+            {il_spans}
+            , sigs AS (
+              SELECT doc_id,
+                     array_to_string(list(
+                       CASE WHEN kind <> 'text' THEN substr(kind, 1, 1)
+                            ELSE 't' || CAST(len(string_split(
+                                   coalesce(text, ''), ' ')) AS VARCHAR)
+                       END ORDER BY "offset"), '.') AS sig,
+                     CAST(count(*) AS BIGINT) AS n_spans
+              FROM spans GROUP BY doc_id
+            )
+            SELECT {sig60} AS template_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS example_doc,
+                   min(n_spans) AS n_spans
+            FROM sigs GROUP BY sig
+            HAVING count(*) >= {interleaved.TEMPLATE_MIN_DOCS}
+        """,
+        "il_media_decontaminate": f"""
+            {il_spans}
+            , bench AS (
+              SELECT DISTINCT media_ref FROM spans
+              WHERE kind <> 'text' AND media_ref IS NOT NULL
+                AND {il_refnum} % {interleaved.BENCH_REF_MOD} = 0
+            ), joined AS (
+              SELECT s.doc_id, s.kind,
+                     (s.kind <> 'text' AND b.media_ref IS NOT NULL) AS hit
+              FROM spans s LEFT JOIN bench b ON s.media_ref = b.media_ref
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_media,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_bench_hits,
+                   CAST(max(CASE WHEN hit THEN 1 ELSE 0 END) AS INT)
+                     AS contaminated
+            FROM joined GROUP BY doc_id
+        """,
+        "il_media_cooccur": f"""
+            {il_spans}
+            , refs AS (
+              SELECT doc_id,
+                     list_sort(list(DISTINCT media_ref)) AS refs
+              FROM spans WHERE kind <> 'text' AND media_ref IS NOT NULL
+              GROUP BY doc_id
+            ), ex AS (
+              SELECT doc_id, unnest(refs) AS r,
+                     generate_subscripts(refs, 1) AS i
+              FROM refs
+              WHERE len(refs) BETWEEN 2 AND {interleaved.COOCCUR_MAX_REFS}
+            )
+            SELECT a.r AS ref_a, b.r AS ref_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.i < b.i
+            GROUP BY a.r, b.r
+            HAVING count(*) >= {interleaved.COOCCUR_MIN_DOCS}
+        """,
         # --- round-5 fourth-wave entries (interleaved text+media) --------
         "il_clean_rebuild": f"""
             {il_spans}

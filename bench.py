@@ -133,6 +133,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "tfidf_host_keywords": curation.tfidf_host_keywords_query,
         "quality_retention_curve": curation.retention_curve_query,
         "il_clean_rebuild": interleaved.clean_rebuild,
+        "il_template_groups": interleaved.template_groups,
+        "il_media_decontaminate": interleaved.media_decontaminate,
+        "il_media_cooccur": interleaved.media_cooccur,
         "pack_efficiency": packing.pack_efficiency,
         "il_pipeline_multimodal": interleaved.pipeline_multimodal,
         "il_media_stats": interleaved.media_stats,

@@ -408,6 +408,162 @@ def clean_rebuild_from(
     )
 
 
+TEMPLATE_MIN_DOCS = 2  # a "template" is a structure shared by ≥ this many docs
+BENCH_REF_MOD = 17  # benchmark media set: ref id % this == 0 (deterministic)
+COOCCUR_MAX_REFS = 64  # skew cap: docs with more distinct refs are excluded
+COOCCUR_MIN_DOCS = 2  # co-occurrence edges must appear in ≥ this many docs
+
+
+def template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template detection over interleaved documents: two docs
+    share a template when their span SHAPE sequences are identical —
+    per-span code = 't'||word_count for text spans, the kind's first
+    letter for media spans, concatenated in offset order. Text-level
+    dedup (minhash/simhash) can't see this: templated pages carry
+    different prose in the same scaffold, and a multimodal trainer wants
+    to downweight the scaffold, not the prose.
+
+    100 TB shape: span expansion is map-only; the per-doc signature is
+    ONE groupBy(doc_id) whose collect_list state is bounded by spans-
+    per-doc (document size, never corpus size); signatures are then
+    compacted to 60-bit hashes so the second groupBy shuffles 8-byte
+    keys, one row per document. Two shuffles total, no self-join."""
+    return template_groups_from(spans_from(_docs(spark, sf_dir)))
+
+
+def template_groups_from(
+    spans: DataFrame, min_docs: int = TEMPLATE_MIN_DOCS
+) -> DataFrame:
+    from .text import hash60_col
+
+    # coalesce pins NULL-text non-media spans to 't1' (== empty-string
+    # word count) under either ANSI mode — the pack_multimodal_from
+    # discipline
+    code = F.when(
+        ~_is_media(),
+        F.concat(
+            F.lit("t"),
+            F.size(F.split(F.coalesce("text", F.lit("")), " ")).cast(
+                "string"
+            ),
+        ),
+    ).otherwise(F.substring("kind", 1, 1))
+    sigs = spans.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("offset"), code.alias("code")))
+                ),
+                lambda x: x["code"],
+            ),
+            ".",
+        ).alias("sig"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        sigs.groupBy(hash60_col(F.col("sig")).alias("template_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+            # every doc in a group shares the sig, hence the span count
+            F.min("n_spans").alias("n_spans"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def media_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination on the MEDIA axis (the cross-modal twin
+    of `repetition.decontaminate`): a document is contaminated when any
+    of its media spans references an object in the benchmark set —
+    training on the exact image a vision benchmark tests is leakage even
+    when the surrounding text is fresh. The benchmark set is derived
+    deterministically (ref id % BENCH_REF_MOD == 0, no external data); a
+    real deployment passes the benchmark manifest as the `bench` frame.
+
+    Output: one row per document in the span table — media span count,
+    benchmark-hit count, and the 0/1 contaminated flag (flag not filter,
+    so the oracle is non-vacuous in both directions).
+
+    100 TB shape: the benchmark set is distinct-reduced then BROADCAST
+    (benchmark manifests are ≤ millions of refs; the corpus side never
+    shuffles for the membership test); the only Exchange is the per-doc
+    aggregate. Membership is tested on media spans ONLY — in a general
+    span table link spans carry hrefs in media_ref and must not match."""
+    spans = spans_from(_docs(spark, sf_dir))
+    media = spans.where(_is_media() & F.col("media_ref").isNotNull())
+    bench = (
+        media.select("media_ref")
+        .distinct()
+        .where(_ref_num() % BENCH_REF_MOD == 0)
+    )
+    return media_decontaminate_from(spans, bench)
+
+
+def media_decontaminate_from(spans: DataFrame, bench: DataFrame) -> DataFrame:
+    """``bench``: one column ``media_ref`` — the benchmark object set."""
+    marked = bench.select("media_ref").distinct().withColumn(
+        "_bm", F.lit(1)
+    )
+    # isNotNull (not `== 1`) so the flag is two-valued after the left
+    # join — `true AND NULL` is NULL and would fall out of the sums
+    hit = _is_media() & F.col("_bm").isNotNull()
+    return (
+        spans.join(F.broadcast(marked), "media_ref", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(_is_media().cast("long")).alias("n_media"),
+            F.sum(hit.cast("long")).alias("n_bench_hits"),
+            F.max(hit.cast("int")).alias("contaminated"),
+        )
+    )
+
+
+def media_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media co-occurrence edges: unordered ref pairs appearing together
+    in ≥ COOCCUR_MIN_DOCS documents — the media-axis analogue of the
+    webgraph's link edges, feeding gallery/template detection and
+    image-pair mining.
+
+    100 TB shape: NOT a self-join. Distinct (doc, ref) reduces through
+    one groupBy(doc_id) into a per-doc sorted ref array (state bounded by
+    COOCCUR_MAX_REFS — docs above the cap are excluded BEFORE the
+    quadratic pair expansion, the dedup.py bucket-cap discipline,
+    mirrored in the oracle); pairs are generated map-side from the array
+    and reduced by one groupBy(ref_a, ref_b). Two shuffles, and the pair
+    fan-out is ≤ cap²/2 per doc by construction."""
+    return media_cooccur_from(spans_from(_docs(spark, sf_dir)))
+
+
+def media_cooccur_from(
+    spans: DataFrame,
+    max_refs: int = COOCCUR_MAX_REFS,
+    min_docs: int = COOCCUR_MIN_DOCS,
+) -> DataFrame:
+    media = spans.where(_is_media() & F.col("media_ref").isNotNull())
+    refs = (
+        media.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("media_ref")).alias("refs"))
+        .where(F.size("refs").between(2, max_refs))
+    )
+    pairs = refs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(refs, (a, i) -> "
+                "transform(slice(refs, i + 2, size(refs)), "
+                "b -> struct(a AS ref_a, b AS ref_b))))"
+            )
+        ).alias("p")
+    ).select("p.ref_a", "p.ref_b")
+    # (doc, ref) pairs are distinct by collect_set, so count(1) counts
+    # DOCUMENTS containing the pair
+    return (
+        pairs.groupBy("ref_a", "ref_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed multimodal training-data pipeline (the pipeline.py
     discipline on the span axis): clean the interleaved corpus

@@ -308,3 +308,104 @@ def test_media_pop_seq_key_no_cross_doc_collision(spark):
     ).collect()
     # equal popularity -> FIFO on first discovery: doc 5 wins
     assert [r["uri"] for r in popped] == ["m://cdn2/A"]
+
+
+def test_template_groups_shape_not_prose(spark):
+    """Templates group by span SHAPE: same word-count/kind sequence with
+    different prose groups together; a different shape does not; below-
+    min_docs shapes are dropped."""
+    rows = [
+        # docs 1 & 2: same shape (t4 . i . t2) with different prose
+        (1, "text", "alpha beta gamma delta", None, 0),
+        (1, "image", None, "m://cdn1/1", 1),
+        (1, "text", "eps zeta", None, 2),
+        (2, "text", "one two three four", None, 0),
+        (2, "image", None, "m://cdn1/9", 1),
+        (2, "text", "five six", None, 2),
+        # doc 3: same codes, different order (t4 . t2 . i) -> own group
+        (3, "text", "a b c d", None, 0),
+        (3, "text", "e f", None, 1),
+        (3, "image", None, "m://cdn1/2", 2),
+        # doc 4: video instead of image -> own group
+        (4, "text", "w x y z", None, 0),
+        (4, "video", None, "m://cdn0/5", 1),
+        (4, "text", "u v", None, 2),
+    ]
+    out = il.template_groups_from(_general_spans(spark, rows)).collect()
+    assert len(out) == 1  # only the doc-1/doc-2 shape reaches min_docs=2
+    assert out[0]["n_docs"] == 2
+    assert out[0]["example_doc"] == 1
+    assert out[0]["n_spans"] == 3
+    # min_docs=1 exposes all three distinct shapes
+    all_groups = il.template_groups_from(
+        _general_spans(spark, rows), min_docs=1
+    ).collect()
+    assert len(all_groups) == 3
+
+
+def test_media_decontaminate_flag_both_directions(spark):
+    """Contamination is a per-doc flag in BOTH directions, counts media
+    spans only, and a LINK span carrying the benchmark URL in media_ref
+    must not match (kind gate)."""
+    rows = [
+        (1, "text", "a b c d", None, 0),
+        (1, "image", None, "m://cdn1/7", 1),  # benchmark hit
+        (1, "image", None, "m://cdn1/8", 2),
+        (2, "text", "e f g h", None, 0),
+        (2, "image", None, "m://cdn1/8", 1),  # clean
+        # doc 3: a link span references the benchmark object -> NOT a hit
+        (3, "text", "i j k l", None, 0),
+        (3, "link", None, "m://cdn1/7", 1),
+    ]
+    bench = spark.createDataFrame([("m://cdn1/7",)], "media_ref string")
+    out = {
+        r["doc_id"]: r
+        for r in il.media_decontaminate_from(
+            _general_spans(spark, rows), bench
+        ).collect()
+    }
+    assert out[1]["contaminated"] == 1 and out[1]["n_bench_hits"] == 1
+    assert out[1]["n_media"] == 2
+    assert out[2]["contaminated"] == 0 and out[2]["n_bench_hits"] == 0
+    assert out[3]["contaminated"] == 0 and out[3]["n_media"] == 0
+
+
+def test_media_cooccur_cap_and_threshold(spark):
+    """Pairs come from docs under the ref cap only (the cap excludes the
+    doc BEFORE the quadratic expansion), pairs are lexicographically
+    ordered, and sub-threshold pairs drop."""
+    rows = []
+    # docs 1 & 2 both contain refs {A, B} -> pair (A, B) with n_docs=2
+    for d in (1, 2):
+        rows += [
+            (d, "image", None, "m://cdn1/A", 0),
+            (d, "image", None, "m://cdn1/B", 1),
+        ]
+    # doc 3 contains {B, C} only once -> pair below min_docs, dropped
+    rows += [
+        (3, "image", None, "m://cdn1/B", 0),
+        (3, "image", None, "m://cdn1/C", 1),
+    ]
+    # doc 4 exceeds the cap (3 refs with max_refs=2): even though it
+    # contains {A, B}, it must not contribute
+    rows += [
+        (4, "image", None, "m://cdn1/A", 0),
+        (4, "image", None, "m://cdn1/B", 1),
+        (4, "image", None, "m://cdn1/C", 2),
+    ]
+    out = il.media_cooccur_from(
+        _general_spans(spark, rows), max_refs=2, min_docs=2
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["ref_a"], out[0]["ref_b"]) == ("m://cdn1/A", "m://cdn1/B")
+    assert out[0]["n_docs"] == 2
+    # duplicate spans of the same ref within a doc count the DOC once
+    dup = [
+        (7, "image", None, "m://cdn1/X", 0),
+        (7, "image", None, "m://cdn1/X", 1),
+        (7, "image", None, "m://cdn1/Y", 2),
+        (8, "image", None, "m://cdn1/X", 0),
+        (8, "image", None, "m://cdn1/Y", 1),
+    ]
+    out2 = il.media_cooccur_from(_general_spans(spark, dup)).collect()
+    assert len(out2) == 1 and out2[0]["n_docs"] == 2
