@@ -359,6 +359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both constituents hold in-window slots; the nested oracle
         # value-checks the composition itself (sweep-green)
         "il_pipeline_multimodal": interleaved.pipeline_multimodal,
+        # per-doc template downweighting (weight_ppm = 1e6 // template
+        # size, exact integer): behind the window by the same rationale —
+        # a composition whose constituent sig kernel IS the in-window
+        # il_template_groups; sig table localCheckpoint'ed before the
+        # count/join fan-out (dedup.py discipline), AQE skew-join on the
+        # 8-byte template key (sweep-green)
+        "il_template_downweight": interleaved.template_downweight,
         # shard-writer utilization report: pure integer arithmetic over
         # the shard token TOTALS (never the layout window) — behind the
         # window as a rollup of the stamped pack_sequences layout
@@ -1319,6 +1326,24 @@ def _oracle_sql_static() -> dict[str, str]:
                                            ORDER BY "offset") - 1 AS INT)
                      AS new_offset
             FROM kept
+        """,
+        "il_template_downweight": f"""
+            {il_spans}
+            , sigs AS (
+              SELECT doc_id,
+                     array_to_string(list(
+                       CASE WHEN kind <> 'text' THEN substr(kind, 1, 1)
+                            ELSE 't' || CAST(len(string_split(
+                                   coalesce(text, ''), ' ')) AS VARCHAR)
+                       END ORDER BY "offset"), '.') AS sig
+              FROM spans GROUP BY doc_id
+            )
+            SELECT doc_id, {sig60} AS template_id,
+                   CAST(count(*) OVER (PARTITION BY sig) AS BIGINT)
+                     AS n_docs,
+                   CAST(1000000 // (count(*) OVER (PARTITION BY sig))
+                        AS BIGINT) AS weight_ppm
+            FROM sigs
         """,
         "il_pipeline_multimodal": f"""
             {il_spans}

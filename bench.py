@@ -134,6 +134,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "quality_retention_curve": curation.retention_curve_query,
         "il_clean_rebuild": interleaved.clean_rebuild,
         "il_template_groups": interleaved.template_groups,
+        "il_template_downweight": interleaved.template_downweight,
         "il_media_decontaminate": interleaved.media_decontaminate,
         "il_media_cooccur": interleaved.media_cooccur,
         "pack_efficiency": packing.pack_efficiency,

@@ -431,11 +431,10 @@ def template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_groups_from(spans_from(_docs(spark, sf_dir)))
 
 
-def template_groups_from(
-    spans: DataFrame, min_docs: int = TEMPLATE_MIN_DOCS
-) -> DataFrame:
-    from .text import hash60_col
-
+def _doc_sigs(spans: DataFrame) -> DataFrame:
+    """Per-doc span-shape signature: (doc_id, sig, n_spans). ONE
+    groupBy(doc_id) whose collect_list state is bounded by spans-per-doc
+    (document size, never corpus size)."""
     # coalesce pins NULL-text non-media spans to 't1' (== empty-string
     # word count) under either ANSI mode — the pack_multimodal_from
     # discipline
@@ -448,7 +447,7 @@ def template_groups_from(
             ),
         ),
     ).otherwise(F.substring("kind", 1, 1))
-    sigs = spans.groupBy("doc_id").agg(
+    return spans.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -460,8 +459,16 @@ def template_groups_from(
         ).alias("sig"),
         F.count(F.lit(1)).alias("n_spans"),
     )
+
+
+def template_groups_from(
+    spans: DataFrame, min_docs: int = TEMPLATE_MIN_DOCS
+) -> DataFrame:
+    from .text import hash60_col
+
     return (
-        sigs.groupBy(hash60_col(F.col("sig")).alias("template_id"))
+        _doc_sigs(spans)
+        .groupBy(hash60_col(F.col("sig")).alias("template_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("example_doc"),
@@ -469,6 +476,48 @@ def template_groups_from(
             F.min("n_spans").alias("n_spans"),
         )
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def template_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition `template_groups` exists for: per-document
+    sampling weights that downweight templated scaffolds. Every document
+    gets weight_ppm = 1e6 // n_docs(template) — a unique structure keeps
+    full weight 1,000,000; the ten-thousandth copy of a boilerplate
+    scaffold samples at 100 ppm. Exact integer arithmetic end to end
+    (the sampling.py fixed-point discipline), so the oracle is
+    bit-exact, and the output feeds `sample_pps_poisson` directly as its
+    weight column.
+
+    100 TB shape: the per-doc signature agg is the template_groups
+    kernel (state bounded by document size); the sig table is
+    localCheckpoint'ed ONCE before fanning into the count aggregate and
+    the join probe (the dedup.py persist-before-fan-out discipline —
+    without it the doc-sized agg subtree executes twice); the count
+    join is an 8-byte-key shuffle join on template_id where AQE's
+    skew-join split handles a mega-template (a window count would pin
+    the mega-template's rows to one task with no skew remedy). Output is
+    one row per document, flag-not-filter: singleton templates keep
+    weight 1e6, so the oracle discriminates in both directions."""
+    return template_downweight_from(spans_from(_docs(spark, sf_dir)))
+
+
+def template_downweight_from(spans: DataFrame) -> DataFrame:
+    from .text import hash60_col
+
+    per_doc = (
+        _doc_sigs(spans)
+        .select("doc_id", hash60_col(F.col("sig")).alias("template_id"))
+        .localCheckpoint()  # materialize the doc-sized agg once (fan-out below)
+    )
+    counts = per_doc.groupBy("template_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_doc.join(counts, "template_id").select(
+        "doc_id",
+        "template_id",
+        "n_docs",
+        F.expr("1000000 div n_docs").alias("weight_ppm"),
     )
 
 

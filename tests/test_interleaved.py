@@ -409,3 +409,40 @@ def test_media_cooccur_cap_and_threshold(spark):
     ]
     out2 = il.media_cooccur_from(_general_spans(spark, dup)).collect()
     assert len(out2) == 1 and out2[0]["n_docs"] == 2
+
+
+def test_template_downweight_exact_ppm(spark):
+    """Templated docs split the weight (1e6 // n_docs, exact integer);
+    unique docs keep full weight; template ids and group sizes agree
+    with template_groups on the same input."""
+    rows = [
+        # docs 1 & 2: same shape (t4 . i . t2), different prose
+        (1, "text", "alpha beta gamma delta", None, 0),
+        (1, "image", None, "m://cdn1/1", 1),
+        (1, "text", "eps zeta", None, 2),
+        (2, "text", "one two three four", None, 0),
+        (2, "image", None, "m://cdn1/9", 1),
+        (2, "text", "five six", None, 2),
+        # doc 3: unique shape
+        (3, "text", "a b c", None, 0),
+    ]
+    spans = _general_spans(spark, rows)
+    out = {r["doc_id"]: r for r in il.template_downweight_from(spans).collect()}
+    assert len(out) == 3  # one row per document, singletons included
+    assert out[1]["n_docs"] == 2 and out[1]["weight_ppm"] == 500_000
+    assert out[2]["weight_ppm"] == 500_000
+    assert out[1]["template_id"] == out[2]["template_id"]
+    assert out[3]["n_docs"] == 1 and out[3]["weight_ppm"] == 1_000_000
+    assert out[3]["template_id"] != out[1]["template_id"]
+    # composition consistency: the shared template's (id, n_docs) match
+    # template_groups over the same spans
+    grp = il.template_groups_from(spans).collect()
+    assert len(grp) == 1
+    assert grp[0]["template_id"] == out[1]["template_id"]
+    assert grp[0]["n_docs"] == 2
+    # integer floor, not rounding: 3-doc template -> 333333 ppm
+    three = [
+        (d, "text", "p q", None, 0) for d in (10, 11, 12)
+    ]
+    w = il.template_downweight_from(_general_spans(spark, three)).collect()
+    assert all(r["weight_ppm"] == 333_333 for r in w)
