@@ -135,6 +135,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "il_clean_rebuild": interleaved.clean_rebuild,
         "il_template_groups": interleaved.template_groups,
         "il_template_downweight": interleaved.template_downweight,
+        "il_media_mirror": interleaved.media_mirror,
+        "il_media_gallery": interleaved.media_gallery,
+        "il_context_windows": interleaved.context_windows,
         "il_media_decontaminate": interleaved.media_decontaminate,
         "il_media_cooccur": interleaved.media_cooccur,
         "pack_efficiency": packing.pack_efficiency,

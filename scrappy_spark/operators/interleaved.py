@@ -625,3 +625,272 @@ def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition adds no shuffle beyond its constituents'."""
     cleaned = clean_rebuild_from(spans_from(_docs(spark, sf_dir)))
     return pack_multimodal_from(cleaned)
+
+
+MIRROR_MAX_DF = 8  # refs in more docs than this are stock media (logos,
+# icons, tracking pixels) — dropped BEFORE pair generation: both the
+# semantic filter (ubiquitous media is not mirroring evidence) and the
+# skew cap that bounds the per-ref pair fan-out at max_df²/2
+MIRROR_MIN_SHARED = 2  # a single shared rare ref is coincidence-prone
+MIRROR_MIN_PPM = 500_000  # Jaccard ≥ 0.5 over rare refs = mirror-grade
+
+
+def media_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/syndication detection on the MEDIA axis: document pairs
+    whose RARE media-ref sets overlap heavily (Jaccard over refs that
+    appear in ≤ MIRROR_MAX_DF documents). Scraped and syndicated pages
+    routinely paraphrase or re-template the prose — defeating text
+    near-dup — while hot-linking the identical images; the media refs
+    are the durable fingerprint. The cross-modal complement of
+    `dedup.ngram_jaccard_pairs` (text-shingle Jaccard) and the doc-side
+    dual of `media_cooccur` (which pairs MEDIA by shared docs; this
+    pairs DOCS by shared media).
+
+    Output: (doc_a, doc_b, shared, n_a, n_b, jaccard_ppm) for pairs with
+    shared ≥ MIRROR_MIN_SHARED and exact-integer Jaccard ≥
+    MIRROR_MIN_PPM ppm — fixed-point end to end (the sampling.py
+    discipline) so the oracle is bit-exact.
+
+    100 TB shape: NEVER an all-pairs self-join on documents. The
+    distinct (doc, ref) table is localCheckpoint'ed ONCE (the dedup.py
+    persist-before-fan-out discipline — it feeds BOTH the df filter
+    chain and the per-doc counts); the df cap drops stock refs before
+    any pair exists, bounding the per-ref fan-out at max_df²/2 exactly
+    like COOCCUR_MAX_REFS bounds the per-doc fan-out in media_cooccur;
+    pair generation is map-side from per-ref doc arrays; the pair count
+    and the two n_a/n_b joins are 8/16-byte-key shuffles where AQE
+    skew-split applies. Jaccard uses the RARE-ref set sizes on both
+    sides — consistent set semantics (shared ⊆ rare_a ∩ rare_b), and
+    the quantity a mirror hunter wants: ubiquity-corrected overlap."""
+    return media_mirror_from(spans_from(_docs(spark, sf_dir)))
+
+
+def media_mirror_from(
+    spans: DataFrame,
+    max_df: int = MIRROR_MAX_DF,
+    min_shared: int = MIRROR_MIN_SHARED,
+    min_ppm: int = MIRROR_MIN_PPM,
+) -> DataFrame:
+    doc_ref = (
+        spans.where(_is_media() & F.col("media_ref").isNotNull())
+        .select("doc_id", "media_ref")
+        .distinct()
+        .localCheckpoint()  # fan-out: df filter + per-doc counts
+    )
+    df_counts = doc_ref.groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    rare = (
+        doc_ref.join(df_counts, "media_ref")
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+        .localCheckpoint()  # fan-out: per-ref doc arrays + per-doc counts
+    )
+    counts = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    docs_per_ref = rare.groupBy("media_ref").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    # map-side pair expansion from the per-ref array (≤ max_df²/2 pairs
+    # per ref by the cap above) — the media_cooccur recipe with the
+    # roles of docs and refs swapped
+    pairs = docs_per_ref.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (a, i) -> "
+                "transform(slice(docs, i + 2, size(docs)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    shared = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("1000000 * shared div (n_a + n_b - shared)"),
+        )
+    )
+    return out.where(
+        (F.col("shared") >= min_shared) & (F.col("jaccard_ppm") >= min_ppm)
+    ).select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard_ppm")
+
+
+def media_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gallery resolution: connected components over the media
+    co-occurrence graph (`media_cooccur` edges), labeling every distinct
+    media ref with the lexicographic-min ref reachable from it — the
+    media-axis twin of `dedup.simhash_components`' fingerprint→pairs→
+    resolve production shape. Galleries (photo sets, product shots,
+    slideshows) travel together across pages; the component map is what
+    a curation pass samples BY (one gallery = one unit) instead of
+    per-image, exactly as doc dedup samples by cluster.
+
+    Output: one row per distinct media ref — component members AND
+    singletons (flag-not-filter: refs outside any edge keep themselves
+    as gallery_id, so the oracle discriminates in both directions).
+
+    100 TB shape: edges come from the capped cooccur kernel (per-doc
+    fan-out bounded by COOCCUR_MAX_REFS²/2); the resolution is the ONE
+    shared min-label-propagation kernel (`dedup.components_from_pairs`):
+    pointer-jumping (O(log diameter) rounds), localCheckpoint-truncated
+    lineage per round, fail-loud on non-convergence."""
+    spans = spans_from(_docs(spark, sf_dir))
+    return media_gallery_from(spans)
+
+
+def media_gallery_from(
+    spans: DataFrame,
+    max_refs: int = COOCCUR_MAX_REFS,
+    min_docs: int = COOCCUR_MIN_DOCS,
+    max_iter: int = 40,
+) -> DataFrame:
+    from .dedup import components_from_pairs
+
+    pairs = media_cooccur_from(spans, max_refs, min_docs).select(
+        F.col("ref_a").alias("a"), F.col("ref_b").alias("b")
+    )
+    nodes = (
+        spans.where(_is_media() & F.col("media_ref").isNotNull())
+        .select(F.col("media_ref").alias("doc_id"))
+        .distinct()
+    )
+    # max_iter=40 (not the kernel's 20 default): gallery graphs chain
+    # refs through long photo-set overlaps — the derived 211-ref corpus
+    # builds a 45-ref component of approximate diameter 23 whose
+    # convergence MEASURED 22 neighbor-min rounds (a pure-python replica
+    # of the kernel confirms; on this topology the pointer-jumping
+    # shortcut buys little because the min sits at a leaf of a sparse
+    # chain). 40 = measured × ~2 headroom, and the kernel still fails
+    # loud beyond it rather than returning a wrong map
+    return components_from_pairs(nodes, pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias("media_ref"),
+        F.col("canonical_id").alias("gallery_id"),
+    )
+
+
+CTX_SEQ_LEN = 128  # context-window token capacity for long-doc splitting
+
+
+def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-atomic context-window segmentation: split each document's
+    span sequence into training windows of token cost ≤ CTX_SEQ_LEN
+    WITHOUT ever separating a media span from its caption prose. The
+    dual of `pack_multimodal` (which packs whole docs ACROSS a stream,
+    this splits WITHIN long docs); naive fixed-stride splitting orphans
+    images from the text that grounds them — the exact failure mode
+    multimodal training curricula forbid.
+
+    Semantics: spans group into ATOMS — a text span starts a new atom;
+    every following media span (a whole media burst) rides with it;
+    media before any text forms atom 0. Atoms fill windows greedily in
+    offset order: a window closes when the next atom would overflow
+    seq_len; an atom larger than seq_len alone (a video burst) gets its
+    own window, flagged oversize rather than split or dropped. Costs
+    are the pack_multimodal model (word count / 64 per image / 256 per
+    video).
+
+    Output: one row per (doc_id, window_id) with n_atoms, n_spans,
+    n_media, cost, oversize.
+
+    100 TB shape: ONE Exchange (the groupBy(doc_id)); the sort, the
+    atom grouping, and the greedy fill all run map-side as native
+    array expressions over per-doc state bounded by DOCUMENT size
+    (the template_groups/_doc_sigs justification) — greedy bin packing
+    is inherently sequential per doc, but docs are independent, so the
+    parallelism is doc-count-wide with zero cross-doc state. No window
+    function, no second shuffle, no UDF."""
+    return context_windows_from(spans_from(_docs(spark, sf_dir)))
+
+
+def context_windows_from(
+    spans: DataFrame, seq_len: int = CTX_SEQ_LEN
+) -> DataFrame:
+    # per-span cost, pinned for NULL text under either ANSI mode (the
+    # pack_multimodal_from coalesce discipline)
+    cost = (
+        F.when(F.col("kind") == "video", F.lit(VID_TOKENS))
+        .when(_is_media(), F.lit(IMG_TOKENS))
+        .otherwise(F.size(F.split(F.coalesce("text", F.lit("")), " ")))
+    )
+    per_doc = spans.select(
+        "doc_id",
+        F.struct(
+            F.col("offset").cast("int").alias("offset"),
+            (F.col("kind") == "text").alias("is_text"),
+            cost.cast("int").alias("cost"),
+        ).alias("s"),
+    ).groupBy("doc_id").agg(
+        # array_sort orders by the struct's FIRST field (offset) —
+        # state bounded by spans-per-doc, never corpus size
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    atoms = F.expr(
+        """
+        aggregate(
+          ss,
+          cast(array() as array<struct<cost:int,n_spans:int,n_media:int>>),
+          (acc, s) -> CASE
+            WHEN s.is_text OR size(acc) = 0 THEN
+              acc || array(struct(
+                s.cost AS cost, 1 AS n_spans,
+                CAST(NOT s.is_text AS INT) AS n_media))
+            ELSE
+              slice(acc, 1, size(acc) - 1) || array(struct(
+                element_at(acc, -1).cost + s.cost AS cost,
+                element_at(acc, -1).n_spans + 1 AS n_spans,
+                element_at(acc, -1).n_media + 1 AS n_media))
+          END)
+        """
+    )
+    # greedy fill: state = (current window id, its fill, per-window
+    # summaries). Appending/updating the LAST summary copies an
+    # O(windows-per-doc) array per atom — bounded by document size, the
+    # price of keeping the whole kernel in ONE shuffle
+    wins = F.expr(
+        f"""
+        aggregate(
+          atoms,
+          struct(
+            -1 AS win, 0 AS fill,
+            cast(array() as array<struct<
+              window_id:int,n_atoms:int,n_spans:int,n_media:int,cost:int>>)
+              AS wins),
+          (st, a) -> CASE
+            WHEN st.win < 0 OR st.fill + a.cost > {int(seq_len)} THEN
+              struct(
+                st.win + 1 AS win, a.cost AS fill,
+                st.wins || array(struct(
+                  st.win + 1 AS window_id, 1 AS n_atoms,
+                  a.n_spans AS n_spans, a.n_media AS n_media,
+                  a.cost AS cost)) AS wins)
+            ELSE
+              struct(
+                st.win AS win, st.fill + a.cost AS fill,
+                slice(st.wins, 1, size(st.wins) - 1) || array(struct(
+                  st.win AS window_id,
+                  element_at(st.wins, -1).n_atoms + 1 AS n_atoms,
+                  element_at(st.wins, -1).n_spans + a.n_spans AS n_spans,
+                  element_at(st.wins, -1).n_media + a.n_media AS n_media,
+                  element_at(st.wins, -1).cost + a.cost AS cost)) AS wins)
+          END,
+          st -> st.wins)
+        """
+    )
+    return (
+        per_doc.select("doc_id", atoms.alias("atoms"))
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.window_id").alias("window_id"),
+            F.col("w.n_atoms").cast("long").alias("n_atoms"),
+            F.col("w.n_spans").cast("long").alias("n_spans"),
+            F.col("w.n_media").cast("long").alias("n_media"),
+            F.col("w.cost").cast("long").alias("cost"),
+            (F.col("w.cost") > seq_len).cast("int").alias("oversize"),
+        )
+    )

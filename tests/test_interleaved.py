@@ -446,3 +446,106 @@ def test_template_downweight_exact_ppm(spark):
     ]
     w = il.template_downweight_from(_general_spans(spark, three)).collect()
     assert all(r["weight_ppm"] == 333_333 for r in w)
+
+
+def test_media_mirror_exact_jaccard_and_df_cap(spark):
+    """Hand-built rare/stock media sets: exact ppm Jaccard, min_shared
+    gate, threshold boundary, and the df cap excluding stock refs from
+    both the pair evidence AND the set sizes."""
+    def m(doc, ref, off):
+        return (doc, "image", None, f"m://cdn0/{ref}", off)
+
+    rows = []
+    # docs 1 & 2: identical rare sets {r1, r2} -> jaccard 1.0
+    rows += [m(1, "r1", 1), m(1, "r2", 3), m(2, "r1", 1), m(2, "r2", 3)]
+    # doc 3 shares only r1 with doc 1 -> shared=1 < min_shared, excluded
+    rows += [m(3, "r1", 1), m(3, "r3", 3)]
+    # doc 4: {r1, r2, r4, r5} vs doc 1 {r1, r2}: shared 2, union 4 ->
+    # exactly 500000 ppm, ON the >= threshold
+    rows += [m(4, "r1", 1), m(4, "r2", 3), m(4, "r4", 5), m(4, "r5", 7)]
+    # doc 5: {r4, r5, r6} vs doc 4: shared 2, union 5 -> 400000, excluded
+    rows += [m(5, "r4", 1), m(5, "r5", 3), m(5, "r6", 5)]
+    # stock ref s0 in 9 docs (> MIRROR_MAX_DF=8): docs 20/21 share
+    # {s0, r7, r8} -> with the cap, shared=2 over sets of size 2
+    for d in (20, 21, 30, 31, 32, 33, 34, 35, 36):
+        rows.append(m(d, "s0", 9))
+    rows += [m(20, "r7", 1), m(20, "r8", 3), m(21, "r7", 1), m(21, "r8", 3)]
+    # text spans must be ignored entirely
+    rows += [(1, "text", "alpha beta", None, 0), (2, "text", "x y", None, 0)]
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in il.media_mirror_from(_general_spans(spark, rows)).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4), (2, 4), (20, 21)}
+    assert out[(1, 2)]["jaccard_ppm"] == 1_000_000
+    assert out[(1, 2)]["shared"] == 2 and out[(1, 2)]["n_a"] == 2
+    assert out[(1, 4)]["jaccard_ppm"] == 500_000  # boundary: kept
+    assert out[(1, 4)]["n_b"] == 4
+    # the stock ref neither pairs docs nor inflates set sizes
+    assert out[(20, 21)]["shared"] == 2
+    assert out[(20, 21)]["n_a"] == 2 and out[(20, 21)]["n_b"] == 2
+    assert out[(20, 21)]["jaccard_ppm"] == 1_000_000
+
+
+def test_media_gallery_components_singletons(spark):
+    """Transitive gallery over the cooccur graph: a-b and b-c edges (each
+    in >= 2 docs) merge {a,b,c}; a pair below COOCCUR_MIN_DOCS does NOT
+    edge; a ref with no qualifying edge keeps itself as gallery_id."""
+    def doc(doc_id, refs):
+        return [
+            (doc_id, "image", None, f"m://x/{r}", i * 2 + 1)
+            for i, r in enumerate(refs)
+        ]
+
+    rows = []
+    # a-b in docs 1,2 ; b-c in docs 3,4  -> component {a,b,c}
+    rows += doc(1, ["a", "b"]) + doc(2, ["a", "b"])
+    rows += doc(3, ["b", "c"]) + doc(4, ["b", "c"])
+    # c-d co-occur ONCE only -> no edge; d stays singleton
+    rows += doc(5, ["c", "d"])
+    # e appears alone -> singleton
+    rows += doc(6, ["e"])
+    got = {
+        r["media_ref"]: r["gallery_id"]
+        for r in il.media_gallery_from(_general_spans(spark, rows)).collect()
+    }
+    assert got == {
+        "m://x/a": "m://x/a",
+        "m://x/b": "m://x/a",
+        "m://x/c": "m://x/a",
+        "m://x/d": "m://x/d",
+        "m://x/e": "m://x/e",
+    }
+
+
+def test_context_windows_caption_atomic_greedy(spark):
+    """Greedy fill at an explicit seq_len: a text+image atom never
+    splits, oversize atoms take a window alone and are flagged, leading
+    media forms atom 0, and a media burst rides with its anchor text."""
+    t = lambda d, n, off: (d, "text", " ".join(["w"] * n), None, off)
+    img = lambda d, off: (d, "image", None, "m://x/i", off)
+    vid = lambda d, off: (d, "video", None, "m://x/v", off)
+
+    # doc 1: [t40+img64]=104 | t30, t30 | t50
+    rows = [t(1, 40, 0), img(1, 1), t(1, 30, 2), t(1, 30, 3), t(1, 50, 4)]
+    # doc 2: leading image (atom 0) + t10 share window 0 (74 <= 100)
+    rows += [img(2, 0), t(2, 10, 1)]
+    # doc 3: one atom t4+img+vid+img = 388, alone and oversize
+    rows += [t(3, 4, 0), img(3, 1), vid(3, 2), img(3, 3)]
+    out = il.context_windows_from(_general_spans(spark, rows), seq_len=100)
+    got = {
+        (r["doc_id"], r["window_id"]): r for r in out.collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    w = got[(1, 0)]
+    assert (w["n_atoms"], w["n_spans"], w["n_media"], w["cost"],
+            w["oversize"]) == (1, 2, 1, 104, 1)
+    w = got[(1, 1)]
+    assert (w["n_atoms"], w["cost"], w["oversize"]) == (2, 60, 0)
+    assert got[(1, 2)]["cost"] == 50
+    w = got[(2, 0)]
+    assert (w["n_atoms"], w["n_spans"], w["n_media"], w["cost"]) == (
+        2, 2, 1, 74)
+    w = got[(3, 0)]
+    assert (w["n_atoms"], w["n_spans"], w["n_media"], w["cost"],
+            w["oversize"]) == (1, 4, 3, 388, 1)
