@@ -401,6 +401,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count/join fan-out (dedup.py discipline), AQE skew-join on the
         # 8-byte template key (sweep-green)
         "il_template_downweight": interleaved.template_downweight,
+        # incremental (delta×history) mirror detection — behind the
+        # window by the downweight precedent: the rare-ref/jaccard
+        # kernel IS in-window il_media_mirror, and the asymmetric
+        # delta-join discipline carries dedup_delta_lsh's r4 driver
+        # stamp; rare table + set sizes over the UNION (the
+        # delta_lsh_pairs contract), O(delta) daily ingest (sweep-green)
+        "il_media_mirror_delta": interleaved.media_mirror_delta,
         # shard-writer utilization report: pure integer arithmetic over
         # the shard token TOTALS (never the layout window) — behind the
         # window as a rollup of the stamped pack_sequences layout
@@ -1493,6 +1500,37 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST(1000000 // (count(*) OVER (PARTITION BY sig))
                         AS BIGINT) AS weight_ppm
             FROM sigs
+        """,
+        "il_media_mirror_delta": f"""
+            {il_spans}
+            , media AS (
+              SELECT DISTINCT doc_id, media_ref FROM spans
+              WHERE kind IN ('image','video','media')
+                AND media_ref IS NOT NULL
+            ), rare AS (
+              SELECT doc_id, media_ref FROM media
+              QUALIFY count(*) OVER (PARTITION BY media_ref)
+                      <= {interleaved.MIRROR_MAX_DF}
+            ), counts AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM rare GROUP BY 1
+            ), sh AS (
+              SELECT a.doc_id AS delta_id, b.doc_id AS history_id,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM rare a JOIN rare b ON a.media_ref = b.media_ref
+              WHERE a.doc_id % {interleaved.MIRROR_DELTA_MOD} = 0
+                AND b.doc_id % {interleaved.MIRROR_DELTA_MOD} <> 0
+              GROUP BY 1, 2
+            )
+            SELECT delta_id, history_id, shared,
+                   ca.n AS n_delta, cb.n AS n_history,
+                   1000000 * shared // (ca.n + cb.n - shared) AS jaccard_ppm
+            FROM sh
+            JOIN counts ca ON ca.doc_id = delta_id
+            JOIN counts cb ON cb.doc_id = history_id
+            WHERE shared >= {interleaved.MIRROR_MIN_SHARED}
+              AND 1000000 * shared // (ca.n + cb.n - shared)
+                  >= {interleaved.MIRROR_MIN_PPM}
         """,
         "il_pipeline_multimodal": f"""
             {il_spans}

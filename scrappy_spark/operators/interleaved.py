@@ -894,3 +894,83 @@ def context_windows_from(
             (F.col("w.cost") > seq_len).cast("int").alias("oversize"),
         )
     )
+
+
+MIRROR_DELTA_MOD = 3  # doc_id % this == 0 plays the NEW (delta) batch
+
+
+def media_mirror_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta×history) mirror detection — `media_mirror`'s
+    daily-ingest shape, the media-axis twin of `dedup.delta_lsh_pairs`:
+    a NEW batch (doc_id % MIRROR_DELTA_MOD == 0, the deterministic
+    stand-in for today's crawl) is checked against the HISTORY only.
+    No delta×delta and no history×history pairs — what makes daily
+    ingest O(delta) instead of re-mirroring the corpus.
+
+    The rare-ref table (df ≤ MIRROR_MAX_DF) and the per-doc set sizes
+    are computed over the UNION — the delta_lsh_pairs contract: a stock
+    ref is stock regardless of which side its occurrences came from,
+    and Jaccard set sizes must mean the same thing on both sides. At
+    production scale the history side's rare-ref postings are
+    precomputed and stored with the corpus; the incremental cost is
+    O(delta refs + matched history rows) through one AQE-skew-safe
+    equi-join on media_ref whose per-ref fan-out is ≤ max_df²/4 by the
+    cap."""
+    return media_mirror_delta_from(spans_from(_docs(spark, sf_dir)))
+
+
+def media_mirror_delta_from(
+    spans: DataFrame,
+    delta_mod: int = MIRROR_DELTA_MOD,
+    max_df: int = MIRROR_MAX_DF,
+    min_shared: int = MIRROR_MIN_SHARED,
+    min_ppm: int = MIRROR_MIN_PPM,
+) -> DataFrame:
+    doc_ref = (
+        spans.where(_is_media() & F.col("media_ref").isNotNull())
+        .select("doc_id", "media_ref")
+        .distinct()
+        .localCheckpoint()  # fan-out: df filter + per-doc counts
+    )
+    df_counts = doc_ref.groupBy("media_ref").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    rare = (
+        doc_ref.join(df_counts, "media_ref")
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+        .localCheckpoint()  # fan-out: both join sides + per-doc counts
+    )
+    counts = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    is_delta = (F.col("doc_id") % delta_mod) == 0
+    left = rare.where(is_delta).select(
+        F.col("doc_id").alias("delta_id"), "media_ref"
+    )
+    right = rare.where(~is_delta).select(
+        F.col("doc_id").alias("history_id"), "media_ref"
+    )
+    shared = (
+        left.join(right, "media_ref")
+        .groupBy("delta_id", "history_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("delta_id"), F.col("n").alias("n_delta")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("history_id"), F.col("n").alias("n_history")
+    )
+    out = (
+        shared.join(ca, "delta_id")
+        .join(cb, "history_id")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("1000000 * shared div (n_delta + n_history - shared)"),
+        )
+    )
+    return out.where(
+        (F.col("shared") >= min_shared) & (F.col("jaccard_ppm") >= min_ppm)
+    ).select(
+        "delta_id", "history_id", "shared", "n_delta", "n_history",
+        "jaccard_ppm",
+    )

@@ -549,3 +549,35 @@ def test_context_windows_caption_atomic_greedy(spark):
     w = got[(3, 0)]
     assert (w["n_atoms"], w["n_spans"], w["n_media"], w["cost"],
             w["oversize"]) == (1, 4, 3, 388, 1)
+
+
+def test_media_mirror_delta_asymmetry(spark):
+    """Delta×history only: no delta×delta, no history×history; the
+    symmetric kernel's pairs split exactly into delta-crossing pairs
+    (found, re-oriented) and same-side pairs (absent)."""
+    def m(doc, ref, off):
+        return (doc, "image", None, f"m://cdn0/{ref}", off)
+
+    rows = []
+    # delta docs (doc_id % 3 == 0): 3, 6 ; history: 1, 2
+    # identical sets {r1, r2} everywhere -> all 6 unordered pairs mirror
+    for d in (1, 2, 3, 6):
+        rows += [m(d, "r1", 1), m(d, "r2", 3)]
+    out = il.media_mirror_delta_from(_general_spans(spark, rows)).collect()
+    got = {(r["delta_id"], r["history_id"]) for r in out}
+    # delta {3,6} × history {1,2} = 4 crossing pairs; (1,2) and (3,6)
+    # are same-side and must NOT appear
+    assert got == {(3, 1), (3, 2), (6, 1), (6, 2)}
+    for r in out:
+        assert r["jaccard_ppm"] == 1_000_000
+        assert r["n_delta"] == 2 and r["n_history"] == 2
+    # consistency with the symmetric kernel: every crossing pair it
+    # finds appears here with the same jaccard
+    sym = il.media_mirror_from(_general_spans(spark, rows)).collect()
+    crossing = {
+        (b, a) if b % 3 == 0 else (a, b): r["jaccard_ppm"]
+        for r in sym
+        for a, b in [(r["doc_a"], r["doc_b"])]
+        if (a % 3 == 0) != (b % 3 == 0)
+    }
+    assert crossing == {p: 1_000_000 for p in got}
