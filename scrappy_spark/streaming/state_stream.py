@@ -731,3 +731,105 @@ def admission_stream(
             )
         )
     )
+
+
+MIRROR_PAIR_STREAM_SCHEMA = "doc_a string, doc_b string, media_ref string"
+_MIRROR_REF_STATE = "ids array<string>, ts array<long>"
+
+
+def mirror_candidates_stream(
+    spans: DataFrame,
+    max_df: int | None = None,
+    ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming mirror-CANDIDATE feed (round 5): the live-ingest side of
+    `interleaved.media_mirror` — each arriving media span probes
+    per-media_ref keyed state (``applyInPandasWithState``) and emits
+    (doc_a, doc_b, media_ref) co-citations against the documents
+    previously seen citing that ref. The candidate-generate / verify
+    split: the stream feeds pairs; the batch kernel (media_mirror /
+    media_mirror_delta) confirms with exact Jaccard over full rare-ref
+    sets, exactly as simhash_pairs_stream feeds candidates that
+    downstream consumers distinct/verify.
+
+    Stock-media contract shared with the batch kernel: once a ref has
+    been cited by more than ``max_df`` distinct documents WITHIN the TTL
+    window, it is saturated and emits nothing — the streaming analog of
+    the batch df cap (which both de-noises and bounds fan-out). A
+    saturated ref resumes when TTL eviction drops it back under the cap:
+    df is evaluated over the retention window, the only sound reading
+    of a document-frequency cap on an unbounded stream. Pairs emitted
+    BEFORE saturation cannot be retracted — the batch verify drops them.
+
+    State contract (the 100 TB/day shape): each ref retains at most
+    max_df+1 (doc_id, event_time) entries — the +1 witnesses saturation
+    — evicted by EVENT time (the ADVICE-r4 discipline: sort by (ts, id)
+    before the cap so late arrivals can't evict newer-by-event-time
+    entries). State is bounded by refs × (max_df+1), never corpus size.
+
+    Input stream schema:
+    (doc_id string, kind string, media_ref string, event_time timestamp).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.interleaved import MEDIA_KINDS, MIRROR_MAX_DF
+
+    # default to the batch cap so retuning interleaved.py cannot drift
+    # the stream's stock contract away from the batch one
+    if max_df is None:
+        max_df = MIRROR_MAX_DF
+
+    media = (
+        spans.where(
+            F.col("kind").isin(*MEDIA_KINDS) & F.col("media_ref").isNotNull()
+        )
+        .withColumn(
+            "ems", F.unix_millis(F.col("event_time").cast("timestamp"))
+        )
+        .select("doc_id", "media_ref", "ems")
+    )
+
+    def probe(key, pdfs, state):
+        ids, ts = state.get if state.exists else ([], [])
+        ids, ts = list(ids), list(ts)
+        rows = []
+        out = []
+        ref = key[0]
+        for pdf in pdfs:
+            for did, ems in zip(pdf["doc_id"], pdf["ems"]):
+                rows.append((int(ems), str(did)))
+        rows.sort()  # deterministic processing order within the batch
+        for ems, did in rows:
+            # TTL eviction first, by event time (late rows sit at the
+            # list tail despite being oldest — sort before any cut)
+            horizon = ems - ttl_ms
+            live = [i for i, t in enumerate(ts) if t >= horizon]
+            live.sort(key=lambda i: (ts[i], ids[i]))
+            ids = [ids[i] for i in live]
+            ts = [ts[i] for i in live]
+            if did in ids:
+                continue  # (doc, ref) distinct — the batch contract
+            if len(ids) < max_df:
+                for oid in ids:
+                    a, b = (did, oid) if did < oid else (oid, did)
+                    out.append((a, b, ref))
+            # append regardless (saturation must be witnessable), then
+            # keep the max_df+1 most recent by event time
+            ids.append(did)
+            ts.append(ems)
+            if len(ids) > max_df + 1:
+                keep = sorted(
+                    range(len(ids)), key=lambda i: (ts[i], ids[i])
+                )[-(max_df + 1):]
+                ids = [ids[i] for i in keep]
+                ts = [ts[i] for i in keep]
+        state.update((ids, ts))
+        yield pd.DataFrame(out, columns=["doc_a", "doc_b", "media_ref"])
+
+    return media.groupBy("media_ref").applyInPandasWithState(
+        probe,
+        outputStructType=MIRROR_PAIR_STREAM_SCHEMA,
+        stateStructType=_MIRROR_REF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

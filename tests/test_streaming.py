@@ -718,3 +718,66 @@ def test_simhash_stream_pigeonhole_guard():
 
     with pytest.raises(AssertionError, match="pigeonhole"):
         simhash_pairs_stream(None, max_hamming=4)
+
+
+def test_mirror_candidates_stream_cross_batch_and_saturation(spark, tmp_path):
+    """Mirror candidates surface ACROSS micro-batches (per-ref state
+    carries over); a ref exceeding the stock cap within the window goes
+    silent; under-cap candidates equal the batch kernel's rare-ref
+    co-citations."""
+    import datetime
+
+    from scrappy_spark.streaming.state_stream import mirror_candidates_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # ref R cited by d1 (batch 1) then d2, d3 (batch 2): pairs
+    # (d1,d2),(d1,d3),(d2,d3) — the first crossing micro-batches.
+    # ref S cited by s0..s9 (10 > max_df=8): emissions stop once the
+    # ninth citation arrives (the cap counts DISTINCT docs in-window).
+    b1 = [("d1", "R", 0)] + [(f"s{i}", "S", i) for i in range(4)]
+    b2 = [("d2", "R", 10), ("d3", "R", 11)] + [
+        (f"s{i}", "S", 10 + i) for i in range(4, 10)
+    ]
+    src = tmp_path / "mirror_stream"
+    src.mkdir()
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(
+            [
+                (d, "image", f"m://x/{r}", t0 + datetime.timedelta(seconds=s))
+                for d, r, s in rows
+            ],
+            "doc_id string, kind string, media_ref string, "
+            "event_time timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, kind string, media_ref string, "
+            "event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        mirror_candidates_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mirror_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_a"], r["doc_b"], r["media_ref"])
+        for r in spark.sql("SELECT * FROM mirror_stream_t").collect()
+    }
+    r_pairs = {p for p in got if p[2] == "m://x/R"}
+    assert r_pairs == {
+        ("d1", "d2", "m://x/R"),
+        ("d1", "d3", "m://x/R"),
+        ("d2", "d3", "m://x/R"),
+    }
+    # S saturates at the 9th distinct doc (max_df=8): docs s0..s7 pair
+    # freely (C(8,2)=28 pairs), s8/s9 emit nothing
+    s_pairs = {p for p in got if p[2] == "m://x/S"}
+    assert len(s_pairs) == 28
+    assert not any("s8" in p[:2] or "s9" in p[:2] for p in s_pairs)
