@@ -781,3 +781,71 @@ def test_mirror_candidates_stream_cross_batch_and_saturation(spark, tmp_path):
     s_pairs = {p for p in got if p[2] == "m://x/S"}
     assert len(s_pairs) == 28
     assert not any("s8" in p[:2] or "s9" in p[:2] for p in s_pairs)
+
+
+def test_mirror_stream_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resume on the STREAMING side: a stateful query stopped
+    after batch 1 and RESTARTED with the same checkpointLocation carries
+    its keyed state across the restart — a doc from before the kill
+    pairs with a doc arriving after it, and batch-1 files are not
+    reprocessed (no duplicate pairs)."""
+    import datetime
+
+    from scrappy_spark.streaming.state_stream import mirror_candidates_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "resume_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "resume_ckpt")
+    schema = (
+        "doc_id string, kind string, media_ref string, event_time timestamp"
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [
+                (d, "image", f"m://x/{r}", t0 + datetime.timedelta(seconds=s))
+                for d, r, s in rows
+            ],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # file sink: the memory sink does not support checkpoint recovery
+    out = str(tmp_path / "resume_out")
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            mirror_candidates_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        rows = spark.read.parquet(out).collect()
+        return [(r["doc_a"], r["doc_b"], r["media_ref"]) for r in rows]
+
+    write_batch("b1", [("d1", "R", 0), ("d2", "R", 5)])
+    got1 = run_query()
+    assert got1 == [("d1", "d2", "m://x/R")]
+
+    # the "kill": the first query is stopped; new data arrives; a new
+    # query restarts from the SAME checkpoint
+    write_batch("b2", [("d3", "R", 10)])
+    got2 = run_query()
+    # state survived the restart: d3 pairs with BOTH pre-kill docs.
+    # ROW-count assertions, not set: reprocessing b1 would re-emit
+    # (d1,d2) as a duplicate row, which a set would hide
+    assert sorted(got2) == [
+        ("d1", "d2", "m://x/R"),
+        ("d1", "d3", "m://x/R"),
+        ("d2", "d3", "m://x/R"),
+    ]
