@@ -122,3 +122,75 @@ def test_interleaved_cores_on_crawled_pages(spark):
     finally:
         spans.unpersist()
         web.unpersist()
+
+
+def test_sixth_wave_cores_on_crawled_pages(spark):
+    """The sixth-wave cores over REAL crawled span sequences: weights,
+    mirrors, galleries, and context windows must be general over
+    kind='media', URL doc_ids, link spans, and per-document-unique refs."""
+    web, spans = _crawled_spans(spark)
+    try:
+        n_docs = spans.select("doc_id").distinct().count()
+
+        # --- template_downweight_from: one weight per fetched doc,
+        # exact integer ppm consistent with the group size -----------
+        w = il.template_downweight_from(spans).cache()
+        assert w.count() == n_docs
+        bad = w.where(
+            F.col("weight_ppm") != F.expr("1000000 div n_docs")
+        )
+        assert bad.count() == 0
+        assert w.where(
+            (F.col("weight_ppm") <= 0) | (F.col("weight_ppm") > 1_000_000)
+        ).count() == 0
+        w.unpersist()
+
+        # --- media_mirror_from / media_mirror_delta_from: corpus media
+        # refs are per-document-unique (img{i}_{j}) so NO pair shares a
+        # ref — both mirror reports are exactly empty, the same corpus
+        # invariant fetch_once asserts (the derived table returns 800+
+        # pairs through the same cores) ------------------------------
+        assert il.media_mirror_from(spans).count() == 0
+        assert il.media_mirror_delta_from(
+            spans.withColumn(
+                "doc_id", F.abs(F.hash("doc_id")).cast("long")
+            )
+        ).count() == 0  # delta split needs numeric ids; still ref-unique
+
+        # --- media_gallery_from: per-doc-unique refs mean every
+        # unordered ref pair co-occurs in exactly ONE doc — below
+        # COOCCUR_MIN_DOCS — so the gallery map is all singletons ------
+        gal = il.media_gallery_from(spans).cache()
+        n_refs = (
+            spans.where(
+                F.col("kind").isin(*il.MEDIA_KINDS)
+                & F.col("media_ref").isNotNull()
+            )
+            .select("media_ref")
+            .distinct()
+            .count()
+        )
+        assert gal.count() == n_refs
+        assert gal.where(F.col("gallery_id") != F.col("media_ref")).count() == 0
+        gal.unpersist()
+
+        # --- context_windows_from: per-doc window costs sum to the
+        # pack_multimodal cost (cross-kernel arithmetic consistency),
+        # window ids are contiguous from 0, span counts conserve ------
+        ctx = il.context_windows_from(spans).cache()
+        per_doc = ctx.groupBy("doc_id").agg(
+            F.sum("cost").alias("wcost"),
+            F.sum("n_spans").alias("wspans"),
+            F.max("window_id").alias("mw"),
+            F.count("*").alias("nw"),
+        )
+        pack = il.pack_multimodal_from(spans).select("doc_id", "cost")
+        span_n = spans.groupBy("doc_id").agg(F.count("*").alias("sn"))
+        joined = per_doc.join(pack, "doc_id").join(span_n, "doc_id")
+        assert joined.where(F.col("wcost") != F.col("cost")).count() == 0
+        assert joined.where(F.col("wspans") != F.col("sn")).count() == 0
+        assert joined.where(F.col("mw") != F.col("nw") - 1).count() == 0
+        ctx.unpersist()
+    finally:
+        spans.unpersist()
+        web.unpersist()
