@@ -408,6 +408,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stamp; rare table + set sizes over the UNION (the
         # delta_lsh_pairs contract), O(delta) daily ingest (sweep-green)
         "il_media_mirror_delta": interleaved.media_mirror_delta,
+        # template-debiased PPS sampling — behind the window as a
+        # composition: the weight table IS il_template_downweight's
+        # (whose sig kernel is in-window il_template_groups) and the
+        # inclusion predicate is the ONE shared pps_admit_col that
+        # in-window sample_pps_poisson stamps; oracle nests the
+        # downweight mirror inside the exact-integer predicate mirror
+        "il_template_pps_sample": interleaved.template_pps_sample,
         # shard-writer utilization report: pure integer arithmetic over
         # the shard token TOTALS (never the layout window) — behind the
         # window as a rollup of the stamped pack_sequences layout
@@ -1531,6 +1538,31 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE shared >= {interleaved.MIRROR_MIN_SHARED}
               AND 1000000 * shared // (ca.n + cb.n - shared)
                   >= {interleaved.MIRROR_MIN_PPM}
+        """,
+        "il_template_pps_sample": f"""
+            {il_spans}
+            , sigs AS (
+              SELECT doc_id,
+                     array_to_string(list(
+                       CASE WHEN kind <> 'text' THEN substr(kind, 1, 1)
+                            ELSE 't' || CAST(len(string_split(
+                                   coalesce(text, ''), ' ')) AS VARCHAR)
+                       END ORDER BY "offset"), '.') AS sig
+              FROM spans GROUP BY doc_id
+            ), w AS (
+              SELECT doc_id, {sig60} AS template_id,
+                     CAST(count(*) OVER (PARTITION BY sig) AS BIGINT)
+                       AS n_docs,
+                     CAST(1000000 // (count(*) OVER (PARTITION BY sig))
+                          AS BIGINT) AS weight_ppm
+              FROM sigs
+            ), g AS (
+              SELECT CAST(sum(weight_ppm) AS BIGINT) AS w_total FROM w
+            )
+            SELECT doc_id, template_id, n_docs, weight_ppm FROM w, g
+            WHERE CAST({pps60} AS HUGEINT) * w_total
+                < CAST(weight_ppm * {curation.PPS_N_TARGET} AS HUGEINT)
+                  * CAST(1152921504606846976 AS HUGEINT)
         """,
         "il_pipeline_multimodal": f"""
             {il_spans}

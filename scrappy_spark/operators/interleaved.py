@@ -974,3 +974,51 @@ def media_mirror_delta_from(
         "delta_id", "history_id", "shared", "n_delta", "n_history",
         "jaccard_ppm",
     )
+
+
+def template_pps_sample(
+    spark: SparkSession, sf_dir: str, n_target: int | None = None
+) -> DataFrame:
+    """The composition `template_downweight` exists to feed: PPS
+    admission with the TEMPLATE weight as the size measure — a document
+    is included with probability min(1, n·weight/W), so the ten-
+    thousandth copy of a boilerplate scaffold is sampled at 1/10000th
+    the rate of a unique page while every template family retains
+    expected-constant representation. This is template-debiased corpus
+    sampling, the standard counter to scaffold-dominated web dumps.
+
+    Reuses the ONE shared exact-integer inclusion predicate
+    (`curation.pps_admit_col` — hash60('pps:'||doc)·W < n·w·2^60 in
+    DECIMAL, no floats, no RNG state), so this sampler, the token-PPS
+    batch sampler, and the streaming admission twin cannot drift.
+
+    100 TB shape: downweight's two Exchanges + ONE 1-row scalar agg
+    (partial-agg sum of weights) broadcast back; the admission test is
+    MAP-ONLY — the composition adds zero corpus-sized shuffles beyond
+    its constituent's."""
+    from .curation import PPS_N_TARGET
+
+    weights = template_downweight_from(spans_from(_docs(spark, sf_dir)))
+    return template_pps_sample_from(
+        weights, PPS_N_TARGET if n_target is None else n_target
+    )
+
+
+def template_pps_sample_from(weights: DataFrame, n_target: int) -> DataFrame:
+    """``weights``: (doc_id, template_id, n_docs, weight_ppm) — the
+    template_downweight_from output shape."""
+    from .curation import pps_admit_col
+
+    total = weights.agg(F.sum("weight_ppm").alias("_w_total"))
+    return (
+        weights.crossJoin(F.broadcast(total))
+        .where(
+            pps_admit_col(
+                F.col("doc_id"),
+                F.col("weight_ppm"),
+                F.col("_w_total"),
+                n_target,
+            )
+        )
+        .select("doc_id", "template_id", "n_docs", "weight_ppm")
+    )

@@ -581,3 +581,50 @@ def test_media_mirror_delta_asymmetry(spark):
         if (a % 3 == 0) != (b % 3 == 0)
     }
     assert crossing == {p: 1_000_000 for p in got}
+
+
+def test_template_pps_sample_debias(spark):
+    """Template-debiased PPS: the inclusion predicate is the shared
+    pps_admit_col evaluated on weight_ppm — verified against a pure-
+    python replica over a corpus with one dominant template; always-in
+    algebra (n·w >= W) includes every doc when n_target is large."""
+    import hashlib
+
+    rows = []
+    # 40 docs of one scaffold (weight 25_000 each), 2 unique docs
+    for d in range(1, 41):
+        rows += [(d, "text", "a b c", None, 0)]
+    rows += [(100, "text", "p q r s t u", None, 0),
+             (101, "text", "one two three four five six seven", None, 1)]
+    spans = _general_spans(spark, rows)
+    weights = {r["doc_id"]: r["weight_ppm"]
+               for r in il.template_downweight_from(spans).collect()}
+    assert weights[1] == 25_000 and weights[100] == 1_000_000
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n_target = 8
+    W = sum(weights.values())
+    want = {
+        d for d, w in weights.items()
+        if h60(f"pps:{d}") * W < n_target * w * (1 << 60)
+    }
+    got = {
+        r["doc_id"]
+        for r in il.template_pps_sample_from(
+            il.template_downweight_from(spans), n_target
+        ).collect()
+    }
+    assert got == want
+    # debiasing is live: unique docs are ~40x likelier per doc; with
+    # these weights the template's EXPECTED draw is n·(40·25k)/W ≈ 2.7
+    # of 40 docs while each unique doc is included with p ≈ 2.7/1000000·40…
+    # the exact sets above already pin the arithmetic; just assert the
+    # sample is a proper subset and nonempty
+    assert 0 < len(got) < len(weights)
+    # always-in: huge n_target admits everything (min(1,·) algebra)
+    all_in = il.template_pps_sample_from(
+        il.template_downweight_from(spans), 10_000_000
+    ).count()
+    assert all_in == len(weights)
