@@ -590,8 +590,20 @@ def media_cooccur_from(
     min_docs: int = COOCCUR_MIN_DOCS,
 ) -> DataFrame:
     media = spans.where(_is_media() & F.col("media_ref").isNotNull())
+    return _cooccur_pairs(
+        media.select("doc_id", "media_ref"), max_refs, min_docs
+    )
+
+
+def _cooccur_pairs(
+    doc_ref: DataFrame, max_refs: int, min_docs: int
+) -> DataFrame:
+    """Co-occurrence edge core over a (doc_id, media_ref) table —
+    shared by the standalone cooccur entry (raw media rows; collect_set
+    dedups) and media_gallery (a checkpointed distinct table feeding
+    two consumers)."""
     refs = (
-        media.groupBy("doc_id")
+        doc_ref.groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("media_ref")).alias("refs"))
         .where(F.size("refs").between(2, max_refs))
     )
@@ -665,18 +677,26 @@ def media_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_mirror_from(spans_from(_docs(spark, sf_dir)))
 
 
-def media_mirror_from(
-    spans: DataFrame,
-    max_df: int = MIRROR_MAX_DF,
-    min_shared: int = MIRROR_MIN_SHARED,
-    min_ppm: int = MIRROR_MIN_PPM,
-) -> DataFrame:
-    doc_ref = (
+def _doc_ref_table(spans: DataFrame) -> DataFrame:
+    """Distinct (doc_id, media_ref) over media spans, checkpointed once
+    — the shared entry stage of every ref-set kernel below (mirror,
+    delta mirror, gallery): ONE copy of the distinct/checkpoint
+    discipline so a retune cannot drift between siblings."""
+    return (
         spans.where(_is_media() & F.col("media_ref").isNotNull())
         .select("doc_id", "media_ref")
         .distinct()
-        .localCheckpoint()  # fan-out: df filter + per-doc counts
+        .localCheckpoint()  # fan-out: df filter + per-doc counts / nodes
     )
+
+
+def _rare_refs(
+    doc_ref: DataFrame, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """(rare, counts): the df-capped (doc, ref) table and per-doc rare
+    set sizes — the shared stock-media stage of both mirror kernels.
+    The cap is both the semantic filter (ubiquitous media is not
+    mirroring evidence) and the skew bound on per-ref pair fan-out."""
     df_counts = doc_ref.groupBy("media_ref").agg(
         F.count(F.lit(1)).alias("_df")
     )
@@ -684,9 +704,19 @@ def media_mirror_from(
         doc_ref.join(df_counts, "media_ref")
         .where(F.col("_df") <= max_df)
         .drop("_df")
-        .localCheckpoint()  # fan-out: per-ref doc arrays + per-doc counts
+        .localCheckpoint()  # fan-out: pair generation + per-doc counts
     )
     counts = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return rare, counts
+
+
+def media_mirror_from(
+    spans: DataFrame,
+    max_df: int = MIRROR_MAX_DF,
+    min_shared: int = MIRROR_MIN_SHARED,
+    min_ppm: int = MIRROR_MIN_PPM,
+) -> DataFrame:
+    rare, counts = _rare_refs(_doc_ref_table(spans), max_df)
     docs_per_ref = rare.groupBy("media_ref").agg(
         F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
@@ -751,14 +781,15 @@ def media_gallery_from(
 ) -> DataFrame:
     from .dedup import components_from_pairs
 
-    pairs = media_cooccur_from(spans, max_refs, min_docs).select(
+    # checkpoint the distinct (doc, ref) table ONCE: it feeds BOTH the
+    # cooccur edges and the node set — without it the map-only span
+    # derivation (a full parquet scan) executes twice, the exact 2× I/O
+    # cost the spans_from docstring exists to avoid (review r5)
+    doc_ref = _doc_ref_table(spans)
+    pairs = _cooccur_pairs(doc_ref, max_refs, min_docs).select(
         F.col("ref_a").alias("a"), F.col("ref_b").alias("b")
     )
-    nodes = (
-        spans.where(_is_media() & F.col("media_ref").isNotNull())
-        .select(F.col("media_ref").alias("doc_id"))
-        .distinct()
-    )
+    nodes = doc_ref.select(F.col("media_ref").alias("doc_id")).distinct()
     # max_iter=40 (not the kernel's 20 default): gallery graphs chain
     # refs through long photo-set overlaps — the derived 211-ref corpus
     # builds a 45-ref component of approximate diameter 23 whose
@@ -926,22 +957,22 @@ def media_mirror_delta_from(
     min_shared: int = MIRROR_MIN_SHARED,
     min_ppm: int = MIRROR_MIN_PPM,
 ) -> DataFrame:
-    doc_ref = (
-        spans.where(_is_media() & F.col("media_ref").isNotNull())
-        .select("doc_id", "media_ref")
-        .distinct()
-        .localCheckpoint()  # fan-out: df filter + per-doc counts
-    )
-    df_counts = doc_ref.groupBy("media_ref").agg(
-        F.count(F.lit(1)).alias("_df")
-    )
-    rare = (
-        doc_ref.join(df_counts, "media_ref")
-        .where(F.col("_df") <= max_df)
-        .drop("_df")
-        .localCheckpoint()  # fan-out: both join sides + per-doc counts
-    )
-    counts = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.types import NumericType
+
+    # fail loud on a non-numeric doc_id (review r5): the delta split is
+    # `doc_id % delta_mod`, and under legacy (non-ANSI) mode a string
+    # doc_id (the crawl corpus's URLs) would cast to NULL, BOTH sides
+    # would drop every row, and the kernel would return an empty mirror
+    # report with no error. Callers with string ids hash them to longs
+    # first (the crawl-integration test's recipe); the symmetric
+    # media_mirror_from has no split and stays id-type-agnostic.
+    if not isinstance(spans.schema["doc_id"].dataType, NumericType):
+        raise TypeError(
+            "media_mirror_delta_from: doc_id must be numeric for the "
+            "delta split (doc_id % delta_mod); hash string ids to longs "
+            "first"
+        )
+    rare, counts = _rare_refs(_doc_ref_table(spans), max_df)
     is_delta = (F.col("doc_id") % delta_mod) == 0
     left = rare.where(is_delta).select(
         F.col("doc_id").alias("delta_id"), "media_ref"
@@ -1009,6 +1040,11 @@ def template_pps_sample_from(weights: DataFrame, n_target: int) -> DataFrame:
     template_downweight_from output shape."""
     from .curation import pps_admit_col
 
+    # checkpoint before the fan-out (review r5): the weights subtree
+    # (downweight's counts aggregate + template join) feeds BOTH the
+    # scalar total and the admission probe — without this it executes
+    # twice and the docstring's plan claim undercounts the real plan
+    weights = weights.localCheckpoint()
     total = weights.agg(F.sum("weight_ppm").alias("_w_total"))
     return (
         weights.crossJoin(F.broadcast(total))

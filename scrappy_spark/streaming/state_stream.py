@@ -808,7 +808,16 @@ def mirror_candidates_stream(
             ids = [ids[i] for i in live]
             ts = [ts[i] for i in live]
             if did in ids:
-                continue  # (doc, ref) distinct — the batch contract
+                # (doc, ref) distinct — the batch contract — but the
+                # re-citation REFRESHES the doc's event time (review
+                # r5): without this a continuously-cited doc ages out
+                # from its FIRST citation and in-window pairs are
+                # silently missed, contradicting 'df is evaluated over
+                # the retention window'; same staleness made saturation
+                # resume early
+                i = ids.index(did)
+                ts[i] = max(ts[i], ems)
+                continue
             if len(ids) < max_df:
                 for oid in ids:
                     a, b = (did, oid) if did < oid else (oid, did)

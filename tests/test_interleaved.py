@@ -628,3 +628,18 @@ def test_template_pps_sample_debias(spark):
         il.template_downweight_from(spans), 10_000_000
     ).count()
     assert all_in == len(weights)
+
+
+def test_media_mirror_delta_rejects_string_ids(spark):
+    """Review r5 regression: a string doc_id would NULL-cast under the
+    legacy mode's delta split and silently empty BOTH sides — the kernel
+    fails loud instead; callers hash string ids to longs first."""
+    import pytest
+
+    spans = spark.createDataFrame(
+        [("u://a", "image", None, "m://x/r", 1)],
+        "doc_id string, kind string, text string, media_ref string, "
+        "offset int",
+    )
+    with pytest.raises(TypeError, match="doc_id must be numeric"):
+        il.media_mirror_delta_from(spans)

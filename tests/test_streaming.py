@@ -849,3 +849,43 @@ def test_mirror_stream_resumes_from_checkpoint(spark, tmp_path):
         ("d1", "d3", "m://x/R"),
         ("d2", "d3", "m://x/R"),
     ]
+
+
+def test_mirror_stream_recitation_refreshes_ttl(spark, tmp_path):
+    """Review r5 regression: a doc re-citing the same ref inside the
+    window refreshes its event time — without the refresh the doc ages
+    out from its FIRST citation and an in-window pair is silently lost."""
+    import datetime
+
+    from scrappy_spark.streaming.state_stream import mirror_candidates_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("d1", 0), ("d1", 50), ("d2", 70)]  # ttl 60s below
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            ("%s" % d, "image", "m://x/R", t0 + datetime.timedelta(seconds=s))
+            for d, s in rows
+        ],
+        "doc_id string, kind string, media_ref string, event_time timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "doc_id string, kind string, media_ref string, event_time timestamp"
+    ).parquet(str(src / "*"))
+    q = (
+        mirror_candidates_stream(stream, ttl_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("ttl_refresh_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT * FROM ttl_refresh_t").collect()
+    }
+    # d2 arrives 70s after d1's first citation (past TTL) but 20s after
+    # the re-citation — the pair must emit
+    assert got == {("d1", "d2")}
