@@ -415,6 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window sample_pps_poisson stamps; oracle nests the
         # downweight mirror inside the exact-integer predicate mirror
         "il_template_pps_sample": interleaved.template_pps_sample,
+        # gallery-size histogram — behind the window as a rollup of
+        # in-window il_media_gallery's component map (the
+        # dedup_cluster_stats precedent)
+        "il_media_gallery_stats": interleaved.media_gallery_stats,
         # shard-writer utilization report: pure integer arithmetic over
         # the shard token TOTALS (never the layout window) — behind the
         # window as a rollup of the stamped pack_sequences layout
@@ -1352,6 +1356,49 @@ def _oracle_sql_static() -> dict[str, str]:
                   WHERE kind IN ('image','video','media')
                     AND media_ref IS NOT NULL)
             LEFT JOIN comp ON node = media_ref
+        """,
+        # gallery-size histogram: the gallery closure (above) wrapped in
+        # a two-level rollup — sizes, then histogram
+        "il_media_gallery_stats": f"""
+            {il_spans_rec}
+            , refs AS (
+              SELECT doc_id, list_sort(list(DISTINCT media_ref)) AS refs
+              FROM spans WHERE kind <> 'text' AND media_ref IS NOT NULL
+              GROUP BY doc_id
+            ), ex AS (
+              SELECT doc_id, unnest(refs) AS r,
+                     generate_subscripts(refs, 1) AS i
+              FROM refs
+              WHERE len(refs) BETWEEN 2 AND {interleaved.COOCCUR_MAX_REFS}
+            ), cp AS (
+              SELECT a.r AS ra, b.r AS rb
+              FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.i < b.i
+              GROUP BY 1, 2
+              HAVING count(*) >= {interleaved.COOCCUR_MIN_DOCS}
+            ),
+            edges AS (SELECT ra AS x, rb AS y FROM cp
+                      UNION SELECT rb, ra FROM cp),
+            reach AS (
+              SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+            ),
+            comp AS (SELECT x AS node, min(y) AS mn FROM reach GROUP BY x),
+            gal AS (
+              SELECT media_ref,
+                     least(media_ref, coalesce(mn, media_ref)) AS gallery_id
+              FROM (SELECT DISTINCT media_ref FROM spans
+                    WHERE kind IN ('image','video','media')
+                      AND media_ref IS NOT NULL)
+              LEFT JOIN comp ON node = media_ref
+            ), sizes AS (
+              SELECT gallery_id, CAST(count(*) AS BIGINT) AS gallery_size
+              FROM gal GROUP BY 1
+            )
+            SELECT gallery_size,
+                   CAST(count(*) AS BIGINT) AS n_galleries,
+                   CAST(count(*) * gallery_size AS BIGINT) AS n_refs
+            FROM sizes GROUP BY gallery_size
         """,
         # greedy caption-atomic window fill: atom_id = running text-span
         # count (leading media = atom 0), then a per-doc recursive walk

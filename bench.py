@@ -139,6 +139,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "il_media_mirror_delta": interleaved.media_mirror_delta,
         "il_template_pps_sample": interleaved.template_pps_sample,
         "il_media_gallery": interleaved.media_gallery,
+        "il_media_gallery_stats": interleaved.media_gallery_stats,
         "il_context_windows": interleaved.context_windows,
         "il_media_decontaminate": interleaved.media_decontaminate,
         "il_media_cooccur": interleaved.media_cooccur,

@@ -1058,3 +1058,33 @@ def template_pps_sample_from(weights: DataFrame, n_target: int) -> DataFrame:
         )
         .select("doc_id", "template_id", "n_docs", "weight_ppm")
     )
+
+
+def media_gallery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gallery-size histogram — the media-axis twin of
+    `dedup.minhash_cluster_stats`: how many galleries have k members,
+    the table a curation review reads BEFORE deciding gallery-level
+    sampling rates (a corpus of 200k 2-image galleries needs a
+    different policy than one 400k-image mega-gallery).
+
+    100 TB shape: the component map's node-sized output reduces through
+    two partial-agg shuffles (gallery_id → size, size → count); the
+    histogram is |distinct sizes|-bounded, a config-scale table."""
+    spans = spans_from(_docs(spark, sf_dir))
+    return media_gallery_stats_from(media_gallery_from(spans))
+
+
+def media_gallery_stats_from(gallery: DataFrame) -> DataFrame:
+    """``gallery``: (media_ref, gallery_id) — the media_gallery_from
+    output shape. Output: (gallery_size, n_galleries, n_refs),
+    singletons included (flag-not-filter: gallery_size=1 rows make the
+    oracle discriminate in both directions)."""
+    sizes = gallery.groupBy("gallery_id").agg(
+        F.count(F.lit(1)).alias("gallery_size")
+    )
+    return sizes.groupBy("gallery_size").agg(
+        F.count(F.lit(1)).alias("n_galleries"),
+        (F.count(F.lit(1)) * F.col("gallery_size"))
+        .cast("long")
+        .alias("n_refs"),
+    )

@@ -643,3 +643,29 @@ def test_media_mirror_delta_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="doc_id must be numeric"):
         il.media_mirror_delta_from(spans)
+
+
+def test_media_gallery_stats_histogram(spark):
+    """Size histogram over the component map: the {a,b,c}+singleton
+    graph from the gallery test rolls up to one 3-gallery and two
+    1-galleries, with ref counts conserved."""
+    def doc(doc_id, refs):
+        return [
+            (doc_id, "image", None, f"m://x/{r}", i * 2 + 1)
+            for i, r in enumerate(refs)
+        ]
+
+    rows = []
+    rows += doc(1, ["a", "b"]) + doc(2, ["a", "b"])
+    rows += doc(3, ["b", "c"]) + doc(4, ["b", "c"])
+    rows += doc(5, ["c", "d"])  # c-d below min_docs: d singleton
+    rows += doc(6, ["e"])
+    spans = _general_spans(spark, rows)
+    got = {
+        r["gallery_size"]: (r["n_galleries"], r["n_refs"])
+        for r in il.media_gallery_stats_from(
+            il.media_gallery_from(spans)
+        ).collect()
+    }
+    assert got == {3: (1, 3), 1: (2, 2)}
+    assert sum(n for _, n in got.values()) == 5  # all refs accounted
