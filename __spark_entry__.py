@@ -419,6 +419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window il_media_gallery's component map (the
         # dedup_cluster_stats precedent)
         "il_media_gallery_stats": interleaved.media_gallery_stats,
+        # caption-candidate quality scoring — behind the window as a
+        # map-only composition over in-window il_caption_pairs' output
+        # (exact-integer length-banded alpha density, the
+        # textstats.quality_score heuristics in fixed point)
+        "il_caption_quality": interleaved.caption_quality,
         # shard-writer utilization report: pure integer arithmetic over
         # the shard token TOTALS (never the layout window) — behind the
         # window as a rollup of the stamped pack_sequences layout
@@ -1289,6 +1294,8 @@ def _oracle_sql_static() -> dict[str, str]:
     # recursive-closure variants (gallery components, greedy window fill)
     il_spans_rec = il_spans.replace("WITH ", "WITH RECURSIVE ", 1)
     il_refnum = "CAST(string_split(media_ref, '/')[-1] AS BIGINT)"
+    DUCK_TOKENS_B = DUCK_TOKENS.format(col="before_text")
+    DUCK_TOKENS_A = DUCK_TOKENS.format(col="after_text")
     mm_h60 = DUCK_HASH60.format(s="CAST(doc_id AS VARCHAR)")
     sig60 = DUCK_HASH60.format(s="sig")
     return {
@@ -1399,6 +1406,55 @@ def _oracle_sql_static() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_galleries,
                    CAST(count(*) * gallery_size AS BIGINT) AS n_refs
             FROM sizes GROUP BY gallery_size
+        """,
+        # caption-candidate scoring: the caption_pairs mirror nested
+        # under exact-integer length-banded alpha density per side
+        "il_caption_quality": f"""
+            {il_spans}
+            , cp AS (
+              SELECT doc_id, media_ref, "offset",
+                     coalesce(lag(text) OVER (PARTITION BY doc_id
+                                              ORDER BY "offset"), '')
+                       AS before_text,
+                     coalesce(lead(text) OVER (PARTITION BY doc_id
+                                               ORDER BY "offset"), '')
+                       AS after_text
+              FROM spans QUALIFY media_ref IS NOT NULL
+            ), s AS (
+              SELECT doc_id, media_ref, "offset",
+                     CAST(
+                       CASE WHEN len(before_text) = 0 THEN 0
+                            WHEN len({DUCK_TOKENS_B}) BETWEEN
+                                 {interleaved.CAP_MIN_TOKENS}
+                                 AND {interleaved.CAP_MAX_TOKENS}
+                              THEN {interleaved.CAP_LEN_BONUS_PPM}
+                            ELSE 0 END
+                       + CASE WHEN len(before_text) = 0 THEN 0
+                              ELSE (1000000 * len(regexp_replace(
+                                      before_text, '[^A-Za-z]', '', 'g'))
+                                    // len(before_text)) // 2 END
+                     AS BIGINT) AS before_score_ppm,
+                     CAST(
+                       CASE WHEN len(after_text) = 0 THEN 0
+                            WHEN len({DUCK_TOKENS_A}) BETWEEN
+                                 {interleaved.CAP_MIN_TOKENS}
+                                 AND {interleaved.CAP_MAX_TOKENS}
+                              THEN {interleaved.CAP_LEN_BONUS_PPM}
+                            ELSE 0 END
+                       + CASE WHEN len(after_text) = 0 THEN 0
+                              ELSE (1000000 * len(regexp_replace(
+                                      after_text, '[^A-Za-z]', '', 'g'))
+                                    // len(after_text)) // 2 END
+                     AS BIGINT) AS after_score_ppm
+              FROM cp
+            )
+            SELECT doc_id, media_ref, "offset",
+                   before_score_ppm, after_score_ppm,
+                   CASE WHEN before_score_ppm >= after_score_ppm
+                        THEN 'before' ELSE 'after' END AS best_side,
+                   greatest(before_score_ppm, after_score_ppm)
+                     AS best_score_ppm
+            FROM s
         """,
         # greedy caption-atomic window fill: atom_id = running text-span
         # count (leading media = atom 0), then a per-doc recursive walk

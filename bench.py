@@ -148,6 +148,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "il_media_stats": interleaved.media_stats,
         "il_fetch_once": interleaved.fetch_once,
         "il_caption_pairs": interleaved.caption_pairs,
+        "il_caption_quality": interleaved.caption_quality,
         "il_media_pop": interleaved.media_pop,
         "il_pack_multimodal": interleaved.pack_multimodal,
     }

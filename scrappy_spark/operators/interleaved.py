@@ -1088,3 +1088,77 @@ def media_gallery_stats_from(gallery: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_refs"),
     )
+
+
+CAP_MIN_TOKENS = 3  # caption length band: shorter is a label, not a caption
+CAP_MAX_TOKENS = 30  # longer is body prose, not a caption
+CAP_LEN_BONUS_PPM = 500_000  # in-band length contributes half the score
+
+
+def caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-candidate quality scoring — the selection stage after
+    `caption_pairs` mines candidates: an image-text trainer keeps ONE
+    caption per media span, and "the nearest text" is often a nav label
+    or body prose. Each side (the text before / after the media span)
+    scores in exact integer ppm: in-band token length (3–30, the
+    caption-length prior) contributes CAP_LEN_BONUS_PPM, alphabetic
+    character density the other half — length-banded alpha density, the
+    textstats.quality_score heuristics in fixed point. The best side
+    wins; ties prefer 'before' (preceding prose is the likelier caption,
+    and the tiebreak must be deterministic for the oracle).
+
+    100 TB shape: MAP-ONLY over caption_pairs' output — the composition
+    adds zero shuffles to its constituent's one doc_id Exchange. All
+    arithmetic integer, all regexes ASCII-class (the scrub.py RE2-parity
+    discipline), tokenization the ONE shared tokens_col."""
+    return caption_quality_from(caption_pairs_from(spans_from(_docs(spark, sf_dir))))
+
+
+def caption_quality_from(pairs: DataFrame) -> DataFrame:
+    """``pairs``: the caption_pairs_from output shape
+    (doc_id, media_ref, kind, offset, before_text, after_text)."""
+    from .text import tokens_col
+
+    def side(colname: str, out: str) -> F.Column:
+        t = F.col(colname)
+        n = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+            F.size(tokens_col(t))
+        )
+        # half the ppm of alphabetic chars, exact integer div at every
+        # step (never /2 -> double); empty text -> 0. ASCII class only
+        # (the scrub.py RE2-parity discipline)
+        half_alpha = F.when(
+            F.length(t) == 0, F.lit(0).cast("long")
+        ).otherwise(
+            F.expr(
+                f"(1000000L * length(regexp_replace({colname}, "
+                f"'[^A-Za-z]', '')) div length({colname})) div 2L"
+            )
+        )
+        len_ok = n.between(CAP_MIN_TOKENS, CAP_MAX_TOKENS).cast("long")
+        return (len_ok * CAP_LEN_BONUS_PPM + half_alpha).alias(out)
+
+    # the oracle mirrors score = len_ok*BONUS + (1e6*alpha // chars) // 2
+    scored = pairs.select(
+        "doc_id",
+        "media_ref",
+        "offset",
+        side("before_text", "before_score_ppm"),
+        side("after_text", "after_score_ppm"),
+    )
+    return scored.select(
+        "doc_id",
+        "media_ref",
+        "offset",
+        "before_score_ppm",
+        "after_score_ppm",
+        F.when(
+            F.col("before_score_ppm") >= F.col("after_score_ppm"),
+            F.lit("before"),
+        )
+        .otherwise(F.lit("after"))
+        .alias("best_side"),
+        F.greatest("before_score_ppm", "after_score_ppm").alias(
+            "best_score_ppm"
+        ),
+    )

@@ -669,3 +669,47 @@ def test_media_gallery_stats_histogram(spark):
     }
     assert got == {3: (1, 3), 1: (2, 2)}
     assert sum(n for _, n in got.values()) == 5  # all refs accounted
+
+
+def test_caption_quality_banding_and_tiebreak(spark):
+    """Exact fixed-point caption scores: in-band all-alpha text scores
+    the full 1e6; out-of-band (too short / body prose) loses the length
+    bonus; digits/punct dilute alpha ppm; ties prefer 'before'."""
+    def pairs(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, media_ref string, kind string, offset int, "
+            "before_text string, after_text string",
+        )
+
+    out = {
+        r["offset"]: r
+        for r in il.caption_quality_from(
+            pairs(
+                [
+                    # before: 4 alpha words (in-band, all alpha+spaces)
+                    # 'a cat on mat' = 12 chars, 9 alpha -> alpha_ppm
+                    # 750000 -> half 375000 + 500000 = 875000
+                    (1, "m://x/1", "image", 1, "a cat on mat", ""),
+                    # too short (2 tokens): no bonus; 'hi yo' 5 chars,
+                    # 4 alpha -> 800000 // 2 = 400000
+                    (1, "m://x/2", "image", 3, "hi yo", ""),
+                    # digits dilute: '1 2 3 4' in-band (4 tokens) but
+                    # 0 alpha -> exactly the 500000 bonus
+                    (1, "m://x/3", "image", 5, "1 2 3 4", ""),
+                    # tie: identical sides -> 'before'
+                    (1, "m://x/4", "image", 7, "one two three", "one two three"),
+                    # after wins when before is empty
+                    (1, "m://x/5", "image", 9, "", "a fine caption here"),
+                ]
+            )
+        ).collect()
+    }
+    assert out[1]["before_score_ppm"] == 875_000
+    assert out[1]["best_side"] == "before"
+    assert out[3]["before_score_ppm"] == 400_000
+    assert out[5]["before_score_ppm"] == 500_000
+    assert out[7]["best_side"] == "before"  # deterministic tie
+    assert out[9]["best_side"] == "after"
+    assert out[9]["before_score_ppm"] == 0
+    assert out[9]["best_score_ppm"] == out[9]["after_score_ppm"] > 0
