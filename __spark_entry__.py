@@ -94,7 +94,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_driver_contract.py.
     """
     return {
-        # --- NEW in round 5, sixth insertion wave (front per convention):
+        # --- NEW in round 5, seventh insertion wave (front per
+        # convention): three kernels new to the engine this wave. The
+        # three entries moved behind the window to make room each have
+        # their core kernel evidenced by an entry that KEEPS a slot:
+        # frontier_pagerank_pop is the composition of graph_pagerank
+        # (stays) with the REAL ranked_pop kernel (il_media_pop stays,
+        # exercising priority + budget overrides); sitemap_index_expand
+        # is a one-level equi-join expansion over the SAME block-parse
+        # kernel in-window sitemap_parse and sitemap_recent_seeds stamp;
+        # graph_host_degree is the same _ANCHOR_LINKS derivation +
+        # partial-agg rollup discipline as in-window graph_anchor_topk.
+        # All three keep full value oracles and stay sweep-green.
+        # ------------------------------------------------------------------
+        # HyperLogLog distinct-count: register maxes over the mirrored
+        # hash60 — duplicate-insensitive, so the plan is map-only + a
+        # 256-row exchange (no distinct set anywhere); indicator sum kept
+        # as an exact BIGINT (scaled 2^53), estimate = ONE IEEE division
+        "sketch_hll_tokens": sketch.hll_distinct_tokens,
+        # HITS hubs/authorities in L1-normalized BIGINT fixed-point (the
+        # L2 norm needs sqrt — not IEEE-pinned; L1 keeps the loop
+        # integer-exact): 2 shuffles per iteration against persisted
+        # edges, same discipline as pagerank
+        "graph_hits": graph.doc_hits,
+        # measured LSH candidate recall/precision vs exact n-gram-Jaccard
+        # ground truth (the eval every dedup deployment runs before
+        # trusting banding parameters): full-outer pair join + scalar
+        # agg, ppm values as exact HALF_UP integer rationals
+        "dedup_lsh_eval": dedup.lsh_recall_eval,
+        # content-defined-chunking duplicate report (FastCDC over token
+        # streams): boundary detection + chunk rebuild entirely in
+        # native array HOFs inside the row — ONE explode, ONE groupBy(fp)
+        # Exchange; alignment-robust where fixed segments shift.
+        # Displaces crawl_snapshot_diff, whose full-outer-diff +
+        # keyed-counts shape in-window dedup_lsh_eval now evidences.
+        "dedup_cdc_chunks": boilerplate.cdc_chunk_dups,
+        # --- round 5, sixth insertion wave (front per convention):
         # three more interleaved-axis kernels. The three entries moved
         # behind the window to make room (robots_crawl_delays, ts_funnel,
         # sample_temperature) each have their core kernel evidenced by an
@@ -240,10 +275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # response, later ones become revisits pointing at the original;
         # one window Exchange on the digest
         "warc_revisit": warc_mod.warc_revisit_query,
-        # crawl-snapshot diff: full-outer join of two (url, fp) snapshots
-        # → added/removed/changed/unchanged counts per host — the
-        # freshness ledger behind the recrawl tiers
-        "crawl_snapshot_diff": recrawl_mod.snapshot_diff_query,
         # CDX/SURT index keys (the Common Crawl URL-index transform):
         # host labels reversed+comma-joined, default ports stripped,
         # fragment dropped — map-only native expressions, no shuffle
@@ -277,9 +308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # desc, anchor asc) + whole in-link count, over the collapsed
         # (dst, anchor) partial agg — never the raw edge list
         "graph_anchor_topk": webgraph.anchor_topk_query,
-        # host-graph rollup (the Common-Crawl-style hostgraph): page edges
-        # collapsed to weighted host→host edges, intra-host dropped
-        "graph_host_degree": webgraph.host_graph_query,
         # int8-quantized embedding top-k: symmetric per-vector quantization
         # (floor(x*scale+0.5) — deterministic in BOTH engines), BIGINT
         # integer dots, quantized cosine rank — the 4×-smaller store that
@@ -299,7 +327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus mirrored in SQL
         "sitemap_parse": sitemaps_mod.parse_query,
         "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
-        "sitemap_index_expand": sitemaps_mod.index_expand_query,
         # redirect-chain resolution (frontier/redirects.py): pointer-jumping
         # collapse of multi-hop redirect maps (log-diameter equi-joins,
         # fail-loud on cycles) — synthetic chains up to 15 hops, recursive-
@@ -314,10 +341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point (no float in the loop — bit-identical across
         # engines) over the deterministic doc outlink graph
         "graph_pagerank": graph.doc_pagerank,
-        # centrality-prioritized frontier pop: exact fixed-point PageRank
-        # joins the frontier, the REAL ranked_pop kernel orders each
-        # host's queue by descending rank — "crawl important pages first"
-        "frontier_pagerank_pop": graph.pagerank_prioritized_pop,
         # time-series layer over events (operators the built-in Spark
         # surface lacks, each as a scale-safe composition): as-of join
         # via union-interleave + last(ignorenulls) — one shuffle per
@@ -335,7 +358,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recipe (integral target ranks — no interpolation hazard)
         "text_token_quantiles": ranking.token_count_quantiles,
         # --- position 51+: outside the driver's 50-entry window ----------
-        # First the three moved out by the sixth (interleaved) wave — see
+        # Wave-7 entries born behind the window (every in-window slot
+        # holds a never-stamped entry; these are sweep-green from birth):
+        # parallel-corpus candidate mining — the cross-language reading
+        # of in-window il_media_mirror (its rare-ref pair kernel at a
+        # looser gate) joined with the langid vote; cross_lang is a
+        # flag, not a filter
+        "il_bitext_candidates": interleaved.bitext_candidates,
+        # per-host politeness-compliance audit (batch twin of the
+        # streaming auditor): ONE host-keyed partial agg over per-round
+        # pop telemetry + broadcast budget overrides, violations and
+        # worst overshoot in exact integer ppm
+        "frontier_politeness_audit": yieldstats_mod.politeness_audit_query,
+        # Then the four moved out by the seventh wave — see that wave's
+        # header for the kernel-sharing rationale; each keeps its full
+        # value oracle and is sweep-green.
+        # crawl-snapshot diff: full-outer join of two (url, fp) snapshots
+        # → added/removed/changed/unchanged counts per host — the
+        # freshness ledger behind the recrawl tiers (full-outer-diff +
+        # keyed-counts shape evidenced in-window by dedup_lsh_eval)
+        "crawl_snapshot_diff": recrawl_mod.snapshot_diff_query,
+        # centrality-prioritized frontier pop: exact fixed-point PageRank
+        # joins the frontier, the REAL ranked_pop kernel orders each
+        # host's queue by descending rank — "crawl important pages first"
+        "frontier_pagerank_pop": graph.pagerank_prioritized_pop,
+        # one-level sitemapindex expansion over the in-window block-parse
+        # kernel (equi-join on the child URL)
+        "sitemap_index_expand": sitemaps_mod.index_expand_query,
+        # host-graph rollup (the Common-Crawl-style hostgraph): page edges
+        # collapsed to weighted host→host edges, intra-host dropped
+        "graph_host_degree": webgraph.host_graph_query,
+        # Then the three moved out by the sixth (interleaved) wave — see
         # that wave's header for the kernel-sharing rationale; each keeps
         # its full value oracle and is sweep-green.
         # Crawl-delay directives: a projection of the SAME parse_robots
@@ -1242,6 +1295,71 @@ _PAGERANK_CTES = f"""
 """
 
 
+def _hits_sql() -> str:
+    """Unrolled HITS mirror (operators/graph.py hits): 4 iterations ×
+    2 half-steps, each an aggregate + scalar L1 sum + HALF_UP rescale —
+    plain (non-recursive) CTEs generated by loop, because the recursive
+    form would need window/second-level aggregation inside the recursive
+    term. DuckDB's sum over BIGINT yields HUGEINT, so every intermediate
+    is exact integer arithmetic, matching Spark's DECIMAL(38,0)."""
+    s = graph.SCALE_I
+    ctes = [
+        f"""
+            WITH docs_n AS (SELECT count(*) AS n_docs FROM documents),
+            expand AS (
+              SELECT doc_id AS src,
+                     unnest(generate_series(1, 1 + doc_id % {graph.LINK_MAXDEG})) AS j
+              FROM documents
+            ),
+            edges AS (
+              SELECT DISTINCT src,
+                     (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs AS dst
+              FROM expand, docs_n n
+              WHERE (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs <> src
+                AND (src * {graph.LINK_MULT} + {graph.LINK_STRIDE} * j) % n.n_docs
+                    IN (SELECT doc_id FROM documents)
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+              )
+            ),
+            h0 AS (SELECT node, CAST({s} AS BIGINT) AS score FROM nodes)"""
+    ]
+    prev = "h0"
+    for i in range(1, graph.HITS_ITERATIONS + 1):
+        for tag, key_in, key_out in (("a", "src", "dst"), ("h", "dst", "src")):
+            src = f"a{i}" if tag == "h" else prev
+            ctes.append(
+                f"""
+            {tag}{i}r AS (
+              SELECT e.{key_out} AS node, sum(p.score) AS v
+              FROM edges e JOIN {src} p ON p.node = e.{key_in}
+              GROUP BY e.{key_out}
+            ),
+            {tag}{i}s AS (SELECT sum(v) AS s FROM {tag}{i}r),
+            {tag}{i} AS (
+              SELECT n.node,
+                     coalesce((2 * r.v * {s} + t.s) // (2 * t.s), 0) AS score
+              FROM nodes n LEFT JOIN {tag}{i}r r USING (node)
+              CROSS JOIN {tag}{i}s t
+            )"""
+            )
+        prev = f"h{i}"
+    k = graph.HITS_ITERATIONS
+    return (
+        ",".join(ctes)
+        + f"""
+            SELECT h.node AS doc_id,
+                   CAST(h.score AS BIGINT) AS hub_i,
+                   CAST(a.score AS BIGINT) AS auth_i,
+                   CAST(h.score AS DOUBLE) / {s} AS hub,
+                   CAST(a.score AS DOUBLE) / {s} AS auth
+            FROM h{k} h JOIN a{k} a USING (node)
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
     ivf = _ivf_oracle_sql()
@@ -1328,6 +1446,47 @@ def _oracle_sql_static() -> dict[str, str]:
             WHERE shared >= {interleaved.MIRROR_MIN_SHARED}
               AND 1000000 * shared // (ca.n + cb.n - shared)
                   >= {interleaved.MIRROR_MIN_PPM}
+        """,
+        # bitext candidates: the mirror pair mirror at the looser
+        # BITEXT_MIN_PPM gate, joined twice against the marker-langid
+        # mirror; cross_lang flagged, not filtered
+        "il_bitext_candidates": f"""
+            {il_spans}
+            , media AS (
+              SELECT DISTINCT doc_id, media_ref FROM spans
+              WHERE kind IN ('image','video','media')
+                AND media_ref IS NOT NULL
+            ), rare AS (
+              SELECT doc_id, media_ref FROM media
+              QUALIFY count(*) OVER (PARTITION BY media_ref)
+                      <= {interleaved.MIRROR_MAX_DF}
+            ), counts AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM rare GROUP BY 1
+            ), sh AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM rare a JOIN rare b
+                ON a.media_ref = b.media_ref AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), mir AS (
+              SELECT doc_a, doc_b, shared,
+                     1000000 * shared // (ca.n + cb.n - shared)
+                       AS jaccard_ppm
+              FROM sh
+              JOIN counts ca ON ca.doc_id = doc_a
+              JOIN counts cb ON cb.doc_id = doc_b
+              WHERE shared >= {interleaved.MIRROR_MIN_SHARED}
+                AND 1000000 * shared // (ca.n + cb.n - shared)
+                    >= {interleaved.BITEXT_MIN_PPM}
+            )
+            SELECT m.doc_a, m.doc_b, m.shared, m.jaccard_ppm,
+                   la.pred_lang AS lang_a, lb.pred_lang AS lang_b,
+                   CAST(CASE WHEN la.pred_lang <> lb.pred_lang
+                        THEN 1 ELSE 0 END AS INT) AS cross_lang
+            FROM mir m
+            JOIN ({_MARKER_LANGID_SQL}) la ON la.doc_id = m.doc_a
+            JOIN ({_MARKER_LANGID_SQL}) lb ON lb.doc_id = m.doc_b
         """,
         # gallery components: the cooccur pair mirror feeds the standard
         # recursive-closure + group-min shape shared by the other
@@ -3212,6 +3371,182 @@ def _oracle_sql_static() -> dict[str, str]:
         # deterministic set, so kth-min and the (k-1)*2^60/h_k estimate
         # are engine-independent; 255.0 * 2^60 is exact in double and
         # the single division rounds identically
+        # CDC: boundary at 0-based position p (1..n-k) iff
+        # hash60('cdc:'||gram(p)) % CDC_MOD == 0; duck 1-based index
+        # i = p+1 ranges 2..n-k+1 (range(2, n-k+2) is empty for short
+        # docs — no CASE needed); cut list B is 0-based positions, chunk
+        # j spans B[j]..B[j+1]-1 = list_slice(toks, B[j]+1, B[j+1]).
+        # Two same-length unnests zip per DuckDB semantics.
+        "dedup_cdc_chunks": f"""
+            WITH tokd AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE text IS NOT NULL
+            ),
+            cuts AS (
+              SELECT doc_id, toks,
+                     [0] || list_transform(
+                       list_filter(range(2, len(toks) - {boilerplate.CDC_K} + 2),
+                         i -> {DUCK_HASH60.format(
+                             s="'cdc:' || toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+                         )} % {boilerplate.CDC_MOD} = 0),
+                       i -> i - 1) || [len(toks)] AS b
+              FROM tokd
+            ),
+            ch AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(b)), j ->
+                       array_to_string(list_slice(toks, b[j] + 1, b[j+1]), ' ')))
+                       AS chunk,
+                     unnest(list_transform(range(1, len(b)), j ->
+                       b[j+1] - b[j])) AS n
+              FROM cuts
+            )
+            SELECT md5(chunk) AS fp,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(max(n) AS INT) AS chunk_tokens
+            FROM ch
+            GROUP BY md5(chunk)
+            HAVING count(*) >= 2
+        """,
+        # politeness audit: the (host, round, n_pops) grid is a pure
+        # function of the residues, so DISTINCT yields <= 13*9 rows at
+        # every sf; budgets = the literal override map, else base
+        "frontier_politeness_audit": f"""
+            WITH grid AS (
+              SELECT DISTINCT
+                     'h' || CAST(user_id % 13 AS VARCHAR) AS host,
+                     1 + event_id % 9 AS round,
+                     1 + ((user_id % 13) * 3 + (event_id % 9) * 5) % 11
+                       AS n_pops
+              FROM events
+            ),
+            b AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"({h!r}, {v})"
+                  for h, v in sorted(yieldstats_mod.POLITE_OVERRIDES.items())
+              )}) v(host, budget)
+            ),
+            j AS (
+              SELECT g.host, g.round, g.n_pops,
+                     CAST(coalesce(b.budget,
+                                   {yieldstats_mod.POLITE_BASE}) AS INT)
+                       AS budget
+              FROM grid g LEFT JOIN b USING (host)
+            )
+            SELECT host,
+                   max(budget) AS budget,
+                   CAST(count(*) AS BIGINT) AS rounds_active,
+                   CAST(sum(n_pops) AS BIGINT) AS total_pops,
+                   CAST(max(n_pops) AS BIGINT) AS max_round_pops,
+                   CAST(sum(CASE WHEN n_pops > budget THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   (1000000 * CAST(max(n_pops) AS BIGINT)) // max(budget)
+                     AS worst_over_ppm
+            FROM j GROUP BY host
+        """,
+        # HLL registers: reg = top 8 bits of hash60, rho = 53 -
+        # bit_length(low 52 bits) (bin() strips leading zeros identically
+        # in both engines); the indicator sum is exact BIGINT (scaled
+        # 2^53, empty registers contribute 2^53); NUMER is the same
+        # Python-computed double literal the Spark side multiplies, so
+        # est_raw is ONE identical IEEE division in both engines
+        "sketch_hll_tokens": f"""
+            WITH tokd AS (SELECT {_TOKS} AS toks FROM documents),
+            tok AS (SELECT unnest(toks) AS t FROM tokd),
+            rh AS (
+              SELECT h // {1 << sketch.HLL_W_BITS} AS reg,
+                     h % {1 << sketch.HLL_W_BITS} AS w
+              FROM (SELECT {DUCK_HASH60.format(s="'hll:' || t")} AS h FROM tok)
+            ),
+            rr AS (
+              SELECT reg,
+                     max(CASE WHEN w = 0 THEN {sketch.HLL_W_BITS + 1}
+                         ELSE {sketch.HLL_W_BITS + 1} - length(bin(w)) END)
+                       AS m_j
+              FROM rh GROUP BY reg
+            ),
+            filled AS (
+              SELECT coalesce(rr.m_j, 0) AS m_j
+              FROM (SELECT unnest(range(0, {sketch.HLL_M})) AS reg) regs
+              LEFT JOIN rr USING (reg)
+            ),
+            agg AS (
+              SELECT CAST(sum(CAST(1 AS BIGINT)
+                              << ({sketch.HLL_W_BITS + 1} - m_j)) AS BIGINT)
+                       AS s_scaled,
+                     CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zeros
+              FROM filled
+            ),
+            ex AS (SELECT count(DISTINCT t) AS exact_distinct FROM tok)
+            SELECT {sketch.HLL_M} AS m,
+                   {sketch.HLL_M} - zeros AS registers_hit,
+                   zeros,
+                   s_scaled,
+                   {sketch.HLL_NUMER!r} / CAST(s_scaled AS DOUBLE) AS est_raw,
+                   exact_distinct
+            FROM agg, ex
+        """,
+        "graph_hits": _hits_sql(),
+        # LSH blocking eval: truth = exact-Jaccard pairs at JACCARD_T,
+        # candidates = the band buckets' output, compared by one
+        # full-outer pair join; ppm rationals HALF_UP as on the Spark side
+        "dedup_lsh_eval": _SIGS_CTE
+        + f""",
+            bands AS ({_BANDS}),
+            capped AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+              ) WHERE bsz <= {dedup.LSH_MAX_BUCKET}
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM capped l JOIN capped r
+                ON l.band = r.band AND l.bucket = r.bucket
+                   AND l.doc_id < r.doc_id
+            ),
+            shf AS (
+              SELECT doc_id, sh FROM (
+                SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+                FROM sh
+              ) WHERE df <= {dedup.JACCARD_MAX_DF}
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+            common AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS c
+              FROM shf l JOIN shf r ON l.sh = r.sh AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id
+            ),
+            truth AS (
+              SELECT a, b FROM common
+              JOIN sz sa ON sa.doc_id = a
+              JOIN sz sb ON sb.doc_id = b
+              WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6)
+                    >= {dedup.JACCARD_T}
+            ),
+            j AS (
+              SELECT CASE WHEN t.a IS NULL THEN 0 ELSE 1 END AS in_t,
+                     CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS in_c
+              FROM truth t FULL OUTER JOIN cand c
+                ON t.a = c.a AND t.b = c.b
+            ),
+            agg AS (
+              SELECT CAST(sum(in_t) AS BIGINT) AS n_true,
+                     CAST(sum(in_c) AS BIGINT) AS n_cand,
+                     CAST(sum(in_t * in_c) AS BIGINT) AS n_hit
+              FROM j
+            )
+            SELECT n_true, n_cand, n_hit,
+                   CAST(CASE WHEN n_true = 0 THEN 1000000
+                        ELSE (2 * n_hit * 1000000 + n_true) // (2 * n_true)
+                        END AS BIGINT) AS recall_ppm,
+                   CAST(CASE WHEN n_cand = 0 THEN 1000000
+                        ELSE (2 * n_hit * 1000000 + n_cand) // (2 * n_cand)
+                        END AS BIGINT) AS precision_ppm
+            FROM agg
+        """,
         "sketch_distinct_tokens": f"""
             WITH tokd AS (SELECT {_TOKS} AS toks FROM documents),
             tok AS (SELECT unnest(toks) AS t FROM tokd),

@@ -178,3 +178,98 @@ def budget_for(
     ``tier_ppm`` discipline)."""
     ppm = (1_000_000 * n_new) // n_pops
     return ppm, min(max((base * n_new) // n_pops, lo), hi)
+
+
+# ------------------------------------------------------- politeness audit
+
+POLITE_BASE = 6  # default per-round per-host budget when no override
+
+
+def politeness_audit(
+    log: DataFrame,
+    budgets: DataFrame | None = None,
+    host: str = "host",
+    round_col: str = "round",
+    pops: str = "n_pops",
+    base: int = POLITE_BASE,
+) -> DataFrame:
+    """Per-host politeness-compliance audit over per-round pop telemetry
+    (host, round, n_pops) — the batch twin of the streaming politeness
+    auditor (state_stream.politeness_audit_stream): for each host,
+    how many rounds it was popped, total and per-round-max pops, the
+    budget in force (override map, else ``base`` — the same literal-map
+    surface CrawlConfig.host_budgets / ranked_pop uses), the number of
+    rounds that EXCEEDED the budget, and the worst overshoot as an
+    exact integer ratio (worst_over_ppm = 10^6 · max_round_pops ÷
+    budget, floor DIV — ≤ 10^6 means always compliant). A scheduler
+    that enforces budgets in the pop kernel should audit to zero
+    violations; nonzero rows localize the config drift or the log
+    corruption. NULL telemetry fails loudly PER ROW before any sum
+    (the adaptive_budget discipline — F.sum skips NULLs, so a post-agg
+    check would miss a mixed host).
+
+    100 TB shape: ONE partial-agg shuffle keyed by host (the budget
+    join is broadcast — override maps are config-sized); output is
+    host-count-sized. Columns (host, budget, rounds_active, total_pops,
+    max_round_pops, n_violations, worst_over_ppm)."""
+    checked = F.when(
+        F.col(pops).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("politeness_audit: NULL n_pops for host "), F.col(host)
+            )
+        ).cast("long"),
+    ).otherwise(F.col(pops))
+    rows = log.select(
+        F.col(host).alias("host"),
+        F.col(round_col).alias("round"),
+        checked.alias("n_pops"),
+    )
+    if budgets is not None:
+        rows = rows.join(F.broadcast(budgets), "host", "left")
+        rows = rows.withColumn(
+            "budget", F.coalesce("budget", F.lit(base)).cast("int")
+        )
+    else:
+        rows = rows.withColumn("budget", F.lit(base).cast("int"))
+    agg = rows.groupBy("host").agg(
+        F.max("budget").alias("budget"),  # constant per host by contract
+        F.count(F.lit(1)).cast("long").alias("rounds_active"),
+        F.sum("n_pops").cast("long").alias("total_pops"),
+        F.max("n_pops").cast("long").alias("max_round_pops"),
+        F.sum(
+            F.when(F.col("n_pops") > F.col("budget"), 1).otherwise(0)
+        ).cast("long").alias("n_violations"),
+    )
+    return agg.withColumn(
+        "worst_over_ppm", F.expr("(1000000 * max_round_pops) DIV budget")
+    )
+
+
+# override map for the driver entry: h0 gets a tight budget (violations
+# by construction), h1 a loose one (never violates) — both audit
+# branches occur at every sf because n_pops is a pure function of
+# (host, round), not a count that grows with the table
+POLITE_OVERRIDES = {"h0": 2, "h1": 11}
+
+
+def politeness_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: per-round pop telemetry derived from events —
+    host = 'h' || user_id % 13, round = 1 + event_id % 9, and
+    n_pops = 1 + ((user_id%13)·3 + (event_id%9)·5) % 11 — a pure
+    function of (host, round), so the DISTINCT grid (≤ 117 rows) is
+    identical at every sf and the violation mix is stable. Columns
+    (host, budget, rounds_active, total_pops, max_round_pops,
+    n_violations, worst_over_ppm)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r13 = F.col("user_id") % 13
+    r9 = F.col("event_id") % 9
+    log = ev.select(
+        F.concat(F.lit("h"), r13.cast("string")).alias("host"),
+        (F.lit(1) + r9).alias("round"),
+        (F.lit(1) + (r13 * 3 + r9 * 5) % 11).alias("n_pops"),
+    ).distinct()
+    budgets = spark.createDataFrame(
+        sorted(POLITE_OVERRIDES.items()), "host string, budget int"
+    )
+    return politeness_audit(log, budgets)

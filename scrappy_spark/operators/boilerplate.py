@@ -253,3 +253,79 @@ def boilerplate_clean_from(
             .alias("n_dropped"),
         )
     )
+
+
+# ------------------------------------------------- content-defined chunking
+
+CDC_K = 3  # tokens per boundary-decision gram
+CDC_MOD = 8  # boundary iff hash60('cdc:'||gram) % CDC_MOD == 0 → mean
+# chunk length ≈ CDC_MOD tokens (the divisor plays FastCDC's mask bits)
+
+
+def cdc_chunk_dups(
+    spark: SparkSession, sf_dir: str, mod: int = CDC_MOD, k: int = CDC_K
+) -> DataFrame:
+    """Content-defined-chunking duplicate report — the storage-dedup
+    recipe (LBFS/FastCDC) over token streams: chunk boundaries are
+    placed where a rolling k-gram hash hits ``hash % mod == 0``, so the
+    SAME text run produces the SAME chunks at ANY alignment. This is the
+    third sub-document variant: boilerplate_clean drops fixed-position
+    segments (insertions shift every later segment); duplicate_passage
+    marks shingle-covered runs (df at every position); CDC re-finds
+    identical chunks after insertions/deletions with ONE hash decision
+    per position and no positional df table — the variant a 100 TB
+    storage layer actually runs, because chunk fingerprints are also the
+    dedup unit of the underlying blob store.
+
+    Output: (fp, n_docs, n_occ, chunk_tokens) for every chunk content
+    occurring more than once corpus-wide (md5 fingerprint, number of
+    distinct documents, total occurrences, tokens per chunk).
+
+    100 TB shape: boundary detection AND chunk rebuild run entirely in
+    native array HOFs inside the document row — no per-position window,
+    no per-doc shuffle, nothing leaves the row until the single
+    chunk-fingerprint explode; the only Exchange is the final
+    groupBy(fp), whose hot keys are counts (map-side partial agg), never
+    fan-outs. Mean chunk ≈ ``mod`` tokens bounds the explode factor at
+    ~n_tokens/mod rows per document."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    gram = " || ' ' || ".join(f"toks[p + {j}]" for j in range(k))
+    # boundary candidates: positions 1..n-k (0-based; position 0 always
+    # starts chunk 0). sequence(1, n-k) would DESCEND for n < k+1, so
+    # gate on size.
+    bounds = (
+        f"CASE WHEN size(toks) >= {k + 1} THEN "
+        f"filter(sequence(1, size(toks) - {k}), p -> "
+        f"conv(substring(md5('cdc:' || {gram}), 1, 15), 16, 10) % {mod} = 0) "
+        "ELSE array() END"
+    )
+    cuts = toks.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            f"concat(array(0), {bounds}, array(size(toks)))"
+        ).alias("b"),
+    )
+    chunks = cuts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(b) - 2), j -> struct("
+                "concat_ws(' ', slice(toks, element_at(b, j + 1) + 1, "
+                "element_at(b, j + 2) - element_at(b, j + 1))) AS chunk, "
+                "element_at(b, j + 2) - element_at(b, j + 1) AS n))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk").alias("chunk"), F.col("c.n").alias("n"))
+    return (
+        chunks.groupBy(F.md5("chunk").alias("fp"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("n").cast("int").alias("chunk_tokens"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )

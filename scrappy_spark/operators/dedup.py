@@ -580,6 +580,62 @@ def ngram_jaccard_pairs(
     return out
 
 
+def lsh_recall_eval(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_T
+) -> DataFrame:
+    """Measured candidate-recall of the MinHash-LSH blocking against
+    exact n-gram-Jaccard ground truth — the eval harness every dedup
+    deployment runs before trusting LSH parameters at scale. One row:
+    (n_true, n_cand, n_hit, recall_ppm, precision_ppm) where truth =
+    pairs with exact Jaccard >= ``threshold`` (the verify threshold,
+    JACCARD_T), candidates = the LSH band buckets' output, hit = their
+    intersection. The ppm columns are exact HALF_UP integer rationals
+    (2*hit*10^6 + n) div (2*n) so the oracle matches bit-for-bit; the
+    no-truth / no-candidate edges report 10^6 (the prf() empty-set
+    convention: a blocker is vacuously complete against empty truth).
+
+    Candidate PRECISION here measures blocking selectivity, not final
+    quality — LSH candidates below the verify threshold are filtered by
+    the exact-Jaccard verify stage, so low precision costs compute, not
+    correctness; RECALL is the number that silently loses data.
+
+    Scale shape: both inputs are pair tables (orders of magnitude
+    smaller than the corpus at sane thresholds); the comparison is one
+    full-outer equi-join on (a, b) + a scalar partial agg. The two pair
+    plans share the shingle scan but materialize independently — at
+    100 TB this eval runs on a SAMPLE of the corpus (the measured
+    recall transfers: the S-curve depends on the Jaccard distribution,
+    not the corpus size), so sharing is not worth coupling the kernels.
+    """
+    truth = ngram_jaccard_pairs(spark, sf_dir, threshold).select(
+        "a", "b", F.lit(1).alias("in_t")
+    )
+    cand = minhash_lsh_pairs(spark, sf_dir).select(
+        "a", "b", F.lit(1).alias("in_c")
+    )
+    both = truth.join(cand, ["a", "b"], "full_outer").select(
+        F.coalesce("in_t", F.lit(0)).alias("in_t"),
+        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    )
+    agg = both.agg(
+        F.sum("in_t").cast("long").alias("n_true"),
+        F.sum("in_c").cast("long").alias("n_cand"),
+        F.sum(F.col("in_t") * F.col("in_c")).cast("long").alias("n_hit"),
+    )
+    ppm = "(2 * n_hit * 1000000 + {d}) div (2 * {d})"
+    return agg.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(F.col("n_true") == 0, F.lit(1000000).cast("bigint"))
+        .otherwise(F.expr(ppm.format(d="n_true")))
+        .alias("recall_ppm"),
+        F.when(F.col("n_cand") == 0, F.lit(1000000).cast("bigint"))
+        .otherwise(F.expr(ppm.format(d="n_cand")))
+        .alias("precision_ppm"),
+    )
+
+
 # pre-mask slack for "round to 6 decimals then compare": DuckDB (and the
 # final Spark filter) round HALF_UP at 6 decimals, so a raw cosine as low
 # as threshold - 5e-7 can round UP to the threshold and must survive any

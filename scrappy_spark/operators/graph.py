@@ -154,6 +154,106 @@ def pagerank(
     )
 
 
+# ------------------------------------------------------------------ HITS
+#
+# Kleinberg's hubs & authorities — the second classical link-centrality a
+# crawl frontier ranks by (hub scores find link directories worth
+# re-crawling for discovery; authority scores find content worth fetching
+# first). Same exactness contract as pagerank: the entire iteration runs
+# in integer fixed-point. The classical L2 normalization needs sqrt
+# (libm — not IEEE-pinned across engines), so this uses L1 normalization,
+# whose fixed point carries the same ranking information and is exact:
+# after each half-step the vector is rescaled to sum ~ SCALE_I via the
+# HALF_UP rational (2*v*SCALE + s) div (2*s), all intermediates in
+# DECIMAL(38,0) (DuckDB mirrors in HUGEINT — both are exact integer
+# arithmetic, so the engines agree bit-for-bit). Normalized entries are
+# bounded by SCALE_I, so the bigint cast after the div can never wrap —
+# no overflow precondition needed (unlike pagerank, whose ranks grow with
+# the graph).
+#
+# 100 TB shape: per iteration, two equi-joins of the node-sized score
+# vector against the persisted edge list and two groupBy partial aggs
+# (keyed dst then src) — the same 2-shuffles-per-iteration budget as
+# pagerank; the two L1 sums are node-sized scalar aggregates (partial agg
+# per partition, one final row). Score vectors are localCheckpoint'ed
+# per half-step to truncate the loop lineage.
+
+HITS_ITERATIONS = 4
+
+
+def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
+    """HITS over a directed edge list ``(src, dst)``; returns
+    ``(node, hub_i, auth_i, hub, auth)`` with the ``_i`` columns the
+    exact L1-normalized fixed-point scores and hub/auth their double
+    renderings (a single CAST/1e9 both engines apply to identical
+    integers).
+
+    Fixed-iteration variant (the deterministic form a cross-engine
+    oracle requires); multi-edges collapsed (distinct) as in pagerank.
+    Update order is the standard one: authorities from the PREVIOUS
+    hubs, then hubs from the NEW authorities. Nodes with no in-edges
+    get authority 0; no out-edges, hub 0. Fails loudly on an empty edge
+    list (both L1 sums would be 0 — there is no meaningful fixed point
+    to report)."""
+    e = edges.select("src", "dst").distinct().persist()
+    if e.limit(1).count() == 0:
+        e.unpersist()
+        raise ValueError("hits: empty edge list — no scores to compute")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()  # materialize; every half-step re-seats against this
+    # HALF_UP L1 rescale of a DECIMAL(38,0) column v against scalar sum s
+    norm_expr = F.expr(f"CAST((2 * v * {SCALE_I} + s) div (2 * s) AS BIGINT)")
+    hub = nodes.select(
+        "node", F.lit(SCALE_I).cast("bigint").alias("score")
+    ).localCheckpoint()
+
+    def _half_step(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """One propagation + L1 rescale: raw(out) = Σ scores(in) over
+        edges, normalized to sum ≈ SCALE_I. Returns (node, score)."""
+        raw = (
+            e.join(scores, e[key_in] == scores["node"])
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("v"))
+        )
+        total = raw.agg(
+            F.sum("v").cast("decimal(38,0)").alias("s")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.coalesce(
+                    norm_expr, F.lit(0).cast("bigint")
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+
+    for _ in range(iterations):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+    out = (
+        hub.select("node", F.col("score").alias("hub_i"))
+        .join(auth.select("node", F.col("score").alias("auth_i")), "node")
+        .select(
+            "node",
+            "hub_i",
+            "auth_i",
+            (F.col("hub_i").cast("double") / SCALE_I).alias("hub"),
+            (F.col("auth_i").cast("double") / SCALE_I).alias("auth"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 # -------------------------------------------------- driver-contract entry
 
 # Deterministic synthetic outlink graph over the documents table (the
@@ -226,6 +326,17 @@ def doc_pagerank(
     columns (doc_id, rank_i, rank)."""
     pr = pagerank(doc_link_edges(spark, sf_dir, docs))
     return pr.select(F.col("node").alias("doc_id"), "rank_i", "rank")
+
+
+def doc_hits(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Driver entry: HITS over the synthetic document outlink graph,
+    columns (doc_id, hub_i, auth_i, hub, auth)."""
+    h = hits(doc_link_edges(spark, sf_dir, docs))
+    return h.select(
+        F.col("node").alias("doc_id"), "hub_i", "auth_i", "hub", "auth"
+    )
 
 
 def pagerank_prioritized_pop(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -750,6 +750,60 @@ def media_mirror_from(
     ).select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard_ppm")
 
 
+BITEXT_MIN_PPM = 200_000  # looser than MIRROR_MIN_PPM: translated page
+# pairs share the gallery only partially (locale-specific images join
+# the shared ones), so mirror-grade 0.5 Jaccard would miss real bitext
+
+
+def bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus (bitext) candidate mining — the cross-language
+    reading of media mirroring: translated versions of a page share
+    their image galleries while sharing almost no text n-grams, so
+    doc pairs with overlapping RARE media refs whose predicted
+    languages DIFFER are translation candidates (the signal bitext
+    miners like CCMatrix use before expensive alignment scoring).
+
+    Composition of two stamped kernels: `media_mirror_from`'s rare-ref
+    pair generation (at the looser BITEXT_MIN_PPM gate) and
+    `textstats.marker_langid`'s per-doc language vote. Output
+    (doc_a, doc_b, shared, jaccard_ppm, lang_a, lang_b, cross_lang) —
+    cross_lang is a FLAG, not a filter (the flag-not-filter discipline
+    the gallery kernel set: same-language pairs are the mirror
+    baseline a reviewer compares the candidate yield against, and the
+    entry stays non-vacuous on a corpus whose mirrors happen to be
+    monolingual).
+
+    100 TB shape: inherits the mirror kernel's df-capped pair bound;
+    the language join is two hash joins of the pair table (small)
+    against the node-sized language map — broadcast the pair side when
+    it fits, else an equi-join on the doc key."""
+    from .textstats import marker_langid
+
+    pairs = media_mirror_from(
+        spans_from(_docs(spark, sf_dir)), min_ppm=BITEXT_MIN_PPM
+    )
+    langs = marker_langid(spark, sf_dir)
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("pred_lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("pred_lang").alias("lang_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "jaccard_ppm",
+            "lang_a",
+            "lang_b",
+            (F.col("lang_a") != F.col("lang_b")).cast("int").alias("cross_lang"),
+        )
+    )
+
+
 def media_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gallery resolution: connected components over the media
     co-occurrence graph (`media_cooccur` edges), labeling every distinct
