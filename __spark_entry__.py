@@ -337,10 +337,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # passes + two aggregations) — calendar/session-id families flag,
         # small catalogs don't, by construction
         "frontier_trap_stats": traps_mod.trap_stats_query,
-        # link-graph centrality: fixed-iteration PageRank in BIGINT
-        # fixed-point (no float in the loop — bit-identical across
-        # engines) over the deterministic doc outlink graph
-        "graph_pagerank": graph.doc_pagerank,
+        # per-host politeness-compliance audit (batch twin of the
+        # streaming auditor): ONE host-keyed partial agg over per-round
+        # pop telemetry + broadcast budget overrides, violations and
+        # worst overshoot in exact integer ppm. In-window because the
+        # north rule names politeness enforcement as a core criterion;
+        # it displaces graph_pagerank, whose persisted-edge 2-shuffle
+        # fixed-point loop discipline (DECIMAL(38,0) exactness,
+        # localCheckpoint lineage truncation) in-window graph_hits
+        # stamps — pagerank stays sweep-green with its full oracle
+        "frontier_politeness_audit": yieldstats_mod.politeness_audit_query,
         # time-series layer over events (operators the built-in Spark
         # surface lacks, each as a scale-safe composition): as-of join
         # via union-interleave + last(ignorenulls) — one shuffle per
@@ -365,11 +371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # looser gate) joined with the langid vote; cross_lang is a
         # flag, not a filter
         "il_bitext_candidates": interleaved.bitext_candidates,
-        # per-host politeness-compliance audit (batch twin of the
-        # streaming auditor): ONE host-keyed partial agg over per-round
-        # pop telemetry + broadcast budget overrides, violations and
-        # worst overshoot in exact integer ppm
-        "frontier_politeness_audit": yieldstats_mod.politeness_audit_query,
+        # link-graph centrality: fixed-iteration PageRank in BIGINT
+        # fixed-point (no float in the loop — bit-identical across
+        # engines) over the deterministic doc outlink graph; displaced
+        # by frontier_politeness_audit (see that slot's rationale)
+        "graph_pagerank": graph.doc_pagerank,
         # Then the four moved out by the seventh wave — see that wave's
         # header for the kernel-sharing rationale; each keeps its full
         # value oracle and is sweep-green.
