@@ -49,6 +49,7 @@ from scrappy_spark.sources import cdx as cdx_mod
 from scrappy_spark.sources import warc as warc_mod
 from scrappy_spark.frontier import recrawl as recrawl_mod
 from scrappy_spark.frontier import yieldstats as yieldstats_mod
+from scrappy_spark.frontier import dust as dust_mod
 from scrappy_spark.frontier import redirects as redirects_mod
 from scrappy_spark.frontier import traps as traps_mod
 from scrappy_spark.frontier import robots as robots_mod
@@ -94,7 +95,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_driver_contract.py.
     """
     return {
-        # --- NEW in round 5, seventh insertion wave (front per
+        # --- NEW in round 5, ninth insertion wave (front per
+        # convention): the operational halves of the eighth wave's two
+        # kernels. The two entries moved behind the window to make room:
+        # robots_gate — its parse kernel is stamped by in-window
+        # robots_parse, its anti-join discipline carries an r4 driver
+        # stamp via f3_seen_antijoin, and the composed adversarial golden
+        # (test_frontier_composed.py) exercises the REAL gate inside a
+        # crawl; sitemap_recent_seeds — a recency filter + projection
+        # over the SAME block-parse kernel in-window sitemap_parse
+        # stamps, with the recency-window shape r4-stamped via
+        # s9_recency_window. Both keep full value oracles, sweep-green.
+        # ------------------------------------------------------------------
+        # host spam-mass signal (Gyongyi et al., VLDB 2006): per-host
+        # PageRank-share vs TrustRank-share disparity in exact ppm —
+        # shares sidestep the rank/trust scale calibration; one
+        # node-sized join + one partial agg + a 1-row totals broadcast
+        "graph_spam_mass": graph.host_spam_signal,
+        # DUST rule APPLICATION: mined rules canonicalize the frontier
+        # without fetching — config-scale top-K rule table embedded as a
+        # literal array, corpus side MAP-ONLY (per-row filter[0] + one
+        # literal replace-all, zero shuffles)
+        "frontier_dust_canonicalize": dust_mod.dust_canonicalize_query,
+        # --- round 5, eighth insertion wave (front per
+        # convention): two kernels new to the engine this wave. The two
+        # entries moved behind the window to make room (warc_revisit,
+        # cdx_surt_index) each have their core kernel evidenced by an
+        # entry that KEEPS a slot: warc_revisit is a keyed first-wins
+        # window over the SAME WARC record-parse kernel in-window
+        # warc_parse stamps (the window-survivor shape is in-window
+        # dedup_keep_best's); cdx_surt_index is a map-only composition
+        # of the urlnorm expression kernel in-window f10_url_canonicalize
+        # stamps. Both keep full value oracles and stay sweep-green.
+        # ------------------------------------------------------------------
+        # TrustRank (Gyongyi et al., VLDB 2004): seeded anti-spam
+        # PageRank in the SAME exact BIGINT fixed-point contract — trust
+        # mass injected only at vetted seeds, so link farms that inflate
+        # raw PageRank collect ~0; 2 shuffles/iter over persisted edges
+        "graph_trustrank": graph.doc_trustrank,
+        # DUST rule mining (Bar-Yossef et al., WWW 2007): learn URL
+        # rewrite rules (session-ids, print views, CMS aliases) from
+        # content-equal URL pairs — capped fp self-join, map-only
+        # lcp/lcs alignment in native HOFs, one rule-key reduce
+        "frontier_dust_rules": dust_mod.dust_rules_query,
+        # --- round 5, seventh insertion wave (front per
         # convention): three kernels new to the engine this wave. The
         # three entries moved behind the window to make room each have
         # their core kernel evidenced by an entry that KEEPS a slot:
@@ -270,15 +314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cumsum via broadcast triangular join over #rounds rows — no
         # Exchange SinglePartition anywhere
         "frontier_discovery_curve": yieldstats_mod.discovery_curve_query,
-        # WARC revisit-record rule (ISO 28500 §6.7.2): payload-digest
-        # dedup over a capture table — first capture per digest stays a
-        # response, later ones become revisits pointing at the original;
-        # one window Exchange on the digest
-        "warc_revisit": warc_mod.warc_revisit_query,
-        # CDX/SURT index keys (the Common Crawl URL-index transform):
-        # host labels reversed+comma-joined, default ports stripped,
-        # fragment dropped — map-only native expressions, no shuffle
-        "cdx_surt_index": cdx_mod.cdx_index_query,
         # quality-aware dedup survivor selection: keep the longest
         # member of each minhash near-dup cluster (tiebreak doc_id) —
         # one window Exchange over the node-sized component map
@@ -319,14 +354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from the documents table, and the longest-match allow/disallow
         # gate — parser AND gate value-oracled against a full SQL mirror
         "robots_parse": robots_mod.parse_rules_query,
-        "robots_gate": robots_mod.gate_query,
         # sitemap layer (frontier/sitemaps.py): sitemaps.org-subset parse
         # (loc/lastmod, same-host location constraint), recency-filtered
         # seed derivation, and one-level sitemapindex expansion via an
         # equi-join on the child URL — all over a deterministic synthetic
         # corpus mirrored in SQL
         "sitemap_parse": sitemaps_mod.parse_query,
-        "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
         # redirect-chain resolution (frontier/redirects.py): pointer-jumping
         # collapse of multi-hop redirect maps (log-diameter equi-joins,
         # fail-loud on cycles) — synthetic chains up to 15 hops, recursive-
@@ -376,6 +409,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engines) over the deterministic doc outlink graph; displaced
         # by frontier_politeness_audit (see that slot's rationale)
         "graph_pagerank": graph.doc_pagerank,
+        # The two moved out by the ninth wave — see that wave's header
+        # for the kernel-sharing rationale; both keep full value oracles
+        # and are sweep-green.
+        "robots_gate": robots_mod.gate_query,
+        "sitemap_recent_seeds": sitemaps_mod.recent_seeds_query,
+        # The two moved out by the eighth wave — see that wave's header
+        # for the kernel-sharing rationale; both keep full value oracles
+        # and are sweep-green.
+        # WARC revisit-record rule (ISO 28500 §6.7.2): payload-digest
+        # dedup over a capture table — first capture per digest stays a
+        # response, later ones become revisits pointing at the original;
+        # one window Exchange on the digest
+        "warc_revisit": warc_mod.warc_revisit_query,
+        # CDX/SURT index keys (the Common Crawl URL-index transform):
+        # host labels reversed+comma-joined, default ports stripped,
+        # fragment dropped — map-only native expressions, no shuffle
+        "cdx_surt_index": cdx_mod.cdx_index_query,
         # Then the four moved out by the seventh wave — see that wave's
         # header for the kernel-sharing rationale; each keeps its full
         # value oracle and is sweep-green.
@@ -1299,6 +1349,103 @@ _PAGERANK_CTES = f"""
               GROUP BY p.iter, a.dst
             )
 """
+
+
+def _trust_recursion(name: str) -> str:
+    """Seeded (TrustRank) twin of _PAGERANK_CTES' pr recursion, appended
+    after it (reuses its edges/deg/nodes/aug CTEs): initial ranks SCALE_I
+    on seeds / 0 elsewhere, base term base_i on seeds / 0 elsewhere. The
+    Spark side's rank_i > 0 early-drop needs no mirror — HALF_UP(0/deg)
+    is exactly 0."""
+    base_i = (
+        (graph.DAMPING_DEN - graph.DAMPING_NUM)
+        * graph.SCALE_I
+        // graph.DAMPING_DEN
+    )
+    return f""",
+            {name} AS (
+              SELECT 0 AS iter, node,
+                     CAST(CASE WHEN node % {graph.TRUST_SEED_MOD} = 0
+                          THEN {graph.SCALE_I} ELSE 0 END AS BIGINT)
+                       AS rank_i
+              FROM nodes
+              UNION ALL
+              SELECT p.iter + 1, a.dst AS node,
+                     CASE WHEN a.dst % {graph.TRUST_SEED_MOD} = 0
+                          THEN {base_i} ELSE 0 END
+                     + (2 * {graph.DAMPING_NUM} * sum(CASE WHEN a.real = 1
+                           THEN (2 * p.rank_i + a.out_deg)
+                                // (2 * a.out_deg)
+                           ELSE 0 END) + {graph.DAMPING_DEN})
+                       // (2 * {graph.DAMPING_DEN}) AS rank_i
+              FROM {name} p JOIN aug a ON a.src = p.node
+              WHERE p.iter < {graph.ITERATIONS}
+              GROUP BY p.iter, a.dst
+            )"""
+
+
+# DUST mining mirror, shared by the rules and canonicalize oracles:
+# alias synthesis mirrored verbatim; lcp = count of matching prefix
+# lengths k (prefix equality is monotone in k, so the count equals the
+# first-mismatch scan Spark runs); lcs = the same scan on reversed
+# strings, capped so prefix and suffix never claim the same character.
+_DUST_CTES = f"""
+            WITH base AS (
+              SELECT doc_id AS fingerprint,
+                     'http://m' || CAST(doc_id % {dust_mod.DUST_HOST_MOD} AS VARCHAR)
+                       || '.example.org/' AS b,
+                     CAST(doc_id AS VARCHAR) AS n
+              FROM documents
+            ),
+            vl AS (
+              SELECT fingerprint,
+                     list_filter([
+                       b || 'art/' || n,
+                       b || 'art/' || n || '?session=s'
+                         || CAST(fingerprint % 7 AS VARCHAR),
+                       CASE WHEN fingerprint % 3 = 0
+                            THEN b || 'index.php?id=' || n END,
+                       CASE WHEN fingerprint % 5 = 0
+                            THEN b || 'art/' || n || '/print' END
+                     ], u -> u IS NOT NULL) AS uris
+              FROM base
+            ),
+            u AS (SELECT DISTINCT fingerprint, unnest(uris) AS uri FROM vl),
+            c AS (SELECT *, count(*) OVER (PARTITION BY fingerprint) AS bsz
+                  FROM u),
+            p AS (
+              SELECT l.uri AS uri_a, r.uri AS uri_b
+              FROM c l JOIN c r
+                ON l.fingerprint = r.fingerprint AND l.uri < r.uri
+              WHERE l.bsz <= {dust_mod.DUST_MAX_BUCKET}
+            ),
+            al AS (
+              SELECT uri_a, uri_b,
+                     length(uri_a) AS la, length(uri_b) AS lb,
+                     len(list_filter(
+                       range(1, least(length(uri_a), length(uri_b)) + 1),
+                       k -> substr(uri_a, 1, CAST(k AS INT))
+                            = substr(uri_b, 1, CAST(k AS INT)))) AS lcp,
+                     len(list_filter(
+                       range(1, least(length(uri_a), length(uri_b)) + 1),
+                       k -> substr(reverse(uri_a), 1, CAST(k AS INT))
+                            = substr(reverse(uri_b), 1, CAST(k AS INT))))
+                       AS lcs_raw
+              FROM p
+            ),
+            rl AS (
+              SELECT substr(uri_a, CAST(lcp + 1 AS INT),
+                            CAST(la - lcp - lcs AS INT)) AS alpha,
+                     substr(uri_b, CAST(lcp + 1 AS INT),
+                            CAST(lb - lcp - lcs AS INT)) AS beta
+              FROM (SELECT *, least(lcs_raw, least(la, lb) - lcp) AS lcs
+                    FROM al)
+            ),
+            rules AS (
+              SELECT alpha, beta, count(*) AS support
+              FROM rl GROUP BY alpha, beta
+              HAVING count(*) >= {dust_mod.DUST_MIN_SUPPORT}
+            )"""
 
 
 def _hits_sql() -> str:
@@ -3495,6 +3642,93 @@ def _oracle_sql_static() -> dict[str, str]:
             FROM agg, ex
         """,
         "graph_hits": _hits_sql(),
+        # TrustRank: the composable seeded recursion appended to the
+        # pagerank CTE prefix (same edges/deg/nodes/aug)
+        "graph_trustrank": _PAGERANK_CTES
+        + _trust_recursion("tr")
+        + f"""
+            SELECT node AS doc_id, CAST(rank_i AS BIGINT) AS trust_i,
+                   CAST(rank_i AS DOUBLE) / {graph.SCALE_I} AS trust
+            FROM tr WHERE iter = {graph.ITERATIONS}
+        """,
+        # host spam-mass signal: both recursions in one WITH RECURSIVE,
+        # shares as HALF_UP ppm rationals of HUGEINT host sums
+        "graph_spam_mass": _PAGERANK_CTES
+        + _trust_recursion("tr")
+        + f""",
+            pf AS (SELECT node, rank_i FROM pr
+                   WHERE iter = {graph.ITERATIONS}),
+            tf AS (SELECT node, rank_i AS trust_i FROM tr
+                   WHERE iter = {graph.ITERATIONS}),
+            jj AS (
+              SELECT 'h' || CAST(p.node % {graph.SPAM_HOST_MOD} AS VARCHAR)
+                       AS host,
+                     p.rank_i, t.trust_i
+              FROM pf p JOIN tf t USING (node)
+            ),
+            hh AS (
+              SELECT host, count(*) AS n_nodes,
+                     sum(rank_i) AS r, sum(trust_i) AS t
+              FROM jj GROUP BY host
+            ),
+            tot AS (SELECT sum(r) AS rt, sum(t) AS tt FROM hh)
+            SELECT host, CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST((2 * 1000000 * r + rt) // (2 * rt) AS BIGINT)
+                     AS rank_share_ppm,
+                   CAST((2 * 1000000 * t + tt) // (2 * tt) AS BIGINT)
+                     AS trust_share_ppm,
+                   CAST((2 * 1000000 * r + rt) // (2 * rt)
+                        - (2 * 1000000 * t + tt) // (2 * tt) AS BIGINT)
+                     AS spam_signal_ppm
+            FROM hh, tot
+        """,
+        # DUST rules + application, from the shared mining mirror
+        "frontier_dust_rules": _DUST_CTES
+        + """
+            SELECT alpha, beta, CAST(support AS BIGINT) AS support
+            FROM rules
+        """,
+        # canonicalization: rules direction-normalized longer->shorter,
+        # top-K by the same total order the Spark side sorts by, packed
+        # into ONE ordered list; per uri the first applicable rule wins
+        # and replace() is the same literal all-occurrence rewrite
+        "frontier_dust_canonicalize": _DUST_CTES
+        + f""",
+            rn AS (
+              SELECT CASE WHEN length(beta) < length(alpha)
+                            OR (length(beta) = length(alpha)
+                                AND beta < alpha)
+                          THEN alpha ELSE beta END AS src,
+                     CASE WHEN length(beta) < length(alpha)
+                            OR (length(beta) = length(alpha)
+                                AND beta < alpha)
+                          THEN beta ELSE alpha END AS dst,
+                     support
+              FROM rules
+            ),
+            topr AS (
+              SELECT * FROM rn
+              ORDER BY support DESC, length(src) DESC, src, dst
+              LIMIT {dust_mod.DUST_RULES_MAX}
+            ),
+            rlz AS (
+              SELECT list(struct_pack(src := src, dst := dst)
+                          ORDER BY support DESC, length(src) DESC,
+                                   src, dst) AS rs
+              FROM topr
+            ),
+            uu AS (SELECT DISTINCT uri FROM u),
+            hit AS (
+              SELECT uri,
+                     list_filter(rs, q -> contains(uri, q.src))[1] AS h
+              FROM uu CROSS JOIN rlz
+            )
+            SELECT uri,
+                   coalesce(replace(uri, h.src, h.dst), uri) AS canon_uri,
+                   h.src AS rule_src, h.dst AS rule_dst,
+                   h IS NOT NULL AS applied
+            FROM hit
+        """,
         # LSH blocking eval: truth = exact-Jaccard pairs at JACCARD_T,
         # candidates = the band buckets' output, compared by one
         # full-outer pair join; ppm rationals HALF_UP as on the Spark side

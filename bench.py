@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    from scrappy_spark.frontier import recrawl, redirects, robots, sitemaps, yieldstats
+    from scrappy_spark.frontier import (
+        dust,
+        recrawl,
+        redirects,
+        robots,
+        sitemaps,
+        yieldstats,
+    )
     from scrappy_spark.sources import cdx, warc
     from scrappy_spark.operators import (
         webgraph,
@@ -151,6 +158,17 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "il_caption_quality": interleaved.caption_quality,
         "il_media_pop": interleaved.media_pop,
         "il_pack_multimodal": interleaved.pack_multimodal,
+        "il_bitext_candidates": interleaved.bitext_candidates,
+        # seventh/eighth-wave kernels (round 5)
+        "sketch_hll_tokens": sketch.hll_distinct_tokens,
+        "graph_hits": graph.doc_hits,
+        "graph_trustrank": graph.doc_trustrank,
+        "dedup_lsh_eval": dedup.lsh_recall_eval,
+        "dedup_cdc_chunks": boilerplate.cdc_chunk_dups,
+        "frontier_politeness_audit": yieldstats.politeness_audit_query,
+        "frontier_dust_rules": dust.dust_rules_query,
+        "frontier_dust_canonicalize": dust.dust_canonicalize_query,
+        "graph_spam_mass": graph.host_spam_signal,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

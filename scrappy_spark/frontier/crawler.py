@@ -96,6 +96,12 @@ class CrawlConfig:
     # overrides (robots.py delays_to_budgets); shadow per_host_budget —
     # with no base budget, unlisted hosts pop whole-frontier
     redirects: tuple[tuple[str, str], ...] = ()  # (requested_uri, final_uri), F-16
+    dust_rules: tuple[tuple[str, str], ...] = ()  # (src, dst) URL-alias
+    # rewrite rules (frontier/dust.py, mined by dust_rules + direction-
+    # normalized), pre-ordered best-first; applied to seeds and to every
+    # extracted candidate BEFORE the robots gate and the seen-set check,
+    # so alias families unify WITHOUT fetching — the client-side
+    # complement of `redirects` (server-declared aliases)
     # priority queue (north rule: window-ranked SQL over frontier
     # snapshots). A SQL expression evaluated over the frontier columns
     # (uri, depth, seq, host); pops rank by (priority ASC, seq ASC).
@@ -297,6 +303,13 @@ class Crawler:
                 f"host_budgets must all be >= 1, got {bad[:3]} "
                 "(use robots/trap gates to exclude hosts, not a 0 budget)"
             )
+        # an empty-src DUST rule matches every URI and rewrites nothing
+        # deterministic — an upstream mining bug; fail loud, never spin
+        if any(not s for s, _ in (self.cfg.dust_rules or ())):
+            raise ValueError(
+                "dust_rules must have non-empty src patterns "
+                "(direction-normalize the mined rules: longer -> shorter)"
+            )
         # store override: pass an IcebergCrawlStore to checkpoint into
         # real Iceberg tables (frontier/iceberg_store.py); the default is
         # the Iceberg-shaped parquet store (checkpoint.py)
@@ -454,9 +467,11 @@ class Crawler:
         (matches oracle seeding)."""
         from ..oracle import robots_disallowed
 
+        from ..oracle import dust_rewrite
+
         rows, seen = [], set()
         for s in seeds:
-            uri = canonicalize(s)
+            uri = dust_rewrite(canonicalize(s), self.cfg.dust_rules)
             key = (uri, self.cfg.depth)
             if key in seen or robots_disallowed(uri, list(self.cfg.robots)):
                 continue
@@ -669,6 +684,18 @@ class Crawler:
         ).select("uri", "depth", "seq", "spans")
 
         triples, candidates = self.extractor.extract(fetched)
+
+        # -- DUST canonicalization (frontier/dust.py): alias candidates
+        # rewrite to their canonical family member BEFORE the robots
+        # gate and the seen-set check, so the seen-set unifies and the
+        # alias is never fetched. Map-only literal-array expression —
+        # config-scale rules, zero extra shuffles.
+        if self.cfg.dust_rules:
+            from .dust import rewrite_col
+
+            candidates = candidates.withColumn(
+                "c_uri", rewrite_col(F.col("c_uri"), self.cfg.dust_rules)
+            )
 
         # -- robots disallow gate (never enqueued; see _robots_filter)
         candidates = self._robots_filter(candidates, "c_uri")
@@ -921,6 +948,7 @@ class Crawler:
             "host_salt_k": self.cfg.host_salt_k,
             "robots": [list(r) for r in self.cfg.robots],
             "host_budgets": [list(hb) for hb in self.cfg.host_budgets],
+            "dust_rules": [list(r) for r in self.cfg.dust_rules],
         }
 
     # ------------------------------------------------------------ readers

@@ -1,0 +1,308 @@
+"""DUST rule mining — "Different URLs with Similar Text" (Bar-Yossef,
+Keidar, Schonfeld, WWW 2007 — public paper): mine URL rewrite rules from
+pairs of URLs observed to serve identical content, so the crawler can
+canonicalize ALL future URLs matching a rule without fetching them.
+Classic examples recovered by this kernel: session-id parameters
+(``"" -> "?session=s4"``), print views (``"" -> "/print"``), and CMS
+path/query aliases (``"art/" -> "index.php?id="``).
+
+The reference has no URL-alias learning (its dedup is the response cache
+keyed by exact URI, `agent.rb` fetch loop — our S-10); this layer is
+crawl-frontier-hygiene territory, the same class as the trap detector
+(`frontier/traps.py`), one level up from redirect collapse
+(`frontier/redirects.py`): redirects are server-DECLARED aliases, DUST
+rules are server-UNDECLARED aliases discovered from content equality.
+
+Both halves of the paper live here: `dust_rules` MINES the rules from
+content-equal pairs; `canonicalize` APPLIES the mined table back onto a
+URL stream so the seen-set unifies without fetching (ninth wave).
+
+Algorithm (the exact-substring variant of the paper's rule extraction):
+for each content-equal pair (uri_a, uri_b), alignment is
+``lcp`` = longest common prefix, ``lcs`` = longest common suffix of the
+remainders (capped so prefix and suffix never overlap); the rule is the
+differing middle ``(alpha, beta)``. Rules are aggregated with support
+counts; rules below ``min_support`` are noise (pair-specific middles
+that swallowed a document id) and dropped — the paper's "large support"
+principle.
+
+Exactness: alignment is pure integer/string arithmetic on both engines
+(no float anywhere); the DuckDB oracle mirrors lcp/lcs with a
+range-lateral max-k-equal-prefix scan, which agrees with the Spark
+zip_with first-mismatch scan because prefix equality is monotone in k.
+
+100 TB shape: pair formation is ONE hash shuffle on the content
+fingerprint with the standard bucket cap (a viral page mirrored to 10^5
+URLs is a skew key whose pair output is quadratic — capped groups are
+dropped and counted, the SIMHASH_MAX_BUCKET discipline from
+`operators/dedup.py`); alignment and middle extraction are map-only
+native expressions (zip_with/array_position — JVM codegen, no Python);
+rule aggregation is one partial-agg shuffle keyed by (alpha, beta).
+Nothing is quadratic in anything but the capped per-fingerprint bucket
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mirrored literally into the DuckDB oracle.
+DUST_MAX_BUCKET = 16
+DUST_MIN_SUPPORT = 2
+
+
+def duplicate_url_pairs(
+    urls: DataFrame, max_bucket: int = DUST_MAX_BUCKET
+) -> DataFrame:
+    """Content-equal URL pairs from ``(uri, fingerprint)`` observations:
+    every unordered pair of DISTINCT uris sharing a fingerprint, emitted
+    once with ``uri_a < uri_b`` (lexicographic — a deterministic
+    canonical direction both engines agree on). Fingerprint groups
+    larger than ``max_bucket`` are dropped whole (skew cap; a mirror
+    farm with 10^5 aliases of one page would otherwise emit 10^10
+    pairs). Output: (uri_a, uri_b)."""
+    u = urls.select("uri", "fingerprint").distinct()
+    w = Window.partitionBy("fingerprint")
+    u = u.withColumn("bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("bsz") <= max_bucket
+    )
+    l, r = u.alias("l"), u.alias("r")
+    return l.join(
+        r,
+        (F.col("l.fingerprint") == F.col("r.fingerprint"))
+        & (F.col("l.uri") < F.col("r.uri")),
+    ).select(F.col("l.uri").alias("uri_a"), F.col("r.uri").alias("uri_b"))
+
+
+def dust_rules(
+    pairs: DataFrame, min_support: int = DUST_MIN_SUPPORT
+) -> DataFrame:
+    """Mine substitution rules from content-equal URL pairs
+    ``(uri_a, uri_b)``; returns ``(alpha, beta, support)`` with
+    ``support >= min_support``.
+
+    Per pair: ``lcp`` = chars before the first mismatch (zip_with pads
+    the shorter string with null and ``<=>`` makes the pad a mismatch,
+    so a strict-prefix pair aligns at the shorter length); ``lcs`` =
+    the same scan on the reversed strings, capped at
+    ``min(len) - lcp`` so prefix and suffix never claim the same
+    character (e.g. ``ab`` vs ``aab``: lcp = 1 and the uncapped suffix
+    scan matches 2, double-claiming the leading ``a``; the cap yields
+    the correct rule ``"" -> "a"``). The rule is the pair of middles;
+    direction is inherited from the pair's canonical order. Identical uris (lcp == both lengths) are rejected
+    loudly — a pair of a URL with itself is an upstream bug, and
+    silently emitting the vacuous rule ("","") would let it hide."""
+    mismatch = (
+        "array_position(zip_with(split({a}, ''), split({b}, ''),"
+        " (x, y) -> x <=> y), false)"
+    )
+    p = (
+        pairs.select("uri_a", "uri_b")
+        .withColumn("la", F.length("uri_a"))
+        .withColumn("lb", F.length("uri_b"))
+        .withColumn(
+            "lcp",
+            F.expr(mismatch.format(a="uri_a", b="uri_b")) - F.lit(1),
+        )
+        .withColumn(
+            "lcs_raw",
+            F.expr(
+                mismatch.format(a="reverse(uri_a)", b="reverse(uri_b)")
+            )
+            - F.lit(1),
+        )
+    )
+    bad = p.where(F.col("lcp") < 0).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            "dust_rules: pair with uri_a == uri_b — no rule to mine; "
+            "dedup the pair source"
+        )
+    p = p.withColumn(
+        "lcs",
+        F.least(F.col("lcs_raw"), F.least("la", "lb") - F.col("lcp")),
+    )
+    rules = p.select(
+        F.expr("substr(uri_a, lcp + 1, la - lcp - lcs)").alias("alpha"),
+        F.expr("substr(uri_b, lcp + 1, lb - lcp - lcs)").alias("beta"),
+    )
+    return (
+        rules.groupBy("alpha", "beta")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+# ------------------------------------------------------ rule application
+
+# Bounded rule-table size for the map-only application path (top-K by
+# support — the paper's own triage: low-support rules are noise first
+# and cost second). Mirrored into the oracle.
+DUST_RULES_MAX = 1024
+
+
+def rules_for_config(
+    rules: DataFrame, max_rules: int = DUST_RULES_MAX
+) -> tuple[tuple[str, str], ...]:
+    """Direction-normalize a mined ``(alpha, beta, support)`` table and
+    return the top-``max_rules`` as a best-first ``((src, dst), ...)``
+    tuple — the form `canonicalize` applies and `CrawlConfig.dust_rules`
+    accepts. Rewriting goes longer→shorter (tie: lexicographically
+    larger→smaller), the direction that terminates under iteration; the
+    order (support DESC, len(src) DESC, src, dst) is total, so every
+    consumer picks the identical best rule. Bounded collect: ≤ max_rules
+    rows by construction (config-scale, the robots-rule-table class)."""
+    a, b = F.col("alpha"), F.col("beta")
+    beta_smaller = (F.length(b) < F.length(a)) | (
+        (F.length(b) == F.length(a)) & (b < a)
+    )
+    top = (
+        rules.select(
+            F.when(beta_smaller, a).otherwise(b).alias("src"),
+            F.when(beta_smaller, b).otherwise(a).alias("dst"),
+            "support",
+        )
+        .orderBy(
+            F.col("support").desc(), F.length("src").desc(), "src", "dst"
+        )
+        .limit(max_rules)
+    )
+    return tuple((r["src"], r["dst"]) for r in top.collect())
+
+
+def rule_hit_col(uri_col, rules):
+    """First applicable rule from a pre-ordered ``((src, dst), ...)``
+    sequence, as a nullable struct column — the shared map-only
+    expression behind `canonicalize` and the crawler's in-loop
+    rewrite (CrawlConfig.dust_rules). ``rules`` must be non-empty and
+    pre-sorted best-first; F.get is the NULL-on-miss accessor."""
+    lit_rules = F.array(
+        *[
+            F.struct(F.lit(s).alias("src"), F.lit(d).alias("dst"))
+            for s, d in rules
+        ]
+    )
+    return F.get(
+        F.filter(lit_rules, lambda r: uri_col.contains(r["src"])), 0
+    )
+
+
+def rewrite_col(uri_col, rules):
+    """The rewritten URI under the first applicable rule (literal
+    replace-all), or the URI itself when none applies / no rules."""
+    if not rules:
+        return uri_col
+    h = rule_hit_col(uri_col, rules)
+    return F.coalesce(F.replace(uri_col, h["src"], h["dst"]), uri_col)
+
+
+def canonicalize(
+    urls: DataFrame, rules: DataFrame, max_rules: int = DUST_RULES_MAX
+) -> DataFrame:
+    """Apply mined DUST rules to a URL table — the operational half of
+    the miner: rewrite each URL toward its canonical alias so the
+    frontier's seen-set unifies WITHOUT fetching the duplicates.
+
+    Direction: each rule ``(alpha, beta)`` is normalized so rewriting
+    goes longer→shorter (tie: lexicographically larger→smaller) — the
+    canonical form of a family is its shortest member (session-id strip,
+    print-view strip), which is also the direction that terminates under
+    iteration. Per URL, the single best applicable rule wins —
+    ``(support DESC, len(src) DESC, src, dst)``, a total order so both
+    engines pick the identical rule — and is applied as a literal
+    replace-all. URLs matching no rule keep themselves (flag, not
+    filter). One pass, not a fixpoint: production re-runs over the
+    (tiny) still-changed remainder; one pass is the testable kernel.
+
+    100 TB shape: the rule table is config-scale by construction
+    (top-``max_rules`` by support, the documented truncation), so it is
+    collected once, pre-sorted, and embedded as a literal array — the
+    corpus side is MAP-ONLY: per-row ``filter(rules)[0]`` + one literal
+    replace, zero shuffles, no broadcast-nested-loop join. Output:
+    (uri, canon_uri, rule_src, rule_dst, applied)."""
+    collected = rules_for_config(rules, max_rules)
+    if not collected:
+        return urls.select(
+            F.col("uri"),
+            F.col("uri").alias("canon_uri"),
+            F.lit(None).cast("string").alias("rule_src"),
+            F.lit(None).cast("string").alias("rule_dst"),
+            F.lit(False).alias("applied"),
+        )
+    hit = rule_hit_col(F.col("uri"), collected)
+    return (
+        urls.withColumn("_h", hit)
+        .select(
+            "uri",
+            F.coalesce(
+                F.replace(F.col("uri"), F.col("_h.src"), F.col("_h.dst")),
+                F.col("uri"),
+            ).alias("canon_uri"),
+            F.col("_h.src").alias("rule_src"),
+            F.col("_h.dst").alias("rule_dst"),
+            F.col("_h").isNotNull().alias("applied"),
+        )
+    )
+
+
+# -------------------------------------------------- driver-contract entry
+
+# Deterministic URL-alias synthesis over the documents table (the same
+# derived-input pattern as graph.doc_link_edges): every doc has a
+# canonical article URL and a session-id alias; every third doc also has
+# a CMS query alias, every fifth a print view. Mined rules must recover
+# the session/print/CMS substitutions with support ~ n/7, n/5, n/3 and
+# drop the id-bearing singleton middles (cross-family pairs whose common
+# suffix dies at the first differing character).
+DUST_HOST_MOD = 40
+
+
+def _alias_table(docs: DataFrame) -> DataFrame:
+    """The deterministic (fingerprint, uri) alias synthesis shared by the
+    miner and the canonicalizer entries (mirrored in both oracles)."""
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://m"),
+        (d % DUST_HOST_MOD).cast("string"),
+        F.lit(".example.org/"),
+    )
+    art = F.concat(base, F.lit("art/"), d.cast("string"))
+    variants = docs.select(
+        d.alias("fingerprint"),
+        F.array(
+            art,
+            F.concat(
+                art, F.lit("?session=s"), (d % 7).cast("string")
+            ),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    base, F.lit("index.php?id="), d.cast("string")
+                ),
+            ),
+            F.when(d % 5 == 0, F.concat(art, F.lit("/print"))),
+        ).alias("uris"),
+    ).select(
+        "fingerprint",
+        F.explode(F.filter("uris", lambda u: u.isNotNull())).alias("uri"),
+    )
+    return variants
+
+
+def dust_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: DUST rules mined from the synthetic alias table,
+    columns (alpha, beta, support)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dust_rules(duplicate_url_pairs(_alias_table(docs)))
+
+
+def dust_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: mined rules applied back onto the alias table — the
+    full mine→canonicalize circle; columns (uri, canon_uri, rule_src,
+    rule_dst, applied)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    variants = _alias_table(docs)
+    rules = dust_rules(duplicate_url_pairs(variants))
+    return canonicalize(variants.select("uri").distinct(), rules)

@@ -154,6 +154,140 @@ def pagerank(
     )
 
 
+# ------------------------------------------------------------- TrustRank
+#
+# Seeded (personalized) PageRank — the classical anti-spam frontier
+# prioritizer (Gyöngyi, Garcia-Molina, Pedersen, "Combating Web Spam with
+# TrustRank", VLDB 2004 — public paper): trust mass is injected ONLY at a
+# hand-vetted seed set and propagates along outlinks, so link farms that
+# inflate raw PageRank (which teleports everywhere uniformly) collect
+# little trust. A production crawler ranks its frontier by a blend of
+# rank and trust and demotes high-rank/low-trust hosts; the DUST/trap
+# layers (frontier/) handle URL-level spam, this handles GRAPH-level spam.
+#
+# Same exactness contract as pagerank: the entire iteration runs in BIGINT
+# fixed-point at SCALE_I, all multi-term intermediates in DECIMAL(38,0)
+# (DuckDB mirrors in HUGEINT), HALF_UP rationals for the division points.
+# The only change from pagerank is the base term: per-node
+# base_i = (1-d)*SCALE_I for seeds, 0 for non-seeds (the unnormalized
+# personalization vector — the same unnormalized form our pagerank uses,
+# so the two scores are directly comparable per node), and ranks start at
+# SCALE_I on seeds / 0 elsewhere. Trust totals are bounded by the
+# pagerank bound (the seed base is pointwise ≤ pagerank's uniform base),
+# so pagerank's overflow precondition 2*(base + n*SCALE_I) < 2^63 is
+# sufficient here too and is checked the same way.
+#
+# 100 TB shape: identical to pagerank — 2 shuffles per iteration against
+# the persisted edge list, node-sized rank table localCheckpoint'ed per
+# iteration, plus ONE broadcast-sized hash anti/semi-join equivalent:
+# seed membership is carried as a precomputed 0/1 column on the node
+# table (one left-semi-style join at setup, not per iteration).
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = ITERATIONS,
+    damping_num: int = DAMPING_NUM,
+    damping_den: int = DAMPING_DEN,
+) -> DataFrame:
+    """TrustRank over a directed edge list ``(src, dst)`` with a seed
+    table ``(node)``; returns ``(node, trust_i, trust)`` with ``trust_i``
+    the exact fixed-point value and ``trust = trust_i / 1e9`` its double
+    rendering.
+
+    Unnormalized fixed-iteration variant of seeded PageRank:
+    ``trust' = (1-d)*[node in seeds] + d * sum(trust_src/out_deg)`` with
+    the exact integer rounding described in the pagerank docstring.
+    Seeds not present in the graph contribute nothing (they have no
+    edges to carry their mass); fails loudly if NO seed is a graph node,
+    since every trust score would be identically 0 and the ranking
+    carries no information."""
+    base_i = (damping_den - damping_num) * SCALE_I // damping_den
+    if base_i * damping_den != (damping_den - damping_num) * SCALE_I:
+        raise ValueError("damping_den must divide (den-num)*SCALE_I exactly")
+    e = edges.select("src", "dst").distinct().persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edeg = e.join(deg, "src").persist()
+    edeg.count()
+    seed_nodes = seeds.select("node").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            seed_nodes.select("node", F.lit(1).alias("is_seed")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .persist()
+    )
+    # pagerank's overflow precondition is sufficient (trust base is
+    # pointwise <= pagerank's uniform base, so trust_i <= rank_i bound)
+    n_nodes = nodes.count()
+    if 2 * (base_i + n_nodes * SCALE_I) >= 2**63:
+        e.unpersist()
+        edeg.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"trustrank: {n_nodes} nodes at SCALE_I={SCALE_I} can exceed "
+            "int64 bounds — lower SCALE_I"
+        )
+    if nodes.where(F.col("is_seed") == 1).limit(1).count() == 0:
+        e.unpersist()
+        edeg.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            "trustrank: no seed is a graph node — all trust would be 0"
+        )
+    ranks = nodes.select(
+        "node",
+        (F.col("is_seed") * SCALE_I).cast("bigint").alias("rank_i"),
+    ).localCheckpoint()
+    contrib_expr = F.expr(
+        "(2 * CAST(rank_i AS DECIMAL(38,0)) + out_deg) div (2 * out_deg)"
+    )
+    damp_expr = F.expr(
+        f"is_seed * {base_i} + (2 * {damping_num} * mass + {damping_den}) "
+        f"div (2 * {damping_den})"
+    )
+    for _ in range(iterations):
+        contrib = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            # dropping zero-trust contributions early keeps the groupBy
+            # input proportional to the REACHED subgraph, not the whole
+            # edge list — on a spam-heavy graph most of the graph never
+            # sees trust (the point of the algorithm); semantically a
+            # no-op (summing zeros)
+            .where(F.col("rank_i") > 0)
+            .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
+        )
+        mass = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("mass")
+        )
+        ranks = (
+            nodes.join(mass, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                F.coalesce(
+                    "mass", F.lit(0).cast("decimal(38,0)")
+                ).alias("mass"),
+            )
+            .select("node", damp_expr.cast("bigint").alias("rank_i"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    edeg.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        F.col("node"),
+        F.col("rank_i").alias("trust_i"),
+        (F.col("rank_i").cast("double") / SCALE_I).alias("trust"),
+    )
+
+
 # ------------------------------------------------------------------ HITS
 #
 # Kleinberg's hubs & authorities — the second classical link-centrality a
@@ -336,6 +470,87 @@ def doc_hits(
     h = hits(doc_link_edges(spark, sf_dir, docs))
     return h.select(
         F.col("node").alias("doc_id"), "hub_i", "auth_i", "hub", "auth"
+    )
+
+
+# Seed selection for the TrustRank driver entry: every doc_id divisible
+# by this prime is "hand-vetted trusted" (~1.9% of the corpus) — sparse
+# enough that trust genuinely propagates (most nodes' trust arrives via
+# edges, not the base term), deterministic on both engines.
+TRUST_SEED_MOD = 53
+
+
+def doc_trustrank(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Driver entry: TrustRank over the synthetic document outlink graph,
+    seeds = doc_id % TRUST_SEED_MOD == 0, columns (doc_id, trust_i,
+    trust)."""
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeds = docs.where(
+        F.col("doc_id") % TRUST_SEED_MOD == 0
+    ).select(F.col("doc_id").alias("node"))
+    tr = trustrank(doc_link_edges(spark, sf_dir, docs), seeds)
+    return tr.select(F.col("node").alias("doc_id"), "trust_i", "trust")
+
+
+# ------------------------------------------------------------- spam mass
+#
+# Calibration-free spam-mass reading (Gyöngyi, Berkhin, Garcia-Molina,
+# Pedersen, "Link Spam Detection Based on Mass Estimation", VLDB 2006 —
+# public paper): a host that collects a much larger SHARE of global
+# PageRank than of seeded TrustRank is accumulating importance from
+# untrusted regions of the graph — the promotion/demotion signal a
+# production frontier feeds back into its budgets. Shares (not raw
+# scores) sidestep the rank-vs-trust scale calibration the paper spends
+# a section on: both are exact ppm rationals of their own totals.
+#
+# Exactness: rank_i/trust_i are the BIGINT fixed-point outputs; host
+# sums and totals are DECIMAL(38,0) (DuckDB HUGEINT); each share is ONE
+# HALF_UP integer rational (2*1e6*part + total) div (2*total). No float
+# anywhere. 100 TB shape: one node-sized equi-join (rank ⋈ trust on
+# node), one partial-agg groupBy(host), one 1-row totals broadcast —
+# nothing edge-sized after the constituent ranks are computed.
+
+SPAM_HOST_MOD = 13
+
+
+def host_spam_signal(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Driver entry: per-host PageRank-share vs TrustRank-share
+    disparity over the synthetic outlink graph (host = doc_id %
+    SPAM_HOST_MOD); columns (host, n_nodes, rank_share_ppm,
+    trust_share_ppm, spam_signal_ppm); positive signal = suspect."""
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pr = doc_pagerank(spark, sf_dir, docs).select("doc_id", "rank_i")
+    tr = doc_trustrank(spark, sf_dir, docs).select("doc_id", "trust_i")
+    j = pr.join(tr, "doc_id").select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % SPAM_HOST_MOD).cast("string")
+        ).alias("host"),
+        F.col("rank_i").cast("decimal(38,0)").alias("r"),
+        F.col("trust_i").cast("decimal(38,0)").alias("t"),
+    )
+    h = j.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("r").alias("r"),
+        F.sum("t").alias("t"),
+    )
+    tot = h.agg(
+        F.sum("r").alias("rt"), F.sum("t").alias("tt")
+    )
+    share = "CAST((2 * 1000000 * {p} + {q}) div (2 * {q}) AS BIGINT)"
+    rs = F.expr(share.format(p="r", q="rt"))
+    ts = F.expr(share.format(p="t", q="tt"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "host",
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        rs.alias("rank_share_ppm"),
+        ts.alias("trust_share_ppm"),
+        (rs - ts).alias("spam_signal_ppm"),
     )
 
 

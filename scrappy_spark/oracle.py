@@ -57,6 +57,17 @@ def robots_disallowed(uri: str, robots) -> bool:
     return disallowed_py(host, path, robots)
 
 
+def dust_rewrite(uri: str, rules) -> str:
+    """First applicable DUST rule from a pre-ordered ((src, dst), ...)
+    sequence, applied as a literal replace-all; identity when none
+    applies. Spec shared with the Spark expression
+    (frontier/dust.py:rewrite_col) and the crawler's in-loop rewrite."""
+    for src, dst in rules or ():
+        if src in uri:
+            return uri.replace(src, dst)
+    return uri
+
+
 def oracle_crawl(
     docs: dict[str, list[dict]],
     seeds: list[str],
@@ -67,6 +78,7 @@ def oracle_crawl(
     robots: list[tuple] | None = None,
     redirects: dict[str, str] | None = None,
     host_budgets: dict[str, int] | None = None,
+    dust_rules: list[tuple[str, str]] | None = None,
 ) -> CrawlResult:
     res = CrawlResult()
     cache: dict[str, list[semantics.Triple]] = {}
@@ -75,7 +87,7 @@ def oracle_crawl(
     queue: deque[tuple[str, int, int]] = deque()  # (uri, depth, seq)
     next_seq = 0
     for s in seeds:
-        uri = canonicalize(s)
+        uri = dust_rewrite(canonicalize(s), dust_rules)
         item = (uri, depth)
         if item not in res.seen and not robots_disallowed(uri, robots):
             res.seen.add(item)
@@ -105,6 +117,7 @@ def oracle_crawl(
     def push_unless_done(items: list[tuple[str, int]]) -> None:
         nonlocal next_seq
         for uri, d in items:
+            uri = dust_rewrite(uri, dust_rules)
             if robots_disallowed(uri, robots):
                 continue
             if (uri, d) not in res.seen:  # history ∪ pending (map_reduce.rb:40-42)
