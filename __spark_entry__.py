@@ -95,7 +95,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_driver_contract.py.
     """
     return {
-        # --- NEW in round 5, ninth insertion wave (front per
+        # --- NEW in round 5, eleventh insertion wave (front per
+        # convention): OPIC (Abiteboul et al. WWW'03) — THE crawler-
+        # native importance algorithm: cash/history accounting driven by
+        # the crawl's own pop schedule, no convergence loop; exact
+        # BIGINT fixed-point, 2 shuffles per crawl round. Displaces
+        # text_bigram_logprob: its unigram sibling carries an r4 driver
+        # stamp, the bigram kernel is the same explode + partial-agg +
+        # broadcast-model-join shape as in-window text_vocab_oov, and it
+        # keeps python-mirror property tests + its full oracle.
+        # ------------------------------------------------------------------
+        "graph_opic": graph.doc_opic,
+        # --- round 5, tenth insertion wave (front per
+        # convention): whole-host mirror detection — the site-level
+        # sibling of the DUST layer (Bharat & Broder WWW'99): host pairs
+        # whose RARE content-fingerprint sets overlap heavily; the
+        # media_mirror discipline on the (host, fp) axis (df cap BEFORE
+        # pairs, map-side pair expansion, exact integer Jaccard ppm).
+        # Displaces sketch_distinct_tokens: in-window sketch_hll_tokens
+        # stamps the bounded-state distinct-sketch family (same mirrored
+        # hash60, duplicate-insensitive state); KMV keeps its full value
+        # oracle (sweep-green) + python-mirror property tests.
+        # ------------------------------------------------------------------
+        "frontier_mirror_hosts": webgraph.mirror_hosts_query,
+        # --- round 5, ninth insertion wave (front per
         # convention): the operational halves of the eighth wave's two
         # kernels. The two entries moved behind the window to make room:
         # robots_gate — its parse kernel is stamped by in-window
@@ -301,10 +324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (integer ppm), language profile + majority language — the
         # domain-level table corpus curation reviews before touching docs
         "host_scorecard": textstats.host_scorecard,
-        # bigram-LM surprisal (the next CCNet rung after unigram):
-        # conditional −ln(c2/c1) in exact fixed-point decimal sums;
-        # bigram formation is one sessionize-shaped window Exchange
-        "text_bigram_logprob": textstats.bigram_logprob,
         # adaptive per-host crawl budgets from yield (new URLs per pop):
         # integer clamp(base·new÷pops, lo, hi) — one partial-agg shuffle
         # on host; output feeds CrawlConfig.host_budgets
@@ -389,10 +408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_asof_purchase": timeseries.events_asof_last_purchase,
         "ts_sessionize": timeseries.events_sessionize,
         "ts_range_join": timeseries.events_attribution_range_join,
-        # KMV cardinality sketch: the distinct-count estimator that
-        # (unlike HLL) is a pure function of the mirrored hash60, so
-        # the estimate itself is value-oracled
-        "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
         # exact discrete corpus quantiles via the distributed exact-rank
         # recipe (integral target ranks — no interpolation hazard)
         "text_token_quantiles": ranking.token_count_quantiles,
@@ -409,6 +424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engines) over the deterministic doc outlink graph; displaced
         # by frontier_politeness_audit (see that slot's rationale)
         "graph_pagerank": graph.doc_pagerank,
+        # Moved out by the eleventh wave — see that wave's header.
+        # bigram-LM surprisal (the next CCNet rung after unigram):
+        # conditional −ln(c2/c1) in exact fixed-point decimal sums;
+        # bigram formation is one sessionize-shaped window Exchange
+        "text_bigram_logprob": textstats.bigram_logprob,
+        # Moved out by the tenth wave — see that wave's header.
+        # KMV cardinality sketch: the distinct-count estimator that
+        # (unlike HLL) is a pure function of the mirrored hash60, so
+        # the estimate itself is value-oracled
+        "sketch_distinct_tokens": sketch.distinct_tokens_sketch,
         # The two moved out by the ninth wave — see that wave's header
         # for the kernel-sharing rationale; both keep full value oracles
         # and are sweep-green.
@@ -3681,6 +3706,93 @@ def _oracle_sql_static() -> dict[str, str]:
                         - (2 * 1000000 * t + tt) // (2 * tt) AS BIGINT)
                      AS spam_signal_ppm
             FROM hh, tot
+        """,
+        # OPIC: recursive CTE carrying (cash, hist) per crawl round; the
+        # self-loop aug rows (real=0) re-seat every node's retained cash
+        # and history, the real rows carry the popped sources' HALF_UP
+        # shares; p.pr = iter+1 is NULL-safe-false for unscheduled nodes
+        "graph_opic": _PAGERANK_CTES
+        + f""",
+            pops AS (
+              SELECT doc_id AS node,
+                     1 + (doc_id * 7) % {graph.OPIC_ROUNDS} AS pr
+              FROM documents
+            ),
+            st AS (
+              SELECT 0 AS iter, node,
+                     CAST({graph.SCALE_I} AS BIGINT) AS cash_i,
+                     CAST(0 AS BIGINT) AS hist_i
+              FROM nodes
+              UNION ALL
+              SELECT s.iter + 1, a.dst AS node,
+                     sum(CASE
+                       WHEN a.real = 0 THEN
+                         CASE WHEN p.pr = s.iter + 1 THEN 0
+                              ELSE s.cash_i END
+                       WHEN p.pr = s.iter + 1 AND s.cash_i > 0 THEN
+                         (2 * s.cash_i + a.out_deg) // (2 * a.out_deg)
+                       ELSE 0 END) AS cash_i,
+                     sum(CASE WHEN a.real = 0 THEN
+                           s.hist_i + CASE WHEN p.pr = s.iter + 1
+                                           THEN s.cash_i ELSE 0 END
+                         ELSE 0 END) AS hist_i
+              FROM st s
+              JOIN aug a ON a.src = s.node
+              LEFT JOIN pops p ON p.node = s.node
+              WHERE s.iter < {graph.OPIC_ROUNDS}
+              GROUP BY s.iter, a.dst
+            )
+            SELECT node AS doc_id, CAST(hist_i AS BIGINT) AS hist_i,
+                   CAST(cash_i AS BIGINT) AS cash_i,
+                   CAST(hist_i + cash_i AS BIGINT) AS opic_i
+            FROM st WHERE iter = {graph.OPIC_ROUNDS}
+        """,
+        # mirror hosts: the observation synthesis mirrored verbatim
+        # (base host, every-third-doc mirror twin, boilerplate fp -1 on
+        # ALL hosts so the df cap must drop it); pair join + exact floor
+        # Jaccard
+        "frontier_mirror_hosts": f"""
+            WITH obs AS (
+              SELECT 'w' || CAST(doc_id % {webgraph.MIRROR_HOST_MOD} AS VARCHAR)
+                       AS host, doc_id AS fp
+              FROM documents
+              UNION ALL
+              SELECT 'w' || CAST(doc_id % {webgraph.MIRROR_HOST_MOD} AS VARCHAR)
+                       || 'm', doc_id
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'w' || CAST(doc_id % {webgraph.MIRROR_HOST_MOD} AS VARCHAR),
+                     -1
+              FROM documents
+              UNION ALL
+              SELECT 'w' || CAST(doc_id % {webgraph.MIRROR_HOST_MOD} AS VARCHAR)
+                       || 'm', -1
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            hf AS (SELECT DISTINCT host, fp FROM obs),
+            dfc AS (SELECT fp, count(*) AS df FROM hf GROUP BY fp),
+            rare AS (
+              SELECT h.host, h.fp FROM hf h JOIN dfc USING (fp)
+              WHERE df <= {webgraph.MIRROR_HOST_MAX_DF}
+            ),
+            cnt AS (SELECT host, count(*) AS n FROM rare GROUP BY host),
+            pr AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*) AS shared
+              FROM rare a JOIN rare b
+                ON a.fp = b.fp AND a.host < b.host
+              GROUP BY a.host, b.host
+            )
+            SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+                   CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+                   CAST(1000000 * shared // (ca.n + cb.n - shared)
+                        AS BIGINT) AS jaccard_ppm
+            FROM pr
+            JOIN cnt ca ON ca.host = pr.host_a
+            JOIN cnt cb ON cb.host = pr.host_b
+            WHERE shared >= {webgraph.MIRROR_HOST_MIN_SHARED}
+              AND 1000000 * shared // (ca.n + cb.n - shared)
+                  >= {webgraph.MIRROR_HOST_MIN_PPM}
         """,
         # DUST rules + application, from the shared mining mirror
         "frontier_dust_rules": _DUST_CTES

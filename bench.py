@@ -169,6 +169,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "frontier_dust_rules": dust.dust_rules_query,
         "frontier_dust_canonicalize": dust.dust_canonicalize_query,
         "graph_spam_mass": graph.host_spam_signal,
+        "frontier_mirror_hosts": webgraph.mirror_hosts_query,
+        "graph_opic": graph.doc_opic,
     }
     times, steal = {}, {}
     for name, fn in qs.items():

@@ -495,6 +495,148 @@ def doc_trustrank(
     return tr.select(F.col("node").alias("doc_id"), "trust_i", "trust")
 
 
+# ------------------------------------------------------------------ OPIC
+#
+# On-line Page Importance Computation (Abiteboul, Preda, Cobena,
+# "Adaptive On-Line Page Importance Computation", WWW 2003 — public
+# paper): THE crawler-native importance algorithm — importance
+# accumulates WHILE crawling, no convergence loop over a frozen graph.
+# Every page holds CASH (init 1 unit); when the crawler fetches a page,
+# its cash is recorded into its HISTORY and simultaneously distributed
+# equally to its outlinks; importance ∝ history. Level-synchronized
+# variant here: pages popped in the same crawl round distribute
+# together — exactly the engine's round structure, so the pop schedule
+# (node, round) drives the iteration.
+#
+# Exactness: BIGINT fixed-point at SCALE_I; the per-edge share is
+# HALF_UP(cash/out_deg) (rounding pennies leak deterministically —
+# identical in both engines); cash of a popped DANGLING page moves to
+# history but exits circulation (the paper routes it through a virtual
+# page; the deviation is documented and deterministic). history is
+# monotone; totals are bounded by R × total initial cash, far under the
+# DECIMAL(38,0) intermediates.
+#
+# 100 TB shape: the round loop is bounded by the crawl's round count
+# (config-scale, the pagerank-iterations class). Per round: one join of
+# the node-sized state against the popped set + persisted edges, one
+# partial-agg groupBy(dst) — 2 shuffles, state localCheckpoint'ed (the
+# pagerank lineage discipline).
+
+
+def opic(
+    edges: DataFrame, pops: DataFrame, rounds: int
+) -> DataFrame:
+    """OPIC over a directed edge list ``(src, dst)`` and a pop schedule
+    ``(node, round)`` (each node popped in at most one round, rounds in
+    1..rounds); returns ``(node, hist_i, cash_i, opic_i)`` with
+    ``opic_i = hist_i + cash_i`` the importance estimate in SCALE_I
+    fixed-point. Fails loudly if a schedule round is out of range."""
+    e = edges.select("src", "dst").distinct().persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edeg = e.join(deg, "src").persist()
+    edeg.count()
+    p = pops.select("node", "round").distinct()
+    bad = p.where(
+        (F.col("round") < 1) | (F.col("round") > rounds)
+    ).limit(1)
+    if bad.count() > 0:
+        e.unpersist()
+        edeg.unpersist()
+        raise ValueError(
+            f"opic: pop schedule has rounds outside 1..{rounds}"
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(p, "node", "left")
+        .select("node", F.col("round").alias("pop_round"))
+        .persist()
+    )
+    nodes.count()
+    state = nodes.select(
+        "node",
+        F.lit(SCALE_I).cast("bigint").alias("cash_i"),
+        F.lit(0).cast("bigint").alias("hist_i"),
+    ).localCheckpoint()
+    share = F.expr(
+        "(2 * CAST(cash_i AS DECIMAL(38,0)) + out_deg) div (2 * out_deg)"
+    )
+    for r in range(1, rounds + 1):
+        popped = nodes.where(F.col("pop_round") == r).select("node")
+        spend = state.join(popped, "node")  # cash being distributed
+        inflow = (
+            spend.join(edeg, spend["node"] == edeg["src"])
+            .where(F.col("cash_i") > 0)
+            .select(F.col("dst").alias("node"), share.alias("c"))
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("inflow"))
+        )
+        state = (
+            state.join(
+                popped.select("node", F.lit(1).alias("is_pop")),
+                "node",
+                "left",
+            )
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_pop") == 1, F.lit(0)).otherwise(
+                        F.col("cash_i")
+                    )
+                    + F.coalesce(
+                        F.col("inflow"), F.lit(0).cast("decimal(38,0)")
+                    )
+                )
+                .cast("bigint")
+                .alias("cash_i"),
+                (
+                    F.col("hist_i")
+                    + F.when(
+                        F.col("is_pop") == 1, F.col("cash_i")
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("hist_i"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    edeg.unpersist()
+    nodes.unpersist()
+    return state.select(
+        "node",
+        "hist_i",
+        "cash_i",
+        (F.col("hist_i") + F.col("cash_i")).alias("opic_i"),
+    )
+
+
+# pop schedule for the driver entry: every graph node popped in exactly
+# one of OPIC_ROUNDS rounds, spread by a fixed affine residue
+OPIC_ROUNDS = 9
+
+
+def doc_opic(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Driver entry: OPIC over the synthetic outlink graph with the
+    deterministic pop schedule round = 1 + (doc_id*7) % OPIC_ROUNDS;
+    columns (doc_id, hist_i, cash_i, opic_i)."""
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    pops = docs.select(
+        d.alias("node"),
+        (1 + (d * 7) % OPIC_ROUNDS).cast("int").alias("round"),
+    )
+    out = opic(doc_link_edges(spark, sf_dir, docs), pops, OPIC_ROUNDS)
+    return out.select(
+        F.col("node").alias("doc_id"), "hist_i", "cash_i", "opic_i"
+    )
+
+
 # ------------------------------------------------------------- spam mass
 #
 # Calibration-free spam-mass reading (Gyöngyi, Berkhin, Garcia-Molina,

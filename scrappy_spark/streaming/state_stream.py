@@ -297,6 +297,39 @@ def media_admission_stream(
     )
 
 
+def canonicalize_stream(
+    urls: DataFrame,
+    rules: tuple[tuple[str, str], ...],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming DUST canonicalization + admission (round 5, tenth wave):
+    a live discovered-URL feed is rewritten to canonical form with the
+    mined rule table (the CrawlConfig.dust_rules shape — config-scale,
+    shipped as a literal array, MAP-ONLY and stateless per row, the SAME
+    `rewrite_col` expression as the batch canonicalizer and the
+    crawler's in-loop rewrite), then first-sight-wins per CANONICAL uri
+    via `dropDuplicatesWithinWatermark` — an alias arriving after its
+    canonical twin (or any other alias of the same family) within the
+    watermark is dropped without a fetch. State is keyed by canonical
+    uri and bounded by discovery-rate × watermark (the dedup_stream
+    contract); an alias arriving later than the watermark re-admits,
+    which for a fetch gate is a re-validation (the batch seen-set stays
+    globally exact).
+
+    Input stream schema: (uri string, event_time timestamp). Output:
+    the admitted rows with their canonical uri."""
+    from ..frontier.dust import rewrite_col
+
+    canon = urls.withColumn(
+        "canon_uri", rewrite_col(F.col("uri"), tuple(rules))
+    )
+    return (
+        canon.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["canon_uri"])
+        .select("canon_uri", "uri", "event_time")
+    )
+
+
 def discovery_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming sitemap discovery (round 4): sitemap documents arriving
     on a live ingest stream → first-seen seed rows (uri, lastmod,
