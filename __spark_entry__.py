@@ -138,7 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DUST rule APPLICATION: mined rules canonicalize the frontier
         # without fetching — config-scale top-K rule table embedded as a
         # literal array, corpus side MAP-ONLY (per-row filter[0] + one
-        # literal replace-all, zero shuffles)
+        # boundary-guarded positional splice, zero shuffles)
         "frontier_dust_canonicalize": dust_mod.dust_canonicalize_query,
         # --- round 5, eighth insertion wave (front per
         # convention): two kernels new to the engine this wave. The two
@@ -158,7 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_trustrank": graph.doc_trustrank,
         # DUST rule mining (Bar-Yossef et al., WWW 2007): learn URL
         # rewrite rules (session-ids, print views, CMS aliases) from
-        # content-equal URL pairs — capped fp self-join, map-only
+        # content-equal URL pairs — capped map-side pair expansion,
         # lcp/lcs alignment in native HOFs, one rule-key reduce
         "frontier_dust_rules": dust_mod.dust_rules_query,
         # --- round 5, seventh insertion wave (front per
@@ -1460,15 +1460,22 @@ _DUST_CTES = f"""
             ),
             rl AS (
               SELECT substr(uri_a, CAST(lcp + 1 AS INT),
-                            CAST(la - lcp - lcs AS INT)) AS alpha,
+                            CAST(la - lcp - lcs AS INT)) AS ma,
                      substr(uri_b, CAST(lcp + 1 AS INT),
-                            CAST(lb - lcp - lcs AS INT)) AS beta
+                            CAST(lb - lcp - lcs AS INT)) AS mb
               FROM (SELECT *, least(lcs_raw, least(la, lb) - lcp) AS lcs
                     FROM al)
             ),
             rules AS (
-              SELECT alpha, beta, count(*) AS support
-              FROM rl GROUP BY alpha, beta
+              SELECT CASE WHEN length(mb) > length(ma)
+                            OR (length(mb) = length(ma) AND mb > ma)
+                          THEN mb ELSE ma END AS alpha,
+                     CASE WHEN length(mb) > length(ma)
+                            OR (length(mb) = length(ma) AND mb > ma)
+                          THEN ma ELSE mb END AS beta,
+                     count(*) AS support
+              FROM rl
+              GROUP BY 1, 2
               HAVING count(*) >= {dust_mod.DUST_MIN_SUPPORT}
             )"""
 
@@ -3800,27 +3807,18 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT alpha, beta, CAST(support AS BIGINT) AS support
             FROM rules
         """,
-        # canonicalization: rules direction-normalized longer->shorter,
-        # top-K by the same total order the Spark side sorts by, packed
-        # into ONE ordered list; per uri the first applicable rule wins
-        # and replace() is the same literal all-occurrence rewrite
+        # canonicalization: mined rules are already direction-normalized
+        # (alpha = longer source, beta = shorter target); top-K by the
+        # same total order the Spark side sorts by, packed into ONE
+        # ordered list; per uri the first rule with a boundary-valid
+        # FIRST occurrence wins (src ending mid-token must not continue
+        # the token — the '?session=s1' vs '?session=s10' guard) and is
+        # applied as a single positional splice, never replace-all
         "frontier_dust_canonicalize": _DUST_CTES
         + f""",
-            rn AS (
-              SELECT CASE WHEN length(beta) < length(alpha)
-                            OR (length(beta) = length(alpha)
-                                AND beta < alpha)
-                          THEN alpha ELSE beta END AS src,
-                     CASE WHEN length(beta) < length(alpha)
-                            OR (length(beta) = length(alpha)
-                                AND beta < alpha)
-                          THEN beta ELSE alpha END AS dst,
-                     support
-              FROM rules
-            ),
             topr AS (
-              SELECT * FROM rn
-              ORDER BY support DESC, length(src) DESC, src, dst
+              SELECT alpha AS src, beta AS dst, support FROM rules
+              ORDER BY support DESC, length(alpha) DESC, alpha, beta
               LIMIT {dust_mod.DUST_RULES_MAX}
             ),
             rlz AS (
@@ -3832,11 +3830,24 @@ def _oracle_sql_static() -> dict[str, str]:
             uu AS (SELECT DISTINCT uri FROM u),
             hit AS (
               SELECT uri,
-                     list_filter(rs, q -> contains(uri, q.src))[1] AS h
+                     list_filter(rs, q ->
+                       strpos(uri, q.src) > 0
+                       AND (NOT regexp_matches(
+                              substr(q.src, length(q.src), 1),
+                              '[0-9A-Za-z]')
+                            OR NOT regexp_matches(
+                              substr(uri, strpos(uri, q.src)
+                                          + length(q.src), 1),
+                              '[0-9A-Za-z]')))[1] AS h
               FROM uu CROSS JOIN rlz
             )
             SELECT uri,
-                   coalesce(replace(uri, h.src, h.dst), uri) AS canon_uri,
+                   CASE WHEN h IS NULL THEN uri
+                        ELSE substr(uri, 1, strpos(uri, h.src) - 1)
+                             || h.dst
+                             || substr(uri, strpos(uri, h.src)
+                                            + length(h.src))
+                   END AS canon_uri,
                    h.src AS rule_src, h.dst AS rule_dst,
                    h IS NOT NULL AS applied
             FROM hit

@@ -465,9 +465,7 @@ class Crawler:
     def _bootstrap(self, seeds: list[str]) -> int:
         """Round 0: canonicalize seeds, first-wins dedup, seq by seed order
         (matches oracle seeding)."""
-        from ..oracle import robots_disallowed
-
-        from ..oracle import dust_rewrite
+        from ..oracle import dust_rewrite, robots_disallowed
 
         rows, seen = [], set()
         for s in seeds:

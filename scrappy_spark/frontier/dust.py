@@ -46,7 +46,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # Mirrored literally into the DuckDB oracle.
 DUST_MAX_BUCKET = 16
@@ -62,18 +61,29 @@ def duplicate_url_pairs(
     canonical direction both engines agree on). Fingerprint groups
     larger than ``max_bucket`` are dropped whole (skew cap; a mirror
     farm with 10^5 aliases of one page would otherwise emit 10^10
-    pairs). Output: (uri_a, uri_b)."""
-    u = urls.select("uri", "fingerprint").distinct()
-    w = Window.partitionBy("fingerprint")
-    u = u.withColumn("bsz", F.count(F.lit(1)).over(w)).where(
-        F.col("bsz") <= max_bucket
+    pairs). Output: (uri_a, uri_b).
+
+    Plan (review r5): ONE groupBy(fingerprint) into a sorted distinct-uri
+    array, whole-group cap on the array size, then MAP-SIDE pair
+    expansion — the mirror_hosts/media_mirror recipe; the earlier
+    window-count + capped self-join evaluated the distinct subplan on
+    both join sides and shuffled twice."""
+    per_fp = (
+        urls.select("uri", "fingerprint")
+        .distinct()
+        .groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list("uri")).alias("us"))
+        .where(F.size("us") <= max_bucket)
     )
-    l, r = u.alias("l"), u.alias("r")
-    return l.join(
-        r,
-        (F.col("l.fingerprint") == F.col("r.fingerprint"))
-        & (F.col("l.uri") < F.col("r.uri")),
-    ).select(F.col("l.uri").alias("uri_a"), F.col("r.uri").alias("uri_b"))
+    return per_fp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(us, (a, i) -> "
+                "transform(slice(us, i + 2, size(us)), "
+                "b -> struct(a AS uri_a, b AS uri_b))))"
+            )
+        ).alias("p")
+    ).select("p.uri_a", "p.uri_b")
 
 
 def dust_rules(
@@ -90,10 +100,15 @@ def dust_rules(
     ``min(len) - lcp`` so prefix and suffix never claim the same
     character (e.g. ``ab`` vs ``aab``: lcp = 1 and the uncapped suffix
     scan matches 2, double-claiming the leading ``a``; the cap yields
-    the correct rule ``"" -> "a"``). The rule is the pair of middles;
-    direction is inherited from the pair's canonical order. Identical uris (lcp == both lengths) are rejected
-    loudly — a pair of a URL with itself is an upstream bug, and
-    silently emitting the vacuous rule ("","") would let it hide."""
+    the correct rule ``"a" -> ""``). The rule is the pair of middles,
+    DIRECTION-NORMALIZED before aggregation — ``alpha`` is the longer
+    (tie: lexicographically larger) side, the rewrite SOURCE; ``beta``
+    the shorter, the TARGET (review r5: with pair-order-inherited
+    direction, the same logical rule mined from opposite pair shapes
+    split its support across ('a','') and ('','a') and could fall under
+    min_support entirely). Identical uris (lcp == both lengths) are
+    rejected loudly — a pair of a URL with itself is an upstream bug,
+    and silently emitting the vacuous rule ("","") would let it hide."""
     mismatch = (
         "array_position(zip_with(split({a}, ''), split({b}, ''),"
         " (x, y) -> x <=> y), false)"
@@ -113,6 +128,9 @@ def dust_rules(
             )
             - F.lit(1),
         )
+        # materialize once (review r5): the fail-loud probe below is an
+        # action; without this the full pair pipeline ran twice
+        .localCheckpoint()
     )
     bad = p.where(F.col("lcp") < 0).limit(1)
     if bad.count() > 0:
@@ -124,9 +142,17 @@ def dust_rules(
         "lcs",
         F.least(F.col("lcs_raw"), F.least("la", "lb") - F.col("lcp")),
     )
-    rules = p.select(
-        F.expr("substr(uri_a, lcp + 1, la - lcp - lcs)").alias("alpha"),
-        F.expr("substr(uri_b, lcp + 1, lb - lcp - lcs)").alias("beta"),
+    mids = p.select(
+        F.expr("substr(uri_a, lcp + 1, la - lcp - lcs)").alias("ma"),
+        F.expr("substr(uri_b, lcp + 1, lb - lcp - lcs)").alias("mb"),
+    )
+    a, b = F.col("ma"), F.col("mb")
+    b_bigger = (F.length(b) > F.length(a)) | (
+        (F.length(b) == F.length(a)) & (b > a)
+    )
+    rules = mids.select(
+        F.when(b_bigger, b).otherwise(a).alias("alpha"),
+        F.when(b_bigger, a).otherwise(b).alias("beta"),
     )
     return (
         rules.groupBy("alpha", "beta")
@@ -164,6 +190,10 @@ def rules_for_config(
             F.when(beta_smaller, b).otherwise(a).alias("dst"),
             "support",
         )
+        # dust_rules output is already normalized (no-op there); pool
+        # support for caller-supplied tables mined in mixed directions
+        .groupBy("src", "dst")
+        .agg(F.sum("support").alias("support"))
         .orderBy(
             F.col("support").desc(), F.length("src").desc(), "src", "dst"
         )
@@ -172,12 +202,47 @@ def rules_for_config(
     return tuple((r["src"], r["dst"]) for r in top.collect())
 
 
+def _match_valid(uri_col, src_col):
+    """Boundary-guarded first-occurrence match (review r5: an unanchored
+    contains+replace rewrote '?session=s10' under the rule
+    '?session=s1' -> '' into the never-existing 'http://x/a0'): the rule
+    applies at the FIRST occurrence of src, and when src ends
+    mid-token (its last char is alphanumeric) the character after the
+    match must NOT continue the token (non-alphanumeric or
+    end-of-string; substring past the end is '' and '' fails the rlike,
+    so end-of-string needs no separate clause). Rules whose src ends at
+    a delimiter ('art/', '/print') carry their own boundary and need no
+    guard — a guard there would block the legitimate CMS infix rule,
+    whose match is followed by the article id digits."""
+    p = F.call_function("instr", uri_col, src_col)
+    last = F.substring(src_col, F.length(src_col), F.lit(1))
+    after = F.substring(uri_col, p + F.length(src_col), F.lit(1))
+    return (p > 0) & (
+        ~last.rlike("[0-9A-Za-z]") | ~after.rlike("[0-9A-Za-z]")
+    )
+
+
+def _splice(uri_col, src_col, dst_col):
+    """uri with its first occurrence of src replaced by dst — a single
+    positional splice, never replace-all (one alias token per rule per
+    URL is the alignment semantics the miner extracts; a second
+    occurrence is content, not addressing)."""
+    p = F.call_function("instr", uri_col, src_col)
+    return F.concat(
+        F.substring(uri_col, F.lit(1), p - 1),
+        dst_col,
+        F.substring(uri_col, p + F.length(src_col), F.length(uri_col)),
+    )
+
+
 def rule_hit_col(uri_col, rules):
     """First applicable rule from a pre-ordered ``((src, dst), ...)``
     sequence, as a nullable struct column — the shared map-only
     expression behind `canonicalize` and the crawler's in-loop
-    rewrite (CrawlConfig.dust_rules). ``rules`` must be non-empty and
-    pre-sorted best-first; F.get is the NULL-on-miss accessor."""
+    rewrite (CrawlConfig.dust_rules). Applicability = the
+    boundary-guarded first-occurrence match (`_match_valid`). ``rules``
+    must be non-empty and pre-sorted best-first; F.get is the
+    NULL-on-miss accessor."""
     lit_rules = F.array(
         *[
             F.struct(F.lit(s).alias("src"), F.lit(d).alias("dst"))
@@ -185,17 +250,20 @@ def rule_hit_col(uri_col, rules):
         ]
     )
     return F.get(
-        F.filter(lit_rules, lambda r: uri_col.contains(r["src"])), 0
+        F.filter(lit_rules, lambda r: _match_valid(uri_col, r["src"])), 0
     )
 
 
 def rewrite_col(uri_col, rules):
-    """The rewritten URI under the first applicable rule (literal
-    replace-all), or the URI itself when none applies / no rules."""
+    """The rewritten URI under the first applicable rule (single
+    positional splice at the first valid match), or the URI itself when
+    none applies / no rules."""
     if not rules:
         return uri_col
     h = rule_hit_col(uri_col, rules)
-    return F.coalesce(F.replace(uri_col, h["src"], h["dst"]), uri_col)
+    return F.when(
+        h.isNotNull(), _splice(uri_col, h["src"], h["dst"])
+    ).otherwise(uri_col)
 
 
 def canonicalize(
@@ -236,10 +304,12 @@ def canonicalize(
         urls.withColumn("_h", hit)
         .select(
             "uri",
-            F.coalesce(
-                F.replace(F.col("uri"), F.col("_h.src"), F.col("_h.dst")),
-                F.col("uri"),
-            ).alias("canon_uri"),
+            F.when(
+                F.col("_h").isNotNull(),
+                _splice(F.col("uri"), F.col("_h.src"), F.col("_h.dst")),
+            )
+            .otherwise(F.col("uri"))
+            .alias("canon_uri"),
             F.col("_h.src").alias("rule_src"),
             F.col("_h.dst").alias("rule_dst"),
             F.col("_h").isNotNull().alias("applied"),

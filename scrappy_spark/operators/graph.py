@@ -535,7 +535,7 @@ def opic(
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     edeg = e.join(deg, "src").persist()
     edeg.count()
-    p = pops.select("node", "round").distinct()
+    p = pops.select("node", "round").distinct().localCheckpoint()
     bad = p.where(
         (F.col("round") < 1) | (F.col("round") > rounds)
     ).limit(1)
@@ -545,6 +545,22 @@ def opic(
         raise ValueError(
             f"opic: pop schedule has rounds outside 1..{rounds}"
         )
+    # a node scheduled in two rounds would duplicate its state row
+    # through the left join below — doubled cash, duplicate output
+    # (review r5); fail loud like the round-range check above
+    dup = (
+        p.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .limit(1)
+    )
+    if dup.count() > 0:
+        e.unpersist()
+        edeg.unpersist()
+        raise ValueError(
+            "opic: pop schedule lists a node in more than one round — "
+            "each node pops at most once"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -553,7 +569,20 @@ def opic(
         .select("node", F.col("round").alias("pop_round"))
         .persist()
     )
-    nodes.count()
+    # overflow precondition (the pagerank/trustrank discipline): each
+    # node pops at most once, so hist_i <= the cash it held at pop <=
+    # total circulating cash = n*SCALE_I, and cash_i <= n*SCALE_I; the
+    # bigint casts below wrap silently past 2^63 (ANSI off), so exclude
+    # it up front instead
+    n_nodes = nodes.count()
+    if 2 * n_nodes * SCALE_I >= 2**63:
+        e.unpersist()
+        edeg.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"opic: {n_nodes} nodes at SCALE_I={SCALE_I} can exceed "
+            "int64 bounds — lower SCALE_I"
+        )
     state = nodes.select(
         "node",
         F.lit(SCALE_I).cast("bigint").alias("cash_i"),

@@ -59,12 +59,25 @@ def robots_disallowed(uri: str, robots) -> bool:
 
 def dust_rewrite(uri: str, rules) -> str:
     """First applicable DUST rule from a pre-ordered ((src, dst), ...)
-    sequence, applied as a literal replace-all; identity when none
-    applies. Spec shared with the Spark expression
-    (frontier/dust.py:rewrite_col) and the crawler's in-loop rewrite."""
+    sequence, applied as a single positional splice at the FIRST
+    occurrence; identity when none applies. Boundary guard: when src
+    ends mid-token (last char ASCII alphanumeric) the character after
+    the match must not continue the token — '?session=s1' must not
+    rewrite '?session=s10'. Spec shared with the Spark expression
+    (frontier/dust.py: _match_valid/_splice/rewrite_col) and the
+    crawler's in-loop rewrite."""
+    import re
+
+    alnum = re.compile(r"[0-9A-Za-z]")
     for src, dst in rules or ():
-        if src in uri:
-            return uri.replace(src, dst)
+        p = uri.find(src)
+        if p < 0:
+            continue
+        if src and alnum.match(src[-1]):
+            nxt = uri[p + len(src) : p + len(src) + 1]
+            if nxt and alnum.match(nxt):
+                continue
+        return uri[:p] + dst + uri[p + len(src) :]
     return uri
 
 

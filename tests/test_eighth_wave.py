@@ -163,12 +163,30 @@ def test_dust_alignment_overlap_cap(spark):
 
 def test_dust_strict_prefix_pair(spark):
     # session-id alias: the shorter uri IS the prefix; lcs must be
-    # capped to 0 (nothing left after the prefix on the short side)
+    # capped to 0 (nothing left after the prefix on the short side);
+    # direction normalized longer->shorter: the alias middle is the
+    # rewrite SOURCE
     p = spark.createDataFrame(
         [Row(uri_a="http://x/a/1", uri_b="http://x/a/1?session=s1")]
     )
     rules = dust.dust_rules(p, min_support=1).collect()
-    assert [(r["alpha"], r["beta"]) for r in rules] == [("", "?session=s1")]
+    assert [(r["alpha"], r["beta"]) for r in rules] == [("?session=s1", "")]
+
+
+def test_dust_opposite_direction_minings_pool_support(spark):
+    # the same logical delete-'a' rule mined from opposite pair shapes
+    # (review r5): support must aggregate on the NORMALIZED key, not
+    # split across ('a','') and ('','a') and fall under min_support
+    p = spark.createDataFrame(
+        [
+            Row(uri_a="http://h/xab", uri_b="http://h/xb"),
+            Row(uri_a="http://h/yb", uri_b="http://h/yba"),
+        ]
+    )
+    rules = dust.dust_rules(p, min_support=2).collect()
+    assert [(r["alpha"], r["beta"], r["support"]) for r in rules] == [
+        ("a", "", 2)
+    ]
 
 
 def test_dust_identical_uri_pair_fails_loud(spark):
@@ -197,7 +215,7 @@ def test_dust_recovers_alias_families(spark):
         (r["alpha"], r["beta"]): r["support"]
         for r in dust.dust_rules(pairs).collect()
     }
-    expected = {("", f"?session=s{k}"): 5 for k in range(7)}
-    expected[("", "/print")] = 7
-    expected[("art/", "index.php?id=")] = 12
+    expected = {(f"?session=s{k}", ""): 5 for k in range(7)}
+    expected[("/print", "")] = 7
+    expected[("index.php?id=", "art/")] = 12
     assert got == expected

@@ -88,6 +88,13 @@ def test_opic_out_of_range_round_fails_loud(spark):
         _run(spark, [("a", "b")], [("a", 7)], 3)
 
 
+def test_opic_duplicate_schedule_fails_loud(spark):
+    # a node in two rounds would duplicate its state row through the
+    # schedule join — doubled cash, duplicate output (review r5)
+    with pytest.raises(ValueError, match="more than one round"):
+        _run(spark, [("a", "b"), ("b", "c")], [("a", 1), ("a", 2)], 3)
+
+
 def test_opic_partition_and_multiedge_invariant(spark):
     edges = [(f"n{i % 5}", f"n{(i * 7 + 1) % 8}") for i in range(25)]
     edges = [e for e in edges if e[0] != e[1]]

@@ -120,9 +120,42 @@ def test_canonicalize_best_rule_total_order(spark):
     )
 
 
-def test_canonicalize_replaces_all_occurrences(spark):
+def test_canonicalize_single_splice_first_occurrence(spark):
+    # ONE positional splice at the first valid match — a second
+    # occurrence is content, not addressing, and stays untouched
     got = _canon(spark, ["http://x/pp/a/pp"], [("", "pp", 2)])
-    assert got["http://x/pp/a/pp"] == ("http://x//a/", "pp", "", True)
+    assert got["http://x/pp/a/pp"] == ("http://x//a/pp", "pp", "", True)
+
+
+def test_canonicalize_boundary_guard_blocks_token_prefix(spark):
+    # review r5: '?session=s1' must NOT rewrite '?session=s10' (the
+    # match continues the token); the exact alias still rewrites, and a
+    # delimiter-ending src (the CMS infix rule) needs no guard even
+    # though digits follow its match
+    got = _canon(
+        spark,
+        [
+            "http://x/a?session=s10",
+            "http://x/a?session=s1",
+            "http://x/art/7",
+        ],
+        [("?session=s1", "", 9), ("art/", "A/", 2)],
+    )
+    assert got["http://x/a?session=s1"] == (
+        "http://x/a",
+        "?session=s1",
+        "",
+        True,
+    )
+    assert got["http://x/art/7"] == ("http://x/A/7", "art/", "A/", True)
+    # the s10 URL matches neither rule source validly except 'art/'…
+    # which it does not contain — so it keeps itself
+    assert got["http://x/a?session=s10"] == (
+        "http://x/a?session=s10",
+        None,
+        None,
+        False,
+    )
 
 
 def test_canonicalize_empty_rules_identity(spark):
