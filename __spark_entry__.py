@@ -95,7 +95,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_driver_contract.py.
     """
     return {
-        # --- NEW in round 5, eleventh insertion wave (front per
+        # --- NEW in round 5, twelfth insertion wave (front per
+        # convention): incremental DUST rule maintenance — the
+        # delta_lsh_pairs discipline on the rule axis: O(delta) mining
+        # of the new pairs pooled with the persisted UNFILTERED support
+        # table by one rule-key full-outer join; new_rule flags families
+        # that cross the floor only with the delta. Displaces
+        # frontier_dust_rules itself: this entry's oracle instantiates
+        # the ENTIRE mining mirror twice (the _h/_d blocks), so a green
+        # stamp here transitively stamps the mining kernel; the base
+        # view stays sweep-green with its full oracle + the alias-family
+        # golden and the in-crawl golden.
+        # ------------------------------------------------------------------
+        "frontier_dust_rules_delta": dust_mod.dust_rules_delta_query,
+        # --- round 5, eleventh insertion wave (front per
         # convention): OPIC (Abiteboul et al. WWW'03) — THE crawler-
         # native importance algorithm: cash/history accounting driven by
         # the crawl's own pop schedule, no convergence loop; exact
@@ -156,11 +169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mass injected only at vetted seeds, so link farms that inflate
         # raw PageRank collect ~0; 2 shuffles/iter over persisted edges
         "graph_trustrank": graph.doc_trustrank,
-        # DUST rule mining (Bar-Yossef et al., WWW 2007): learn URL
-        # rewrite rules (session-ids, print views, CMS aliases) from
-        # content-equal URL pairs — capped map-side pair expansion,
-        # lcp/lcs alignment in native HOFs, one rule-key reduce
-        "frontier_dust_rules": dust_mod.dust_rules_query,
         # --- round 5, seventh insertion wave (front per
         # convention): three kernels new to the engine this wave. The
         # three entries moved behind the window to make room each have
@@ -424,6 +432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engines) over the deterministic doc outlink graph; displaced
         # by frontier_politeness_audit (see that slot's rationale)
         "graph_pagerank": graph.doc_pagerank,
+        # Moved out by the twelfth wave — see that wave's header.
+        # DUST rule mining (Bar-Yossef et al., WWW 2007): learn URL
+        # rewrite rules (session-ids, print views, CMS aliases) from
+        # content-equal URL pairs — capped map-side pair expansion,
+        # lcp/lcs alignment in native HOFs, one rule-key reduce
+        "frontier_dust_rules": dust_mod.dust_rules_query,
         # Moved out by the eleventh wave — see that wave's header.
         # bigram-LM surprisal (the next CCNet rung after unigram):
         # conditional −ln(c2/c1) in exact fixed-point decimal sums;
@@ -1409,20 +1423,33 @@ def _trust_recursion(name: str) -> str:
             )"""
 
 
-# DUST mining mirror, shared by the rules and canonicalize oracles:
-# alias synthesis mirrored verbatim; lcp = count of matching prefix
-# lengths k (prefix equality is monotone in k, so the count equals the
-# first-mismatch scan Spark runs); lcs = the same scan on reversed
-# strings, capped so prefix and suffix never claim the same character.
-_DUST_CTES = f"""
-            WITH base AS (
+# DUST mining mirror, shared by the rules / canonicalize / delta
+# oracles: alias synthesis mirrored verbatim; lcp = count of matching
+# prefix lengths k (prefix equality is monotone in k, so the count
+# equals the first-mismatch scan Spark runs); lcs = the same scan on
+# reversed strings, capped so prefix and suffix never claim the same
+# character; middles direction-normalized (longer -> shorter) BEFORE
+# the support aggregation. _dust_block emits the chain through the
+# UNFILTERED counts{sfx} table (dust_rule_counts); the delta oracle
+# instantiates it per side with a doc filter (and the delta-only AMP
+# alias family).
+
+
+def _dust_block(sfx: str, where: str = "", amp: bool = False) -> str:
+    amp_item = (
+        ",\n                       b || 'art/' || n || '/amp'"
+        if amp
+        else ""
+    )
+    return f"""
+            base{sfx} AS (
               SELECT doc_id AS fingerprint,
                      'http://m' || CAST(doc_id % {dust_mod.DUST_HOST_MOD} AS VARCHAR)
                        || '.example.org/' AS b,
                      CAST(doc_id AS VARCHAR) AS n
-              FROM documents
+              FROM documents {where}
             ),
-            vl AS (
+            vl{sfx} AS (
               SELECT fingerprint,
                      list_filter([
                        b || 'art/' || n,
@@ -1431,20 +1458,22 @@ _DUST_CTES = f"""
                        CASE WHEN fingerprint % 3 = 0
                             THEN b || 'index.php?id=' || n END,
                        CASE WHEN fingerprint % 5 = 0
-                            THEN b || 'art/' || n || '/print' END
+                            THEN b || 'art/' || n || '/print' END{amp_item}
                      ], u -> u IS NOT NULL) AS uris
-              FROM base
+              FROM base{sfx}
             ),
-            u AS (SELECT DISTINCT fingerprint, unnest(uris) AS uri FROM vl),
-            c AS (SELECT *, count(*) OVER (PARTITION BY fingerprint) AS bsz
-                  FROM u),
-            p AS (
+            u{sfx} AS (SELECT DISTINCT fingerprint, unnest(uris) AS uri
+                       FROM vl{sfx}),
+            c{sfx} AS (SELECT *, count(*) OVER (PARTITION BY fingerprint)
+                              AS bsz
+                       FROM u{sfx}),
+            p{sfx} AS (
               SELECT l.uri AS uri_a, r.uri AS uri_b
-              FROM c l JOIN c r
+              FROM c{sfx} l JOIN c{sfx} r
                 ON l.fingerprint = r.fingerprint AND l.uri < r.uri
               WHERE l.bsz <= {dust_mod.DUST_MAX_BUCKET}
             ),
-            al AS (
+            al{sfx} AS (
               SELECT uri_a, uri_b,
                      length(uri_a) AS la, length(uri_b) AS lb,
                      len(list_filter(
@@ -1456,17 +1485,17 @@ _DUST_CTES = f"""
                        k -> substr(reverse(uri_a), 1, CAST(k AS INT))
                             = substr(reverse(uri_b), 1, CAST(k AS INT))))
                        AS lcs_raw
-              FROM p
+              FROM p{sfx}
             ),
-            rl AS (
+            rl{sfx} AS (
               SELECT substr(uri_a, CAST(lcp + 1 AS INT),
                             CAST(la - lcp - lcs AS INT)) AS ma,
                      substr(uri_b, CAST(lcp + 1 AS INT),
                             CAST(lb - lcp - lcs AS INT)) AS mb
               FROM (SELECT *, least(lcs_raw, least(la, lb) - lcp) AS lcs
-                    FROM al)
+                    FROM al{sfx})
             ),
-            rules AS (
+            counts{sfx} AS (
               SELECT CASE WHEN length(mb) > length(ma)
                             OR (length(mb) = length(ma) AND mb > ma)
                           THEN mb ELSE ma END AS alpha,
@@ -1474,10 +1503,20 @@ _DUST_CTES = f"""
                             OR (length(mb) = length(ma) AND mb > ma)
                           THEN ma ELSE mb END AS beta,
                      count(*) AS support
-              FROM rl
+              FROM rl{sfx}
               GROUP BY 1, 2
-              HAVING count(*) >= {dust_mod.DUST_MIN_SUPPORT}
             )"""
+
+
+_DUST_CTES = (
+    "\n            WITH "
+    + _dust_block("").lstrip()
+    + f""",
+            rules AS (
+              SELECT alpha, beta, support FROM counts
+              WHERE support >= {dust_mod.DUST_MIN_SUPPORT}
+            )"""
+)
 
 
 def _hits_sql() -> str:
@@ -3807,6 +3846,28 @@ def _oracle_sql_static() -> dict[str, str]:
             SELECT alpha, beta, CAST(support AS BIGINT) AS support
             FROM rules
         """,
+        # incremental mining: the mining block instantiated per side
+        # (history = doc_id % 4 != 0; delta = the rest + the AMP alias
+        # family), pooled by ONE full-outer join on the rule key;
+        # new_rule = crossed the floor only WITH the delta
+        "frontier_dust_rules_delta": (
+            "\n            WITH "
+            + _dust_block("_h", "WHERE doc_id % 4 <> 0").lstrip()
+            + ","
+            + _dust_block("_d", "WHERE doc_id % 4 = 0", amp=True)
+            + f"""
+            SELECT coalesce(d.alpha, h.alpha) AS alpha,
+                   coalesce(d.beta, h.beta) AS beta,
+                   CAST(coalesce(d.support, 0) + coalesce(h.support, 0)
+                        AS BIGINT) AS support,
+                   coalesce(h.support, 0)
+                     < {dust_mod.DUST_MIN_SUPPORT} AS new_rule
+            FROM counts_d d FULL OUTER JOIN counts_h h
+              ON d.alpha = h.alpha AND d.beta = h.beta
+            WHERE coalesce(d.support, 0) + coalesce(h.support, 0)
+                  >= {dust_mod.DUST_MIN_SUPPORT}
+        """
+        ),
         # canonicalization: mined rules are already direction-normalized
         # (alpha = longer source, beta = shorter target); top-K by the
         # same total order the Spark side sorts by, packed into ONE

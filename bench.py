@@ -167,6 +167,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "dedup_cdc_chunks": boilerplate.cdc_chunk_dups,
         "frontier_politeness_audit": yieldstats.politeness_audit_query,
         "frontier_dust_rules": dust.dust_rules_query,
+        "frontier_dust_rules_delta": dust.dust_rules_delta_query,
         "frontier_dust_canonicalize": dust.dust_canonicalize_query,
         "graph_spam_mass": graph.host_spam_signal,
         "frontier_mirror_hosts": webgraph.mirror_hosts_query,

@@ -86,12 +86,11 @@ def duplicate_url_pairs(
     ).select("p.uri_a", "p.uri_b")
 
 
-def dust_rules(
-    pairs: DataFrame, min_support: int = DUST_MIN_SUPPORT
-) -> DataFrame:
+def dust_rule_counts(pairs: DataFrame) -> DataFrame:
     """Mine substitution rules from content-equal URL pairs
-    ``(uri_a, uri_b)``; returns ``(alpha, beta, support)`` with
-    ``support >= min_support``.
+    ``(uri_a, uri_b)``; returns the UNFILTERED support table
+    ``(alpha, beta, support)`` — the state the delta miner maintains
+    (`dust_rules` applies the min_support floor for publication).
 
     Per pair: ``lcp`` = chars before the first mismatch (zip_with pads
     the shorter string with null and ``<=>`` makes the pad a mismatch,
@@ -154,11 +153,58 @@ def dust_rules(
         F.when(b_bigger, b).otherwise(a).alias("alpha"),
         F.when(b_bigger, a).otherwise(b).alias("beta"),
     )
-    return (
-        rules.groupBy("alpha", "beta")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
+    return rules.groupBy("alpha", "beta").agg(
+        F.count(F.lit(1)).alias("support")
     )
+
+
+def dust_rules(
+    pairs: DataFrame, min_support: int = DUST_MIN_SUPPORT
+) -> DataFrame:
+    """The published rule view: `dust_rule_counts` with the min_support
+    noise floor applied (see that docstring for the mining semantics)."""
+    return dust_rule_counts(pairs).where(F.col("support") >= min_support)
+
+
+def dust_rules_delta(
+    history_counts: DataFrame,
+    new_pairs: DataFrame,
+    min_support: int = DUST_MIN_SUPPORT,
+) -> DataFrame:
+    """O(delta) incremental rule maintenance — the `delta_lsh_pairs`
+    discipline on the rule axis: mine middles from the NEW content-equal
+    pairs only (the caller's pair source supplies new×new ∪ new×history
+    pairs — however it discovers content equality) and pool them with
+    the persisted UNFILTERED support table (`dust_rule_counts` output —
+    the state MUST be kept un-floored, or a rule reaching min_support
+    only across days never surfaces). Returns the publishable rules
+    ``(alpha, beta, support, new_rule)`` where ``new_rule`` marks rules
+    that cross the floor only WITH the delta — the operational signal
+    (newly discovered alias families feed `CrawlConfig.dust_rules`
+    refreshes).
+
+    100 TB shape: mining is O(new pairs); the merge is ONE full-outer
+    join keyed by (alpha, beta) over rule-space-sized tables (≪ corpus);
+    at production the history side is the persisted counts table,
+    making daily maintenance independent of corpus size."""
+    d = dust_rule_counts(new_pairs).select(
+        "alpha", "beta", F.col("support").alias("d_support")
+    )
+    h = history_counts.select(
+        "alpha", "beta", F.col("support").alias("h_support")
+    )
+    merged = d.join(h, ["alpha", "beta"], "full_outer").select(
+        "alpha",
+        "beta",
+        (
+            F.coalesce("d_support", F.lit(0))
+            + F.coalesce("h_support", F.lit(0))
+        ).alias("support"),
+        (F.coalesce("h_support", F.lit(0)) < min_support).alias(
+            "new_rule"
+        ),
+    )
+    return merged.where(F.col("support") >= min_support)
 
 
 # ------------------------------------------------------ rule application
@@ -366,6 +412,34 @@ def dust_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (alpha, beta, support)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dust_rules(duplicate_url_pairs(_alias_table(docs)))
+
+
+def dust_rules_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: incremental mining — docs split 3:1 into history
+    (doc_id % 4 != 0) and today's delta; the delta side additionally
+    grows an AMP alias family (``art + '/amp'``) absent from history, so
+    the ``new_rule`` flag is non-vacuous (the session/print/CMS rules
+    pool support across sides and are NOT new; '/amp' crosses the floor
+    only with the delta). Columns (alpha, beta, support, new_rule)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hist = dust_rule_counts(
+        duplicate_url_pairs(_alias_table(docs.where(d % 4 != 0)))
+    )
+    delta_docs = docs.where(d % 4 == 0)
+    base = F.concat(
+        F.lit("http://m"),
+        (d % DUST_HOST_MOD).cast("string"),
+        F.lit(".example.org/"),
+    )
+    amp = delta_docs.select(
+        d.alias("fingerprint"),
+        F.concat(base, F.lit("art/"), d.cast("string"), F.lit("/amp")).alias(
+            "uri"
+        ),
+    )
+    delta_variants = _alias_table(delta_docs).unionAll(amp)
+    return dust_rules_delta(hist, duplicate_url_pairs(delta_variants))
 
 
 def dust_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -195,6 +195,71 @@ def test_dust_identical_uri_pair_fails_loud(spark):
         dust.dust_rules(p, min_support=1)
 
 
+def test_dust_delta_pools_exactly_like_full_mining(spark):
+    # pair mining is per-pair independent, so counts(history pairs)
+    # merged with counts(delta pairs) must equal counts(all pairs)
+    # value-for-value — the exactness contract of the O(delta) shape
+    rows = []
+    for d in range(40):
+        art = f"http://m{d % 5}.example.org/art/{d}"
+        rows.append(Row(fingerprint=d, uri=art))
+        rows.append(Row(fingerprint=d, uri=f"{art}?session=s{d % 7}"))
+    all_v = spark.createDataFrame(rows)
+    hist_v = all_v.where("fingerprint % 4 != 0")
+    delta_v = all_v.where("fingerprint % 4 = 0")
+    full = {
+        (r["alpha"], r["beta"]): r["support"]
+        for r in dust.dust_rules(dust.duplicate_url_pairs(all_v)).collect()
+    }
+    pooled = {
+        (r["alpha"], r["beta"]): r["support"]
+        for r in dust.dust_rules_delta(
+            dust.dust_rule_counts(dust.duplicate_url_pairs(hist_v)),
+            dust.duplicate_url_pairs(delta_v),
+        ).collect()
+    }
+    assert pooled == full and full
+
+
+def test_dust_delta_new_rule_flag(spark):
+    # history support 1 (< floor) + delta 1 -> surfaces WITH new_rule;
+    # history support 2 + delta 1 -> pooled 3, NOT new; history-only
+    # rule at the floor survives, NOT new
+    def pairs(rows):
+        return spark.createDataFrame(
+            [Row(uri_a=a, uri_b=b) for a, b in rows]
+        )
+
+    hist = dust.dust_rule_counts(
+        pairs(
+            [
+                ("http://h/a1", "http://h/a1?s=x"),   # ('?s=x','') x1
+                ("http://h/b1", "http://h/b1/print"),  # ('/print','') x1
+                ("http://h/b2", "http://h/b2/print"),  # -> x2
+                ("http://h/c1", "http://h/c1?old=1"),  # ('?old=1','') x1
+                ("http://h/c2", "http://h/c2?old=1"),  # -> x2
+            ]
+        )
+    )
+    out = {
+        (r["alpha"], r["beta"]): (r["support"], r["new_rule"])
+        for r in dust.dust_rules_delta(
+            hist,
+            pairs(
+                [
+                    ("http://h/a9", "http://h/a9?s=x"),
+                    ("http://h/b9", "http://h/b9/print"),
+                ]
+            ),
+        ).collect()
+    }
+    assert out == {
+        ("?s=x", ""): (2, True),
+        ("/print", ""): (3, False),
+        ("?old=1", ""): (2, False),
+    }
+
+
 def test_dust_recovers_alias_families(spark):
     # 35 docs through the entry's synthesis shape: supports are exact
     # (7 session residues x 5 docs each; 7 print docs; 12 CMS docs) and
