@@ -63,16 +63,19 @@ def duplicate_url_pairs(
     farm with 10^5 aliases of one page would otherwise emit 10^10
     pairs). Output: (uri_a, uri_b).
 
-    Plan (review r5): ONE groupBy(fingerprint) into a sorted distinct-uri
-    array, whole-group cap on the array size, then MAP-SIDE pair
-    expansion — the mirror_hosts/media_mirror recipe; the earlier
-    window-count + capped self-join evaluated the distinct subplan on
-    both join sides and shuffled twice."""
+    Plan (review r5, then scaling-leg tuned): ONE groupBy(fingerprint)
+    into a sorted distinct-uri array via collect_set (set union is
+    associative, so the dedup rides the partial aggregation — a
+    separate .distinct() before the groupBy shuffled the wide uri rows
+    TWICE and measured 0.68 N→2N; one shuffle restores the
+    mirror_hosts/media_mirror recipe), whole-group cap on the array
+    size, then MAP-SIDE pair expansion. The earlier window-count +
+    capped self-join was worse still (distinct subplan on both join
+    sides)."""
     per_fp = (
         urls.select("uri", "fingerprint")
-        .distinct()
         .groupBy("fingerprint")
-        .agg(F.array_sort(F.collect_list("uri")).alias("us"))
+        .agg(F.array_sort(F.collect_set("uri")).alias("us"))
         .where(F.size("us") <= max_bucket)
     )
     return per_fp.select(
