@@ -111,13 +111,32 @@ def dust_rule_counts(pairs: DataFrame) -> DataFrame:
     min_support entirely). Identical uris (lcp == both lengths) are
     rejected loudly — a pair of a URL with itself is an upstream bug,
     and silently emitting the vacuous rule ("","") would let it hide."""
+    p = alignment_cols(pairs).localCheckpoint()
+    # materialized once (review r5): the fail-loud probe below is an
+    # action; without the checkpoint the full pair pipeline ran twice
+    bad = p.where(F.col("lcp") < 0).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            "dust_rules: pair with uri_a == uri_b — no rule to mine; "
+            "dedup the pair source"
+        )
+    return rule_middles(p).groupBy("alpha", "beta").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+
+
+def alignment_cols(pairs: DataFrame) -> DataFrame:
+    """The map-only lcp/lcs alignment projection over ``(uri_a, uri_b)``
+    pairs (plus any passthrough columns) — shared by the batch miner
+    (which checkpoints it and fail-louds on lcp < 0) and the streaming
+    miner (which filters those rows instead: a stream cannot raise
+    mid-flight)."""
     mismatch = (
         "array_position(zip_with(split({a}, ''), split({b}, ''),"
         " (x, y) -> x <=> y), false)"
     )
-    p = (
-        pairs.select("uri_a", "uri_b")
-        .withColumn("la", F.length("uri_a"))
+    return (
+        pairs.withColumn("la", F.length("uri_a"))
         .withColumn("lb", F.length("uri_b"))
         .withColumn(
             "lcp",
@@ -130,34 +149,31 @@ def dust_rule_counts(pairs: DataFrame) -> DataFrame:
             )
             - F.lit(1),
         )
-        # materialize once (review r5): the fail-loud probe below is an
-        # action; without this the full pair pipeline ran twice
-        .localCheckpoint()
     )
-    bad = p.where(F.col("lcp") < 0).limit(1)
-    if bad.count() > 0:
-        raise ValueError(
-            "dust_rules: pair with uri_a == uri_b — no rule to mine; "
-            "dedup the pair source"
-        )
-    p = p.withColumn(
+
+
+def rule_middles(aligned: DataFrame) -> DataFrame:
+    """Direction-normalized rule middles from `alignment_cols` output:
+    one ``(alpha, beta)`` row per pair (alpha = longer/larger source,
+    beta = shorter target), passthrough columns preserved. Map-only."""
+    withlcs = aligned.withColumn(
         "lcs",
         F.least(F.col("lcs_raw"), F.least("la", "lb") - F.col("lcp")),
     )
-    mids = p.select(
-        F.expr("substr(uri_a, lcp + 1, la - lcp - lcs)").alias("ma"),
-        F.expr("substr(uri_b, lcp + 1, lb - lcp - lcs)").alias("mb"),
-    )
-    a, b = F.col("ma"), F.col("mb")
+    a = F.expr("substr(uri_a, lcp + 1, la - lcp - lcs)")
+    b = F.expr("substr(uri_b, lcp + 1, lb - lcp - lcs)")
     b_bigger = (F.length(b) > F.length(a)) | (
         (F.length(b) == F.length(a)) & (b > a)
     )
-    rules = mids.select(
+    keep = [
+        c
+        for c in aligned.columns
+        if c not in ("uri_a", "uri_b", "la", "lb", "lcp", "lcs_raw")
+    ]
+    return withlcs.select(
         F.when(b_bigger, b).otherwise(a).alias("alpha"),
         F.when(b_bigger, a).otherwise(b).alias("beta"),
-    )
-    return rules.groupBy("alpha", "beta").agg(
-        F.count(F.lit(1)).alias("support")
+        *keep,
     )
 
 

@@ -297,6 +297,75 @@ def media_admission_stream(
     )
 
 
+DUST_RULE_STREAM_SCHEMA = "alpha string, beta string, support long"
+_DUST_RULE_STATE = "count long, emitted boolean"
+
+
+def dust_rules_stream(
+    pairs: DataFrame, min_support: int | None = None
+) -> DataFrame:
+    """Streaming DUST rule discovery (round 5, thirteenth wave): the
+    live third of the rule lifecycle — batch mines the corpus
+    (`dust.dust_rules`), the delta job maintains the persisted counts
+    (`dust_rules_delta`), and THIS operator watches the live
+    content-equal pair feed (however the crawler detects equality —
+    fingerprint collision, revisit digest match) and emits each rule
+    EXACTLY ONCE, the moment its cumulative support crosses the floor —
+    the push signal that refreshes `CrawlConfig.dust_rules` without
+    waiting for the nightly delta job.
+
+    Per pair the alignment/normalization is the SAME map-only
+    `alignment_cols` + `rule_middles` expression pair as the batch
+    miner (no kernel drift possible); identical-uri pairs (lcp < 0)
+    are FILTERED, not raised — a stream cannot fail loud mid-flight,
+    and the batch miner remains the loud gate. State per rule key is
+    O(1): (cumulative count, emitted flag) — bounded by the live rule
+    vocabulary, never by pair volume; support counting continues after
+    emission (the flag stops re-emission; the refreshed support VIEW is
+    the delta job's product, not this feed's).
+
+    Emission is batch-deterministic: the crossing decision depends only
+    on cumulative totals, not on intra-batch order. Input stream
+    schema: (uri_a string, uri_b string, event_time timestamp).
+    Output: (alpha, beta, support) — support as of the crossing batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..frontier.dust import (
+        DUST_MIN_SUPPORT,
+        alignment_cols,
+        rule_middles,
+    )
+
+    if min_support is None:
+        min_support = DUST_MIN_SUPPORT
+    mids = rule_middles(
+        alignment_cols(pairs.select("uri_a", "uri_b")).where(
+            F.col("lcp") >= 0
+        )
+    ).select("alpha", "beta")
+
+    def miner(key, pdfs, state):
+        cnt, emitted = state.get if state.exists else (0, False)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = cnt + n
+        out = []
+        if not emitted and total >= min_support:
+            out.append((key[0], key[1], total))
+            emitted = True
+        state.update((total, emitted))
+        yield pd.DataFrame(out, columns=["alpha", "beta", "support"])
+
+    return mids.groupBy("alpha", "beta").applyInPandasWithState(
+        miner,
+        outputStructType=DUST_RULE_STREAM_SCHEMA,
+        stateStructType=_DUST_RULE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def canonicalize_stream(
     urls: DataFrame,
     rules: tuple[tuple[str, str], ...],

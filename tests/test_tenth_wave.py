@@ -85,6 +85,69 @@ def test_mirror_hosts_partition_and_duplicate_invariant(spark):
     assert a == b
 
 
+# ------------------------------------------- streaming DUST rule miner
+
+def test_dust_rules_stream_emits_once_on_crossing(spark, tmp_path):
+    """Family A crosses the floor only in batch 2 (1+1) and emits there
+    with pooled support; family B crosses within batch 1 and emits
+    immediately; a third B pair in batch 2 does NOT re-emit; an
+    identical-uri pair is filtered, never crashes the stream."""
+    src = tmp_path / "pairs_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            [
+                (a, b, t0 + datetime.timedelta(seconds=s))
+                for a, b, s in rows
+            ],
+            "uri_a string, uri_b string, event_time timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    _write(
+        "b1",
+        [
+            ("http://h/a1", "http://h/a1?s=x", 0),      # A x1
+            ("http://h/b1", "http://h/b1/print", 1),     # B x1
+            ("http://h/b2", "http://h/b2/print", 2),     # B x2 -> emit
+            ("http://h/same", "http://h/same", 3),       # identical: drop
+        ],
+    )
+    _write(
+        "b2",
+        [
+            ("http://h/a2", "http://h/a2?s=x", 10),      # A x2 -> emit
+            ("http://h/b3", "http://h/b3/print", 11),    # B x3: no re-emit
+        ],
+    )
+
+    from scrappy_spark.streaming.state_stream import dust_rules_stream
+
+    stream = (
+        spark.readStream.schema(
+            "uri_a string, uri_b string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dust_rules_stream(stream, min_support=2)
+        .writeStream.format("memory")
+        .queryName("dust_rules_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT alpha, beta, support FROM dust_rules_t"
+    ).collect()
+    got = {(r["alpha"], r["beta"]): r["support"] for r in rows}
+    assert got == {("?s=x", ""): 2, ("/print", ""): 2}
+    assert len(rows) == 2  # exactly-once per rule
+
+
 # ------------------------------------------- streaming DUST canonicalize
 
 def test_canonicalize_stream_cross_batch_alias_dropped(spark, tmp_path):
