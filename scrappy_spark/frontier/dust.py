@@ -114,7 +114,7 @@ def dust_rule_counts(pairs: DataFrame) -> DataFrame:
     p = alignment_cols(pairs).localCheckpoint()
     # materialized once (review r5): the fail-loud probe below is an
     # action; without the checkpoint the full pair pipeline ran twice
-    bad = p.where(F.col("lcp") < 0).limit(1)
+    bad = p.where(F.col("_lcp") < 0).limit(1)
     if bad.count() > 0:
         raise ValueError(
             "dust_rules: pair with uri_a == uri_b — no rule to mine; "
@@ -125,25 +125,36 @@ def dust_rule_counts(pairs: DataFrame) -> DataFrame:
     )
 
 
+_ALIGN_COLS = ("_la", "_lb", "_lcp", "_lcs_raw", "_lcs")
+
+
 def alignment_cols(pairs: DataFrame) -> DataFrame:
     """The map-only lcp/lcs alignment projection over ``(uri_a, uri_b)``
     pairs (plus any passthrough columns) — shared by the batch miner
-    (which checkpoints it and fail-louds on lcp < 0) and the streaming
+    (which checkpoints it and fail-louds on _lcp < 0) and the streaming
     miner (which filters those rows instead: a stream cannot raise
-    mid-flight)."""
+    mid-flight). Internals live in underscore-reserved columns and a
+    caller colliding with them fails loudly (review r5: withColumn
+    silently REPLACED a same-named passthrough column)."""
+    clash = [c for c in _ALIGN_COLS if c in pairs.columns]
+    if clash:
+        raise ValueError(
+            f"alignment_cols: passthrough columns collide with the "
+            f"reserved alignment internals {clash}"
+        )
     mismatch = (
         "array_position(zip_with(split({a}, ''), split({b}, ''),"
         " (x, y) -> x <=> y), false)"
     )
     return (
-        pairs.withColumn("la", F.length("uri_a"))
-        .withColumn("lb", F.length("uri_b"))
+        pairs.withColumn("_la", F.length("uri_a"))
+        .withColumn("_lb", F.length("uri_b"))
         .withColumn(
-            "lcp",
+            "_lcp",
             F.expr(mismatch.format(a="uri_a", b="uri_b")) - F.lit(1),
         )
         .withColumn(
-            "lcs_raw",
+            "_lcs_raw",
             F.expr(
                 mismatch.format(a="reverse(uri_a)", b="reverse(uri_b)")
             )
@@ -157,18 +168,18 @@ def rule_middles(aligned: DataFrame) -> DataFrame:
     one ``(alpha, beta)`` row per pair (alpha = longer/larger source,
     beta = shorter target), passthrough columns preserved. Map-only."""
     withlcs = aligned.withColumn(
-        "lcs",
-        F.least(F.col("lcs_raw"), F.least("la", "lb") - F.col("lcp")),
+        "_lcs",
+        F.least(F.col("_lcs_raw"), F.least("_la", "_lb") - F.col("_lcp")),
     )
-    a = F.expr("substr(uri_a, lcp + 1, la - lcp - lcs)")
-    b = F.expr("substr(uri_b, lcp + 1, lb - lcp - lcs)")
+    a = F.expr("substr(uri_a, _lcp + 1, _la - _lcp - _lcs)")
+    b = F.expr("substr(uri_b, _lcp + 1, _lb - _lcp - _lcs)")
     b_bigger = (F.length(b) > F.length(a)) | (
         (F.length(b) == F.length(a)) & (b > a)
     )
     keep = [
         c
         for c in aligned.columns
-        if c not in ("uri_a", "uri_b", "la", "lb", "lcp", "lcs_raw")
+        if c not in ("uri_a", "uri_b") and c not in _ALIGN_COLS
     ]
     return withlcs.select(
         F.when(b_bigger, b).otherwise(a).alias("alpha"),
@@ -394,9 +405,11 @@ def canonicalize(
 DUST_HOST_MOD = 40
 
 
-def _alias_table(docs: DataFrame) -> DataFrame:
-    """The deterministic (fingerprint, uri) alias synthesis shared by the
-    miner and the canonicalizer entries (mirrored in both oracles)."""
+def _base_art_cols():
+    """(base, art) URL expressions over doc_id — the ONE copy of the
+    synthesis scheme every driver entry derives from (review r5: the
+    delta entry had grown an inline third copy that could drift from
+    the shared table and the oracle)."""
     d = F.col("doc_id")
     base = F.concat(
         F.lit("http://m"),
@@ -404,6 +417,14 @@ def _alias_table(docs: DataFrame) -> DataFrame:
         F.lit(".example.org/"),
     )
     art = F.concat(base, F.lit("art/"), d.cast("string"))
+    return base, art
+
+
+def _alias_table(docs: DataFrame) -> DataFrame:
+    """The deterministic (fingerprint, uri) alias synthesis shared by the
+    miner and the canonicalizer entries (mirrored in both oracles)."""
+    d = F.col("doc_id")
+    base, art = _base_art_cols()
     variants = docs.select(
         d.alias("fingerprint"),
         F.array(
@@ -446,16 +467,10 @@ def dust_rules_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_url_pairs(_alias_table(docs.where(d % 4 != 0)))
     )
     delta_docs = docs.where(d % 4 == 0)
-    base = F.concat(
-        F.lit("http://m"),
-        (d % DUST_HOST_MOD).cast("string"),
-        F.lit(".example.org/"),
-    )
+    _, art = _base_art_cols()
     amp = delta_docs.select(
         d.alias("fingerprint"),
-        F.concat(base, F.lit("art/"), d.cast("string"), F.lit("/amp")).alias(
-            "uri"
-        ),
+        F.concat(art, F.lit("/amp")).alias("uri"),
     )
     delta_variants = _alias_table(delta_docs).unionAll(amp)
     return dust_rules_delta(hist, duplicate_url_pairs(delta_variants))

@@ -298,11 +298,15 @@ def media_admission_stream(
 
 
 DUST_RULE_STREAM_SCHEMA = "alpha string, beta string, support long"
-_DUST_RULE_STATE = "count long, emitted boolean"
+_DUST_RULE_STATE = (
+    "count long, emitted boolean, hs array<long>, ts array<long>"
+)
 
 
 def dust_rules_stream(
-    pairs: DataFrame, min_support: int | None = None
+    pairs: DataFrame,
+    min_support: int | None = None,
+    state_ttl_ms: int = 86_400_000,
 ) -> DataFrame:
     """Streaming DUST rule discovery (round 5, thirteenth wave): the
     live third of the rule lifecycle — batch mines the corpus
@@ -316,17 +320,31 @@ def dust_rules_stream(
 
     Per pair the alignment/normalization is the SAME map-only
     `alignment_cols` + `rule_middles` expression pair as the batch
-    miner (no kernel drift possible); identical-uri pairs (lcp < 0)
+    miner (no kernel drift possible); identical-uri pairs (_lcp < 0)
     are FILTERED, not raised — a stream cannot fail loud mid-flight,
-    and the batch miner remains the loud gate. State per rule key is
-    O(1): (cumulative count, emitted flag) — bounded by the live rule
-    vocabulary, never by pair volume; support counting continues after
-    emission (the flag stops re-emission; the refreshed support VIEW is
-    the delta job's product, not this feed's).
+    and the batch miner remains the loud gate. Support counts DISTINCT
+    pairs like the batch miner: each micro-batch dedups within itself
+    and against a per-rule set of recent pair hashes retained inside
+    the TTL horizon (review r5: a replayed observation of ONE pair must
+    not cross the floor the batch miner holds at support 1).
+
+    State contract (review r5 — the simhash_pairs_stream discipline):
+    per-rule state is (count, emitted, recent pair hashes/timestamps)
+    and EXPIRES via an EVENT-TIME timeout ``state_ttl_ms`` past the
+    key's last activity (the stream carries a watermark) — id-bearing
+    noise middles (the exact class min_support exists to drop) would
+    otherwise each pin a state-store row forever, scaling state with
+    pair volume. Published rules whose families stay live keep
+    re-arming; a family dormant past the TTL expires, and a later
+    re-crossing re-emits — an idempotent refresh for the downstream
+    CrawlConfig consumer, not a correctness loss. A rule whose support
+    accrues slower than the TTL is the nightly delta job's catch
+    (`dust_rules_delta` — the globally exact path), not this
+    fast-path's.
 
     Emission is batch-deterministic: the crossing decision depends only
-    on cumulative totals, not on intra-batch order. Input stream
-    schema: (uri_a string, uri_b string, event_time timestamp).
+    on cumulative distinct totals, not on intra-batch order. Input
+    stream schema: (uri_a string, uri_b string, event_time timestamp).
     Output: (alpha, beta, support) — support as of the crossing batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -335,26 +353,82 @@ def dust_rules_stream(
         alignment_cols,
         rule_middles,
     )
+    from ..operators.text import hash60_py
 
     if min_support is None:
         min_support = DUST_MIN_SUPPORT
+    # rule_middles drops the uri columns from its output (they are the
+    # alignment INPUT, not passthrough) — carry explicit copies through
     mids = rule_middles(
-        alignment_cols(pairs.select("uri_a", "uri_b")).where(
-            F.col("lcp") >= 0
-        )
-    ).select("alpha", "beta")
+        alignment_cols(
+            pairs.withWatermark("event_time", "1 second").select(
+                "uri_a",
+                "uri_b",
+                F.col("uri_a").alias("pa"),
+                F.col("uri_b").alias("pb"),
+                F.col("event_time"),
+                F.unix_millis(
+                    F.col("event_time").cast("timestamp")
+                ).alias("ems"),
+            )
+        ).where(F.col("_lcp") >= 0)
+    ).select("alpha", "beta", "pa", "pb", "event_time", "ems")
 
     def miner(key, pdfs, state):
-        cnt, emitted = state.get if state.exists else (0, False)
-        n = 0
+        if state.hasTimedOut:
+            # TTL-expired key (event-time: the watermark passed its
+            # last activity + TTL): drop — for a never-crossed noise
+            # middle this is the bound; for a published rule it means
+            # the family went dormant for a full TTL, and a later
+            # re-crossing re-emits (an idempotent refresh downstream)
+            state.remove()
+            yield pd.DataFrame([], columns=["alpha", "beta", "support"])
+            return
+        cnt, emitted, hs, ts = (
+            state.get if state.exists else (0, False, [], [])
+        )
+        if emitted:
+            # crossed already: support freezes at the crossing value
+            # (the delta job owns running totals) and the pair-hash set
+            # stays empty — state is O(1) for live published rules,
+            # O(min_support) for candidates, never O(pair volume)
+            ems_max = 0
+            for pdf in pdfs:
+                if len(pdf):
+                    ems_max = max(ems_max, int(pdf["ems"].max()))
+            state.update((cnt, True, [], []))
+            if ems_max:
+                state.setTimeoutTimestamp(ems_max + state_ttl_ms)
+            yield pd.DataFrame([], columns=["alpha", "beta", "support"])
+            return
+        hs, ts = list(hs), list(ts)
+        seen = set(hs)
+        rows = []
         for pdf in pdfs:
-            n += len(pdf)
-        total = cnt + n
+            for a, b, ems in zip(pdf["pa"], pdf["pb"], pdf["ems"]):
+                rows.append((int(ems), str(a), str(b)))
+        rows.sort()  # deterministic within the batch
+        for ems, a, b in rows:
+            h = hash60_py(f"{a}\x00{b}")
+            if h in seen:
+                continue
+            seen.add(h)
+            hs.append(h)
+            ts.append(ems)
+            cnt += 1
         out = []
-        if not emitted and total >= min_support:
-            out.append((key[0], key[1], total))
+        if cnt >= min_support:
+            out.append((key[0], key[1], cnt))
             emitted = True
-        state.update((total, emitted))
+            hs, ts = [], []  # see the emitted fast path above
+        elif ts:
+            horizon = max(ts) - state_ttl_ms
+            keep = [i for i, t in enumerate(ts) if t >= horizon]
+            hs = [hs[i] for i in keep]
+            ts = [ts[i] for i in keep]
+        state.update((cnt, emitted, hs, ts))
+        if rows:
+            state.setTimeoutTimestamp(rows[-1][0] + state_ttl_ms)
         yield pd.DataFrame(out, columns=["alpha", "beta", "support"])
 
     return mids.groupBy("alpha", "beta").applyInPandasWithState(
@@ -362,7 +436,7 @@ def dust_rules_stream(
         outputStructType=DUST_RULE_STREAM_SCHEMA,
         stateStructType=_DUST_RULE_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -92,11 +92,13 @@ def test_dust_rules_stream_emits_once_on_crossing(spark, tmp_path):
     with pooled support; family B crosses within batch 1 and emits
     immediately; a third B pair in batch 2 does NOT re-emit; an
     identical-uri pair is filtered, never crashes the stream."""
+    import os
+
     src = tmp_path / "pairs_stream"
     src.mkdir()
     t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
 
-    def _write(name, rows):
+    def _write(name, rows, mtime):
         spark.createDataFrame(
             [
                 (a, b, t0 + datetime.timedelta(seconds=s))
@@ -104,6 +106,12 @@ def test_dust_rules_stream_emits_once_on_crossing(spark, tmp_path):
             ],
             "uri_a string, uri_b string, event_time timestamp",
         ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        # the file source orders batches by modification time; pin it
+        # explicitly so a coarse-mtime filesystem cannot reorder b1/b2
+        # (review r5)
+        for root, _, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
 
     _write(
         "b1",
@@ -111,15 +119,19 @@ def test_dust_rules_stream_emits_once_on_crossing(spark, tmp_path):
             ("http://h/a1", "http://h/a1?s=x", 0),      # A x1
             ("http://h/b1", "http://h/b1/print", 1),     # B x1
             ("http://h/b2", "http://h/b2/print", 2),     # B x2 -> emit
+            ("http://h/b2", "http://h/b2/print", 4),     # replay: no count
             ("http://h/same", "http://h/same", 3),       # identical: drop
         ],
+        1_000_000_000,
     )
     _write(
         "b2",
         [
+            ("http://h/a1", "http://h/a1?s=x", 9),       # replay: no count
             ("http://h/a2", "http://h/a2?s=x", 10),      # A x2 -> emit
             ("http://h/b3", "http://h/b3/print", 11),    # B x3: no re-emit
         ],
+        1_000_000_100,
     )
 
     from scrappy_spark.streaming.state_stream import dust_rules_stream
@@ -139,11 +151,13 @@ def test_dust_rules_stream_emits_once_on_crossing(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in time"
     rows = spark.sql(
         "SELECT alpha, beta, support FROM dust_rules_t"
     ).collect()
     got = {(r["alpha"], r["beta"]): r["support"] for r in rows}
+    # replays of already-seen pairs never count: A needs the genuinely
+    # NEW a2 pair in batch 2 to cross; B crossed at 2 distinct pairs
     assert got == {("?s=x", ""): 2, ("/print", ""): 2}
     assert len(rows) == 2  # exactly-once per rule
 
