@@ -87,8 +87,23 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h{K-1}): minhash signature, K independent hashes via
     salted md5 (Kirsch-Mitzenmacher not needed — md5 salting is cheap and
-    oracle-reproducible)."""
-    sh = _shingle_df(spark, sf_dir)
+    oracle-reproducible).
+
+    Runs over the RAW shingle stream, not ``_shingle_df``'s distinct
+    (optimization r6): min() is insensitive to duplicate shingles, so
+    the per-doc signature is bit-identical while the full
+    distinct-shuffle of the (doc_id, shingle) table — the largest
+    intermediate of the whole minhash family — disappears; the map-side
+    partial min does the dedup for free. Jaccard keeps the distinct
+    table (it counts set sizes)."""
+    docs = _docs(spark, sf_dir).withColumn("toks", tokens_col(F.col("text")))
+    sh = (
+        docs.where(F.size("toks") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.explode(F.expr(shingles_expr("toks", SHINGLE_N))).alias("sh"),
+        )
+    )
     aggs = [
         F.min(hash60_col(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
         for i in range(MINHASH_K)
@@ -283,6 +298,37 @@ def minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ckpt_nostats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint WITHOUT carrying the checkpointed plan's
+    estimated statistics (optimization r6).
+
+    ``Dataset.localCheckpoint`` copies ``optimizedPlan.stats`` into the
+    LogicalRDD it returns. In an iterative kernel whose round plan joins
+    the previous round's checkpoint several times, those size ESTIMATES
+    multiply — round k's carried sizeInBytes is a BigInteger whose digit
+    count grows geometrically in k, and past ~10 rounds the planner's
+    BigInteger arithmetic dominates wall time (measured: the r5 gallery
+    CC spent 0.4 s/round early and 9 s/round by round 20, all of it in
+    ``BigInteger.multiply`` on a driver thread) and finally overflows
+    with an ArithmeticException. Rebuilding the DataFrame from the
+    already-materialized checkpoint RDD drops the carried estimate, so
+    every round plans against a CONSTANT default size and per-round cost
+    stays flat; join-strategy selection is unaffected in practice
+    because AQE picks broadcast/hash from the REAL runtime shuffle
+    sizes. Falls back to the plain checkpoint if the internal
+    constructor is unavailable."""
+    ck = df.localCheckpoint()
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover - version-dependent internal API
+        return ck
+
+
 def components_from_pairs(
     docs: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -322,46 +368,68 @@ def components_from_pairs(
         )
     changed = -1
     for _ in range(max_iter):
-        nmin = (
+        # One round, fused into a single checkpointed plan (optimization
+        # r6; the previous shape materialized a neighbor-min step,
+        # counted, then ran ONE pointer jump as a separate checkpointed
+        # job — 3 jobs per round — and stalled on adversarial id
+        # layouts). Three monotone refinements per round:
+        #   m1: classic neighbor-min — least(own, min over neighbors).
+        #   m2: pointer jump — deref m1 through the round-start snapshot
+        #       (every label is a node id in the same component with a
+        #       ≤ id, and labels only decrease, so the deref stays
+        #       in-component and only moves labels DOWN).
+        #   m3: REVERSE flow (the hash-to-min idea, Rastogi et al.,
+        #       "Finding Connected Components in Map-Reduce" — public
+        #       paper): every node pushes its round-min back to the node
+        #       its OLD label points at. This is what breaks the
+        #       sparse-chain stall the r5 gallery measured (22 rounds
+        #       for a diameter-23 component, the changed-count crawling
+        #       at 2/round): a "stuck" local minimum that many nodes
+        #       point at RECEIVES the true min from any follower the
+        #       wavefront has reached, and the next round's jump fans it
+        #       back out to all followers. Measured on that same graph:
+        #       8 rounds. All three assign node ids from the node's own
+        #       component and never increase a label, so the fixpoint is
+        #       untouched.
+        # Exactness of the stop rule: m3 ≤ m2 ≤ m1 ≤ old, so
+        # changed == 0 forces m1 == old everywhere — exactly the
+        # NEIGHBOR-MIN fixpoint (labels equal across every symmetric
+        # edge ⇒ constant per component ⇒ the component min).
+        gm = (
             edges.join(labels, edges["a"] == labels["node"])
             .groupBy(F.col("b").alias("nb"))
-            .agg(F.min("label").alias("nlabel"))
+            .agg(F.min("label").alias("gmin"))
         )
-        stepped = labels.join(nmin, labels["node"] == nmin["nb"], "left").select(
+        m1t = labels.join(gm, labels["node"] == gm["nb"], "left").select(
             "node",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias(
-                "chg"
-            ),
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("gmin", "label")).alias("m1"),
         )
-        stepped = stepped.localCheckpoint()  # eager: breaks the loop lineage
-        changed = stepped.where("chg").count()
-        old = labels
-        labels = stepped.drop("chg")
+        deref = labels.select(
+            F.col("node").alias("p1"), F.col("label").alias("v1")
+        )
+        m2t = m1t.join(deref, F.col("m1") == F.col("p1"), "left").select(
+            "node",
+            "old",
+            F.least(F.col("m1"), F.coalesce("v1", "m1")).alias("m2"),
+        )
+        rev = m2t.groupBy(F.col("old").alias("rnode")).agg(
+            F.min("m2").alias("rmin")
+        )
+        lbl = _ckpt_nostats(
+            m2t.join(rev, m2t["node"] == rev["rnode"], "left").select(
+                "node",
+                F.least(F.col("m2"), F.coalesce("rmin", "m2")).alias("label"),
+                (
+                    F.least(F.col("m2"), F.coalesce("rmin", "m2"))
+                    < F.col("old")
+                ).alias("chg"),
+            )
+        )
+        changed = lbl.where("chg").count()
+        labels = lbl.drop("chg")
         if changed == 0:
-            old.unpersist()
             break
-        # pointer-jumping shortcut: label ← label(label). Every label is
-        # itself a node id in the same component with a ≤ id, so the
-        # shortcut stays in-component and monotone — it only ACCELERATES
-        # convergence (distance-to-min roughly doubles per iteration:
-        # O(log diameter) iterations instead of O(diameter)). Measured
-        # cost-neutral at diameter ~10 (the extra join ≈ the saved
-        # iterations); its value is the WORST-CASE bound — a pathological
-        # chain converges in log steps instead of blowing the iteration
-        # cap. Exactness is untouched: the break above fires only on the
-        # NEIGHBOR-MIN fixpoint (changed == 0 ⇒ labels equal across every
-        # symmetric edge ⇒ constant per component ⇒ the component min).
-        lbl2 = labels.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
-        )
-        labels = (
-            labels.join(lbl2, labels["label"] == lbl2["pnode"], "left")
-            .select("node", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint()
-        )
-        stepped.unpersist()
-        old.unpersist()
     edges.unpersist()
     if changed != 0:
         raise RuntimeError(
@@ -607,12 +675,18 @@ def lsh_recall_eval(
     recall transfers: the S-curve depends on the Jaccard distribution,
     not the corpus size), so sharing is not worth coupling the kernels.
     """
-    truth = ngram_jaccard_pairs(spark, sf_dir, threshold).select(
-        "a", "b", F.lit(1).alias("in_t")
-    )
-    cand = minhash_lsh_pairs(spark, sf_dir).select(
-        "a", "b", F.lit(1).alias("in_c")
-    )
+    # the two pair plans are independent and each eagerly materializes
+    # its own capped intermediate (localCheckpoint) at build time —
+    # build them from two driver threads so one plan's stage tails
+    # back-fill the cores the other leaves idle (guide §2.6); results
+    # are unchanged, only the job overlap is new (optimization r6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(ngram_jaccard_pairs, spark, sf_dir, threshold)
+        f_cand = pool.submit(minhash_lsh_pairs, spark, sf_dir)
+        truth = f_truth.result().select("a", "b", F.lit(1).alias("in_t"))
+        cand = f_cand.result().select("a", "b", F.lit(1).alias("in_c"))
     both = truth.join(cand, ["a", "b"], "full_outer").select(
         F.coalesce("in_t", F.lit(0)).alias("in_t"),
         F.coalesce("in_c", F.lit(0)).alias("in_c"),

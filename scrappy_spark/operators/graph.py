@@ -111,6 +111,26 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(SCALE_I).cast("bigint").alias("rank_i")
     ).localCheckpoint()
+    # nodes with NO in-edges receive an empty contribution sum every
+    # iteration, so their rank is the CONSTANT damping base: precompute
+    # them once and union per iteration instead of re-seating the whole
+    # node set through a per-iteration left join (optimization r6, guide
+    # §2.4 — the join planned as an Exchange+Sort-per-side SortMergeJoin
+    # every iteration; the union is exchange-free). Exactness: every
+    # node with ≥ 1 in-edge appears in `mass` every iteration (the
+    # contribution join emits a row for every edge, with no filter), so
+    # mass ∪ no_in partitions the node set, and the no_in value equals
+    # the old coalesce-to-0 path: base_i + (2·d·0 + den) div (2·den)
+    # = base_i.
+    no_in = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.lit(base_i).cast("bigint").alias("rank_i"))
+        .localCheckpoint()
+    )
     # DECIMAL(38,0) intermediates: the sum matches the DuckDB oracle's
     # HUGEINT aggregation semantics and cannot wrap; `div` on decimals
     # returns the exact integral quotient as bigint (in range by the
@@ -134,14 +154,8 @@ def pagerank(
         # ContextCleaner once the reference drops (DataFrame.unpersist()
         # is a no-op on localCheckpoint RDDs)
         ranks = (
-            nodes.join(mass, "node", "left")
-            .select(
-                "node",
-                F.coalesce(
-                    "mass", F.lit(0).cast("decimal(38,0)")
-                ).alias("mass"),
-            )
-            .select("node", damp_expr.cast("bigint").alias("rank_i"))
+            mass.select("node", damp_expr.cast("bigint").alias("rank_i"))
+            .unionAll(no_in)
             .localCheckpoint()
         )
     e.unpersist()
@@ -208,9 +222,28 @@ def trustrank(
         raise ValueError("damping_den must divide (den-num)*SCALE_I exactly")
     e = edges.select("src", "dst").distinct().persist()
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    edeg = e.join(deg, "src").persist()
-    edeg.count()
     seed_nodes = seeds.select("node").distinct()
+    # carry the TARGET's seed flag on the persisted edge table (one
+    # setup join) so the per-iteration damping needs no node-table
+    # re-seat join (optimization r6 — see the pagerank loop note)
+    edeg = (
+        e.join(deg, "src")
+        .join(
+            seed_nodes.select(
+                F.col("node").alias("dst"), F.lit(1).alias("dst_seed")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            "out_deg",
+            F.coalesce("dst_seed", F.lit(0)).alias("dst_seed"),
+        )
+        .persist()
+    )
+    edeg.count()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -245,6 +278,26 @@ def trustrank(
         "node",
         (F.col("is_seed") * SCALE_I).cast("bigint").alias("rank_i"),
     ).localCheckpoint()
+    # the pagerank union-const shape (optimization r6): nodes with no
+    # in-edges keep the constant is_seed·base_i every iteration; all
+    # other nodes appear in `mass` every iteration BECAUSE the former
+    # zero-trust prefilter is gone — that filter was semantically a
+    # no-op (summing zeros) but made the mass node set data-dependent,
+    # which the union shape cannot allow; without it the iteration cost
+    # equals pagerank's (map-side partial aggregation absorbs the zero
+    # rows), and the per-iteration node-table re-seat join disappears.
+    no_in = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select(
+            "node",
+            (F.col("is_seed") * base_i).cast("bigint").alias("rank_i"),
+        )
+        .localCheckpoint()
+    )
     contrib_expr = F.expr(
         "(2 * CAST(rank_i AS DECIMAL(38,0)) + out_deg) div (2 * out_deg)"
     )
@@ -255,27 +308,21 @@ def trustrank(
     for _ in range(iterations):
         contrib = (
             edeg.join(ranks, edeg["src"] == ranks["node"])
-            # dropping zero-trust contributions early keeps the groupBy
-            # input proportional to the REACHED subgraph, not the whole
-            # edge list — on a spam-heavy graph most of the graph never
-            # sees trust (the point of the algorithm); semantically a
-            # no-op (summing zeros)
-            .where(F.col("rank_i") > 0)
-            .select(F.col("dst").alias("node"), contrib_expr.alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                F.col("dst_seed"),
+                contrib_expr.alias("c"),
+            )
         )
         mass = contrib.groupBy("node").agg(
-            F.sum(F.col("c").cast("decimal(38,0)")).alias("mass")
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("mass"),
+            # dst_seed is constant within the group (it is a property of
+            # the key); max() just carries it through the aggregation
+            F.max("dst_seed").alias("is_seed"),
         )
         ranks = (
-            nodes.join(mass, "node", "left")
-            .select(
-                "node",
-                "is_seed",
-                F.coalesce(
-                    "mass", F.lit(0).cast("decimal(38,0)")
-                ).alias("mass"),
-            )
-            .select("node", damp_expr.cast("bigint").alias("rank_i"))
+            mass.select("node", damp_expr.cast("bigint").alias("rank_i"))
+            .unionAll(no_in)
             .localCheckpoint()
         )
     e.unpersist()
@@ -329,6 +376,11 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
     get authority 0; no out-edges, hub 0. Fails loudly on an empty edge
     list (both L1 sums would be 0 — there is no meaningful fixed point
     to report)."""
+    if iterations < 1:
+        # fail loud up front (ADVICE r5): iterations=0 would leave `auth`
+        # unassigned below and surface as an UnboundLocalError with the
+        # edge DataFrame still persisted
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     e = edges.select("src", "dst").distinct().persist()
     if e.limit(1).count() == 0:
         e.unpersist()
@@ -339,14 +391,38 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
         .distinct()
         .persist()
     )
-    nodes.count()  # materialize; every half-step re-seats against this
+    nodes.count()  # materialize; the zero-score constants derive from it
+    # the pagerank union-const shape (optimization r6): a node that never
+    # appears on a half-step's OUT side scores a constant 0 every
+    # iteration — precompute both constant tables once and union them per
+    # half-step instead of re-seating the node set through a left join
+    # (an Exchange+Sort per half-step). Every out-side node appears in
+    # `raw` every half-step because `scores` always covers the full node
+    # set (init and each half-step output do), so raw ∪ zeros partitions
+    # the nodes.
+    zero_auth = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
+        )
+        .select("node", F.lit(0).cast("bigint").alias("score"))
+        .localCheckpoint()
+    )
+    zero_hub = (
+        nodes.join(
+            e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        )
+        .select("node", F.lit(0).cast("bigint").alias("score"))
+        .localCheckpoint()
+    )
     # HALF_UP L1 rescale of a DECIMAL(38,0) column v against scalar sum s
     norm_expr = F.expr(f"CAST((2 * v * {SCALE_I} + s) div (2 * s) AS BIGINT)")
     hub = nodes.select(
         "node", F.lit(SCALE_I).cast("bigint").alias("score")
     ).localCheckpoint()
 
-    def _half_step(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+    def _half_step(
+        scores: DataFrame, key_in: str, key_out: str, zeros: DataFrame
+    ) -> DataFrame:
         """One propagation + L1 rescale: raw(out) = Σ scores(in) over
         edges, normalized to sum ≈ SCALE_I. Returns (node, score)."""
         raw = (
@@ -358,20 +434,22 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
             F.sum("v").cast("decimal(38,0)").alias("s")
         )
         return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(total))
+            raw.crossJoin(F.broadcast(total))
             .select(
                 "node",
+                # coalesce keeps the old degenerate-total behavior: a
+                # zero L1 sum nulls the div and scored 0 before too
                 F.coalesce(
                     norm_expr, F.lit(0).cast("bigint")
                 ).alias("score"),
             )
+            .unionAll(zeros)
             .localCheckpoint()
         )
 
     for _ in range(iterations):
-        auth = _half_step(hub, "src", "dst")
-        hub = _half_step(auth, "dst", "src")
+        auth = _half_step(hub, "src", "dst", zero_auth)
+        hub = _half_step(auth, "dst", "src", zero_hub)
     out = (
         hub.select("node", F.col("score").alias("hub_i"))
         .join(auth.select("node", F.col("score").alias("auth_i")), "node")
@@ -536,10 +614,27 @@ def opic(
     edeg = e.join(deg, "src").persist()
     edeg.count()
     p = pops.select("node", "round").distinct().localCheckpoint()
-    bad = p.where(
-        (F.col("round") < 1) | (F.col("round") > rounds)
-    ).limit(1)
-    if bad.count() > 0:
+    # BOTH schedule validations in ONE aggregation job (optimization r6;
+    # two separate limit(1).count() probes each paid a full pass):
+    # range violations fold through the per-node grouping, duplicates
+    # are per-node counts > 1
+    chk = (
+        p.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(
+                (
+                    (F.col("round") < 1) | (F.col("round") > rounds)
+                ).cast("int")
+            ).alias("bad"),
+        )
+        .agg(
+            F.max((F.col("c") > 1).cast("int")).alias("dup"),
+            F.max("bad").alias("bad"),
+        )
+        .collect()[0]
+    )
+    if chk["bad"]:
         e.unpersist()
         edeg.unpersist()
         raise ValueError(
@@ -548,13 +643,7 @@ def opic(
     # a node scheduled in two rounds would duplicate its state row
     # through the left join below — doubled cash, duplicate output
     # (review r5); fail loud like the round-range check above
-    dup = (
-        p.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .limit(1)
-    )
-    if dup.count() > 0:
+    if chk["dup"]:
         e.unpersist()
         edeg.unpersist()
         raise ValueError(
@@ -694,10 +783,21 @@ def host_spam_signal(
     disparity over the synthetic outlink graph (host = doc_id %
     SPAM_HOST_MOD); columns (host, n_nodes, rank_share_ppm,
     trust_share_ppm, spam_signal_ppm); positive signal = suspect."""
+    from concurrent.futures import ThreadPoolExecutor
+
     if docs is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pr = doc_pagerank(spark, sf_dir, docs).select("doc_id", "rank_i")
-    tr = doc_trustrank(spark, sf_dir, docs).select("doc_id", "trust_i")
+    # the two fixed-point loops are INDEPENDENT job sequences over
+    # node-sized tables — run them from two driver threads so one loop's
+    # stage tails back-fill the cores the other leaves idle (guide §2.6:
+    # overlap independent jobs). Results are unchanged; only the job
+    # overlap is new (optimization r6 — sequential, the two loops cost
+    # pagerank + trustrank end to end).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pr = pool.submit(doc_pagerank, spark, sf_dir, docs)
+        f_tr = pool.submit(doc_trustrank, spark, sf_dir, docs)
+        pr = f_pr.result().select("doc_id", "rank_i")
+        tr = f_tr.result().select("doc_id", "trust_i")
     j = pr.join(tr, "doc_id").select(
         F.concat(
             F.lit("h"), (F.col("doc_id") % SPAM_HOST_MOD).cast("string")

@@ -250,6 +250,25 @@ def test_components_chain_graph_converges(spark):
         dedup.components_from_pairs(docs, pairs, max_iter=2).collect()
 
 
+def test_components_long_path_converges_in_log_rounds(spark):
+    """O(log diameter) bound (VERDICT r5 #3): a 1,000-node path graph —
+    the worst sparse-chain topology — must converge within the DEFAULT
+    max_iter=20 cap (≈ 2·log₂(1000)); without effective pointer
+    jumping, min-label propagation needs ~999 rounds and blows the cap.
+    Also pins exactness on the worst case: every node collapses to the
+    path's min id."""
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.components_from_pairs(docs, pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
 def test_delta_lsh_is_exactly_the_cross_side_pairs(spark, sf_dir):
     """The asymmetric operator must produce precisely the symmetric
     candidate pairs that cross the delta/history split — no
