@@ -750,7 +750,25 @@ class Crawler:
         n_new = lineage["seen"]["rows"]
         n_popped = lineage["order"]["rows"]
         self._seen_rows += n_new
-        self._update_bloom(enqueued, upto_round=rnd)
+
+        # the filter delta-build and the next-frontier checkpoint are
+        # INDEPENDENT jobs over already-persisted inputs — overlap them
+        # from two driver threads (optimization r6, guide §2.6: they ran
+        # back-to-back, two sequential job waves of mostly fixed cost
+        # per round). The bloom thread touches only driver-side filter
+        # state; the checkpoint thread only runs a Spark action; the
+        # manifest commit below consumes both results after the join.
+        next_frontier = kept.unionAll(enqueued.drop("h"))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_bloom = pool.submit(
+                self._update_bloom, enqueued, upto_round=rnd
+            )
+            # eager localCheckpoint (see _set_frontier) — materialized
+            # here, swapped in below; only then is it safe to drop the
+            # caches the round plan was built from
+            f_ck = pool.submit(next_frontier.localCheckpoint, True)
+            f_bloom.result()
+            ck_frontier = f_ck.result()
 
         meta = {
             "round": rnd,
@@ -763,12 +781,11 @@ class Crawler:
         }
         self.store.commit(rnd, meta)
 
-        # eager-materializes (see _set_frontier) — only then is it safe to
-        # drop the caches the round plan was built from
-        self._set_frontier(
-            kept.unionAll(enqueued.drop("h")),
-            meta["frontier_rows"],
-        )
+        old_frontier = self._frontier
+        self._frontier = ck_frontier
+        self._frontier_rows = meta["frontier_rows"]
+        if old_frontier is not None:
+            old_frontier.unpersist()
         if ranked is not None:
             ranked.unpersist()
         if cand_cached is not None:
