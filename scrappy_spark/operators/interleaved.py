@@ -846,12 +846,12 @@ def media_gallery_from(
     nodes = doc_ref.select(F.col("media_ref").alias("doc_id")).distinct()
     # max_iter=40 (not the kernel's 20 default): gallery graphs chain
     # refs through long photo-set overlaps — the derived 211-ref corpus
-    # builds a 45-ref component of approximate diameter 23 whose
-    # convergence MEASURED 22 neighbor-min rounds (a pure-python replica
-    # of the kernel confirms; on this topology the pointer-jumping
-    # shortcut buys little because the min sits at a leaf of a sparse
-    # chain). 40 = measured × ~2 headroom, and the kernel still fails
-    # loud beyond it rather than returning a wrong map
+    # builds a 45-ref component of approximate diameter 23 that took 22
+    # neighbor-min rounds under the r5 kernel (its pointer jump bought
+    # nothing on this id layout). The r6 kernel's reverse flow resolves
+    # the same graph in 8 rounds (see components_from_pairs), but the
+    # 40 cap stays as headroom: the kernel still fails loud beyond it
+    # rather than returning a wrong map
     return components_from_pairs(nodes, pairs, max_iter=max_iter).select(
         F.col("doc_id").alias("media_ref"),
         F.col("canonical_id").alias("gallery_id"),
