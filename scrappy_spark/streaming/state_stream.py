@@ -324,9 +324,12 @@ def dust_rules_stream(
     are FILTERED, not raised — a stream cannot fail loud mid-flight,
     and the batch miner remains the loud gate. Support counts DISTINCT
     pairs like the batch miner: each micro-batch dedups within itself
-    and against a per-rule set of recent pair hashes retained inside
-    the TTL horizon (review r5: a replayed observation of ONE pair must
-    not cross the floor the batch miner holds at support 1).
+    and against a per-rule set of pair hashes retained UNTIL EMISSION
+    (review r5: a replayed observation of ONE pair must not cross the
+    floor the batch miner holds at support 1; ADVICE r5: pruning the
+    set by TTL while the count stayed cumulative let a replay past the
+    horizon count twice — the set is bounded by min_support - 1, so no
+    pruning is needed).
 
     State contract (review r5 — the simhash_pairs_stream discipline):
     per-rule state is (count, emitted, recent pair hashes/timestamps)
@@ -421,11 +424,14 @@ def dust_rules_stream(
             out.append((key[0], key[1], cnt))
             emitted = True
             hs, ts = [], []  # see the emitted fast path above
-        elif ts:
-            horizon = max(ts) - state_ttl_ms
-            keep = [i for i, t in enumerate(ts) if t >= horizon]
-            hs = [hs[i] for i in keep]
-            ts = [ts[i] for i in keep]
+        # NO TTL prune of the pair-hash set before emission (ADVICE r5):
+        # pruning aged hashes while cnt stayed cumulative let a replayed
+        # pair increment support AGAIN once its hash expired (with the
+        # key kept alive by other pairs), so a rule could cross
+        # min_support with fewer than min_support DISTINCT pairs. The
+        # set needs no pruning for state size — before crossing it holds
+        # at most min_support - 1 hashes, and emission clears it; the
+        # key-level dormancy bound is the EventTimeTimeout above.
         state.update((cnt, emitted, hs, ts))
         if rows:
             state.setTimeoutTimestamp(rows[-1][0] + state_ttl_ms)

@@ -671,7 +671,28 @@ def test_media_gallery_stats_histogram(spark):
     assert sum(n for _, n in got.values()) == 5  # all refs accounted
 
 
-def test_caption_quality_banding_and_tiebreak(spark):
+def test_media_gallery_stats_rollup_adds_no_recomputation(spark):
+    """Plan guard (VERDICT r5 #2): the stats rollup must aggregate the
+    ALREADY-MATERIALIZED component map — its physical plan is two
+    aggregations over the kernel's final checkpoint scan, never a
+    re-execution of the pair generation or the CC loop (no joins, no
+    span/parquet scans). The r5 regression this pins was ultimately the
+    checkpoint stats compounding, but the invariant 'rollup == two aggs
+    over an RDD scan' is what makes the stats entry cost its own two
+    shuffles and nothing else."""
+    def doc(doc_id, refs):
+        return [
+            (doc_id, "image", None, f"m://x/{r}", i * 2 + 1)
+            for i, r in enumerate(refs)
+        ]
+
+    rows = doc(1, ["a", "b"]) + doc(2, ["a", "b"]) + doc(3, ["e"])
+    spans = _general_spans(spark, rows)
+    stats = il.media_gallery_stats_from(il.media_gallery_from(spans))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    for forbidden in ("Join", "Scan parquet", "Generate", "Window"):
+        assert forbidden not in plan, f"rollup plan re-runs upstream: {forbidden}"
     """Exact fixed-point caption scores: in-band all-alpha text scores
     the full 1e6; out-of-band (too short / body prose) loses the length
     bonus; digits/punct dilute alpha ppm; ties prefer 'before'."""

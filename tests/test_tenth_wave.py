@@ -162,6 +162,64 @@ def test_dust_rules_stream_emits_once_on_crossing(spark, tmp_path):
     assert len(rows) == 2  # exactly-once per rule
 
 
+def test_dust_rules_stream_replay_past_ttl_never_recounts(spark, tmp_path):
+    """ADVICE r5 regression: a pair REPLAYED after its hash would have
+    aged past the TTL horizon — with the key kept alive by other pairs —
+    must not increment support again. Under the pruned-set behavior this
+    crossed min_support=3 with only 2 DISTINCT pairs; the pair-hash set
+    is now retained until emission, so the replay is recognized and
+    nothing emits."""
+    import os
+
+    src = tmp_path / "pairs_replay_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _write(name, rows, mtime):
+        spark.createDataFrame(
+            [
+                (a, b, t0 + datetime.timedelta(seconds=s))
+                for a, b, s in rows
+            ],
+            "uri_a string, uri_b string, event_time timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        for root, _, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # ttl 3s: batch 2's max(ts)=4s puts the horizon at 1s > P1's t=0,
+    # so the old code dropped P1's hash while batch 2's activity kept
+    # the key's event-time timeout (4s + 3s) ahead of the watermark;
+    # batch 3 then replays P1 at t=6s (< the 7s timeout)
+    _write("b1", [("http://h/a1", "http://h/a1?s=x", 0)], 1_000_000_000)
+    _write("b2", [("http://h/a2", "http://h/a2?s=x", 4)], 1_000_000_100)
+    _write("b3", [("http://h/a1", "http://h/a1?s=x", 6)], 1_000_000_200)
+
+    from scrappy_spark.streaming.state_stream import dust_rules_stream
+
+    stream = (
+        spark.readStream.schema(
+            "uri_a string, uri_b string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dust_rules_stream(stream, min_support=3, state_ttl_ms=3000)
+        .writeStream.format("memory")
+        .queryName("dust_rules_replay_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    rows = spark.sql(
+        "SELECT alpha, beta, support FROM dust_rules_replay_t"
+    ).collect()
+    # 2 distinct pairs + 1 replay < min_support=3: nothing may emit
+    assert rows == []
+
+
 # ------------------------------------------- streaming DUST canonicalize
 
 def test_canonicalize_stream_cross_batch_alias_dropped(spark, tmp_path):
