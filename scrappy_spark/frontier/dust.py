@@ -355,9 +355,11 @@ def canonicalize(
     print-view strip), which is also the direction that terminates under
     iteration. Per URL, the single best applicable rule wins —
     ``(support DESC, len(src) DESC, src, dst)``, a total order so both
-    engines pick the identical rule — and is applied as a literal
-    replace-all. URLs matching no rule keep themselves (flag, not
-    filter). One pass, not a fixpoint: production re-runs over the
+    engines pick the identical rule — and is applied as a SINGLE
+    positional splice at the first boundary-valid occurrence (ADVICE r5:
+    this docstring used to say "replace-all", contradicting ``_splice``'s
+    own never-replace-all contract). URLs matching no rule keep
+    themselves (flag, not filter). One pass, not a fixpoint: production re-runs over the
     (tiny) still-changed remainder; one pass is the testable kernel.
 
     100 TB shape: the rule table is config-scale by construction
