@@ -733,42 +733,47 @@ class Crawler:
 
         order_delta = popped.select("seq", "uri", "depth", F.lit(rnd).alias("round"))
 
-        # the three delta writes are independent Spark actions — submit
-        # them concurrently; shared cached intermediates (popped, resolved,
-        # enqueued) are computed once thanks to block-level cache locking
+        # ONE concurrent wave for the round's tail (optimization r6,
+        # guide §2.6 — previously two sequential waves: the three delta
+        # writes, then bloom ∥ frontier checkpoint). All five actions
+        # are independent given the cached inputs, with one exception:
+        # the filter update's REBUILD paths read the committed seen set
+        # `upto=rnd`, i.e. the seen dir this wave is writing — so the
+        # bloom task chains on the seen-write future instead of on the
+        # whole wave. Shared cached intermediates (popped, resolved,
+        # enqueued) are computed once thanks to block-level cache
+        # locking; the checkpoint plan holds its own reference to the
+        # CURRENT filter broadcast, so the bloom thread swapping
+        # `_filter_bc` mid-wave cannot affect it (destroy of the retired
+        # broadcast stays deferred to end-of-round, below). The manifest
+        # commit consumes all results after the join.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        next_frontier = kept.unionAll(enqueued.drop("h"))
+        with ThreadPoolExecutor(max_workers=5) as pool:
             f_order = pool.submit(self.store.write_delta, "order", rnd, order_delta)
             f_triples = pool.submit(self.store.write_delta, "triples", rnd, triples)
             f_seen = pool.submit(self.store.write_delta, "seen", rnd, enqueued)
+            # eager localCheckpoint (see _set_frontier) — materialized
+            # here, swapped in below; only then is it safe to drop the
+            # caches the round plan was built from
+            f_ck = pool.submit(next_frontier.localCheckpoint, True)
+
+            def _bloom_after_seen() -> None:
+                f_seen.result()  # rebuild paths read seen upto=rnd
+                self._update_bloom(enqueued, upto_round=rnd)
+
+            f_bloom = pool.submit(_bloom_after_seen)
             lineage = {
                 "order": f_order.result(),
                 "triples": f_triples.result(),
                 "seen": f_seen.result(),
             }
+            f_bloom.result()
+            ck_frontier = f_ck.result()
         n_new = lineage["seen"]["rows"]
         n_popped = lineage["order"]["rows"]
         self._seen_rows += n_new
-
-        # the filter delta-build and the next-frontier checkpoint are
-        # INDEPENDENT jobs over already-persisted inputs — overlap them
-        # from two driver threads (optimization r6, guide §2.6: they ran
-        # back-to-back, two sequential job waves of mostly fixed cost
-        # per round). The bloom thread touches only driver-side filter
-        # state; the checkpoint thread only runs a Spark action; the
-        # manifest commit below consumes both results after the join.
-        next_frontier = kept.unionAll(enqueued.drop("h"))
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_bloom = pool.submit(
-                self._update_bloom, enqueued, upto_round=rnd
-            )
-            # eager localCheckpoint (see _set_frontier) — materialized
-            # here, swapped in below; only then is it safe to drop the
-            # caches the round plan was built from
-            f_ck = pool.submit(next_frontier.localCheckpoint, True)
-            f_bloom.result()
-            ck_frontier = f_ck.result()
 
         meta = {
             "round": rnd,
